@@ -1,0 +1,139 @@
+"""Declarative expectation configuration + suite.
+
+Mirrors the reference data model (WHAT, not HOW):
+- ExpectationConfiguration = {expectation_type, kwargs, meta}
+  (reference: great_expectations/core/expectation_configuration.py)
+- ExpectationSuite = named list of configurations + meta
+  (reference: great_expectations/core/expectation_suite.py)
+- Deterministic identity hashing of kwarg dicts
+  (reference: great_expectations/core/id_dict.py:6-45 IDDict.to_id()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+
+def _json_default(o: Any) -> Any:
+    return str(o)
+
+
+def deterministic_id(obj: Any) -> str:
+    """Stable hash of a JSON-serializable object (sorted keys).
+
+    Same role as the reference's IDDict.to_id() (core/id_dict.py:6-45):
+    metric/domain identity = hash of the sorted-key kwargs dict.
+    """
+    payload = json.dumps(obj, sort_keys=True, default=_json_default)
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
+# kwarg keys that describe the domain (sub-slice of the batch) rather than
+# the success criteria — mirrors the reference's domain/success kwarg split
+# (expectations/expectation.py:162-175).
+DOMAIN_KEYS = (
+    "column",
+    "column_A",
+    "column_B",
+    "column_list",
+    "row_condition",
+    "condition_parser",
+    "ignore_row_if",
+)
+
+RUNTIME_KEYS = ("result_format", "catch_exceptions")
+
+
+@dataclass
+class ExpectationConfiguration:
+    expectation_type: str
+    kwargs: dict[str, Any] = field(default_factory=dict)
+    meta: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def domain_kwargs(self) -> dict[str, Any]:
+        return {k: v for k, v in self.kwargs.items() if k in DOMAIN_KEYS and v is not None}
+
+    @property
+    def success_kwargs(self) -> dict[str, Any]:
+        return {
+            k: v
+            for k, v in self.kwargs.items()
+            if k not in DOMAIN_KEYS and k not in RUNTIME_KEYS
+        }
+
+    @property
+    def domain_id(self) -> str:
+        return deterministic_id(self.domain_kwargs)
+
+    @property
+    def id(self) -> str:
+        return deterministic_id(
+            {"type": self.expectation_type, "kwargs": self.kwargs}
+        )
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "expectation_type": self.expectation_type,
+            "kwargs": dict(self.kwargs),
+            "meta": dict(self.meta),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ExpectationConfiguration":
+        return cls(
+            expectation_type=d["expectation_type"],
+            kwargs=dict(d.get("kwargs", {})),
+            meta=dict(d.get("meta", {})),
+        )
+
+
+@dataclass
+class ExpectationSuite:
+    name: str
+    expectations: list[ExpectationConfiguration] = field(default_factory=list)
+    meta: dict[str, Any] = field(default_factory=dict)
+    evaluation_parameters: dict[str, Any] = field(default_factory=dict)
+
+    def add(self, expectation_type: str, **kwargs: Any) -> ExpectationConfiguration:
+        cfg = ExpectationConfiguration(expectation_type=expectation_type, kwargs=kwargs)
+        self.expectations.append(cfg)
+        return cfg
+
+    def extend(self, cfgs: Iterable[ExpectationConfiguration]) -> None:
+        self.expectations.extend(cfgs)
+
+    @property
+    def id(self) -> str:
+        return deterministic_id(
+            {"name": self.name, "expectations": [c.to_dict() for c in self.expectations]}
+        )
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "expectations": [c.to_dict() for c in self.expectations],
+            "meta": dict(self.meta),
+            "evaluation_parameters": dict(self.evaluation_parameters),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ExpectationSuite":
+        return cls(
+            name=d.get("name", "unnamed"),
+            expectations=[
+                ExpectationConfiguration.from_dict(c) for c in d.get("expectations", [])
+            ],
+            meta=dict(d.get("meta", {})),
+            evaluation_parameters=dict(d.get("evaluation_parameters", {})),
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=_json_default)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExpectationSuite":
+        return cls.from_dict(json.loads(s))

@@ -1,0 +1,66 @@
+"""SparkValidationEngine — the user-facing facade.
+
+    engine = SparkValidationEngine(spark)
+    result = engine.validate(df, suite, result_format="SUMMARY",
+                             partition_by=["fmt"])
+
+One call = the reference's Validator.validate (validator/validator.py:1782-
+2065) + the Spark execution engine, compiled into the minimal set of Spark
+jobs by plans/planner.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from great_expectations_spark.core.config import ExpectationSuite
+from great_expectations_spark.core.result import SuiteValidationResult
+from great_expectations_spark.plans.planner import SuitePlanner
+
+
+class SparkValidationEngine:
+    def __init__(self, spark: Optional[SparkSession] = None) -> None:
+        self.spark = spark
+
+    def validate(
+        self,
+        df: DataFrame,
+        suite: ExpectationSuite,
+        result_format: Any = "BASIC",
+        partition_by: Optional[list[str]] = None,
+        persist: bool = False,
+        meta: Optional[dict] = None,
+    ) -> SuiteValidationResult:
+        planner = SuitePlanner(
+            df,
+            suite,
+            result_format=result_format,
+            partition_by=partition_by,
+            spark=self.spark or df.sparkSession,
+            persist=persist,
+        )
+        return planner.run(meta=meta)
+
+    def results_df(self, result: SuiteValidationResult) -> DataFrame:
+        """Validation results as a DataFrame (for persistence / the driver's
+        flagship-query contract)."""
+        from great_expectations_spark.sources.stores import results_to_rows, RESULTS_SCHEMA
+
+        spark = self.spark
+        rows = results_to_rows(result)
+        return spark.createDataFrame(rows, schema=RESULTS_SCHEMA)
+
+
+def validate(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    result_format: Any = "BASIC",
+    partition_by: Optional[list[str]] = None,
+    persist: bool = False,
+) -> SuiteValidationResult:
+    """Module-level convenience wrapper."""
+    return SparkValidationEngine(df.sparkSession).validate(
+        df, suite, result_format=result_format, partition_by=partition_by, persist=persist
+    )

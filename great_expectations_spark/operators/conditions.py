@@ -1,0 +1,392 @@
+"""Map-expectation condition compiler.
+
+Each map expectation compiles to a boolean *expected* ``pyspark.sql.Column``
+(JVM-side, whole-stage-codegen friendly — never per-row Python). The planner
+derives from it:
+
+    unexpected = domain_filter AND considered AND NOT expected
+
+where ``considered`` encodes the null policy (column map: ``col IS NOT NULL``
+unless the expectation is about null-ness; pair/multicolumn: the
+``ignore_row_if`` policy).
+
+Semantics mirror the reference's Spark metric providers
+(great_expectations/expectations/metrics/column_map_metrics/*,
+column_pair_map_metrics/*, multicolumn_map_metrics/* — see SURVEY.md §2.B.3-5)
+but are all expressed as native Catalyst expressions (the reference's per-row
+``F.udf`` cases — strftime/json — are replaced with built-ins).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def lit_value(v: Any) -> Column:
+    """Literal that compares correctly against Spark columns.
+
+    datetime/date pass through; everything else via F.lit.
+    """
+    return F.lit(v)
+
+
+def strftime_to_spark_pattern(fmt: str) -> str:
+    """Convert a C strftime format to a Spark datetime pattern.
+
+    Replaces the reference's per-row ``F.udf(datetime.strptime)``
+    (column_values_match_strftime_format.py:33-60) with a native
+    ``to_timestamp`` pattern.
+    """
+    mapping = {
+        "%Y": "yyyy",
+        "%y": "yy",
+        "%m": "MM",
+        "%d": "dd",
+        "%H": "HH",
+        "%I": "hh",
+        "%M": "mm",
+        "%S": "ss",
+        "%f": "SSSSSS",
+        "%j": "DDD",
+        "%p": "a",
+        "%z": "Z",
+        "%%": "%",
+    }
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok not in mapping:
+                raise ValueError(f"unsupported strftime directive: {tok}")
+            out.append(mapping[tok])
+            i += 2
+        else:
+            # quote literal letters so Spark doesn't treat them as pattern chars
+            c = fmt[i]
+            if c.isalpha():
+                out.append(f"'{c}'")
+            else:
+                out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def translate_row_condition(row_condition: str, condition_parser: str = "spark") -> Column:
+    """Pre-filter (domain) condition.
+
+    - ``spark`` parser: raw Spark SQL (reference passes it verbatim to
+      df.filter — sparkdf_execution_engine.py:458-478).
+    - ``great_expectations__experimental__`` mini-DSL: ``col("x") > 3``,
+      ``col("x").notNull()`` (reference grammar at
+      expectations/row_conditions.py:35-146) — translated to SQL here.
+    """
+    if condition_parser in ("spark", "spark_sql", None):
+        return F.expr(row_condition)
+    # mini-DSL translation
+    s = row_condition
+    s = re.sub(r'col\("([^"]+)"\)\.notNull\(\)', r"(`\1` IS NOT NULL)", s, flags=re.I)
+    s = re.sub(r'col\("([^"]+)"\)\.isNull\(\)', r"(`\1` IS NULL)", s, flags=re.I)
+    s = re.sub(r'col\("([^"]+)"\)', r"`\1`", s)
+    return F.expr(s)
+
+
+def between_condition(
+    col: Column,
+    min_value: Any = None,
+    max_value: Any = None,
+    strict_min: bool = False,
+    strict_max: bool = False,
+) -> Column:
+    """Reference: column_values_between.py:316-420 (chained comparisons)."""
+    cond = F.lit(True)
+    if min_value is not None:
+        c = col > lit_value(min_value) if strict_min else col >= lit_value(min_value)
+        cond = cond & c
+    if max_value is not None:
+        c = col < lit_value(max_value) if strict_max else col <= lit_value(max_value)
+        cond = cond & c
+    return cond
+
+
+def regex_list_condition(col: Column, regex_list: list[str], match_on: str = "any") -> Column:
+    conds = [col.rlike(r) for r in regex_list]
+    out = conds[0]
+    for c in conds[1:]:
+        out = (out | c) if match_on == "any" else (out & c)
+    return out
+
+
+@dataclass
+class MapCondition:
+    """Compiled map expectation.
+
+    expected: boolean Column — True where the value satisfies the expectation.
+    considered: boolean Column — rows that count toward the denominator
+        (nonnull for column-map unless ``counts_nulls``; post-``ignore_row_if``
+        for pair/multicolumn).
+    value_expr: Column — what to show in unexpected_list samples.
+    counts_nulls: True when null-ness itself is being asserted (null /
+        not_null) → denominator is element_count, missing_count reported as 0
+        w.r.t. the map (matches reference filter_column_isnull=False paths).
+    """
+
+    expected: Column
+    considered: Column
+    value_expr: Column
+    counts_nulls: bool = False
+    columns: list[str] = field(default_factory=list)
+
+
+def _ignore_row_if_considered(cols: list[Column], policy: str, default: str) -> Column:
+    policy = policy or default
+    if policy in ("both_values_are_missing", "all_values_are_missing"):
+        out = cols[0].isNull()
+        for c in cols[1:]:
+            out = out & c.isNull()
+        return ~out
+    if policy in ("either_value_is_missing", "any_value_is_missing"):
+        out = cols[0].isNull()
+        for c in cols[1:]:
+            out = out | c.isNull()
+        return ~out
+    if policy in ("neither", "never"):
+        return F.lit(True)
+    raise ValueError(f"unknown ignore_row_if: {policy}")
+
+
+def _pair(kwargs: dict) -> tuple[Column, Column, list[str]]:
+    a, b = kwargs["column_A"], kwargs["column_B"]
+    return F.col(a), F.col(b), [a, b]
+
+
+def _multi(kwargs: dict) -> tuple[list[Column], list[str]]:
+    names = list(kwargs["column_list"])
+    return [F.col(n) for n in names], names
+
+
+def compile_map_condition(expectation_type: str, kwargs: dict[str, Any]) -> MapCondition:
+    """expectation_type → MapCondition. Raises KeyError if not a map type."""
+    builder = _MAP_BUILDERS[expectation_type]
+    return builder(kwargs)
+
+
+def _col_map(
+    fn: Callable[[Column, dict], Column], counts_nulls: bool = False
+) -> Callable[[dict], MapCondition]:
+    def build(kwargs: dict) -> MapCondition:
+        name = kwargs["column"]
+        col = F.col(name)
+        expected = fn(col, kwargs)
+        considered = F.lit(True) if counts_nulls else col.isNotNull()
+        return MapCondition(
+            expected=expected,
+            considered=considered,
+            value_expr=col,
+            counts_nulls=counts_nulls,
+            columns=[name],
+        )
+
+    return build
+
+
+def _in_set(col: Column, kw: dict) -> Column:
+    vs = kw.get("value_set") or []
+    if len(vs) == 0:
+        # empty set → vacuously true (reference column_values_in_set.py:78-104)
+        return F.lit(True)
+    return col.isin(list(vs))
+
+
+def _json_parseable(col: Column, kw: dict) -> Column:
+    # native replacement for the reference's per-row F.udf(json.loads)
+    # (column_values_json_parseable.py:28-38); Spark 4 try_parse_json
+    # returns NULL for invalid JSON.
+    return F.expr(f"try_parse_json(`{kw['column']}`) IS NOT NULL")
+
+
+def _strftime(col: Column, kw: dict) -> Column:
+    pattern = strftime_to_spark_pattern(kw["strftime_format"])
+    return F.try_to_timestamp(col, F.lit(pattern)).isNotNull()
+
+
+_MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
+    # --- null-ness (counts_nulls=True: denominator = element_count) ---
+    "expect_column_values_to_be_null": _col_map(
+        lambda c, kw: c.isNull(), counts_nulls=True
+    ),
+    "expect_column_values_to_not_be_null": _col_map(
+        lambda c, kw: c.isNotNull(), counts_nulls=True
+    ),
+    # --- value ranges / sets ---
+    "expect_column_values_to_be_between": _col_map(
+        lambda c, kw: between_condition(
+            c,
+            kw.get("min_value"),
+            kw.get("max_value"),
+            bool(kw.get("strict_min", False)),
+            bool(kw.get("strict_max", False)),
+        )
+    ),
+    "expect_column_values_to_be_in_set": _col_map(_in_set),
+    "expect_column_values_to_not_be_in_set": _col_map(
+        lambda c, kw: ~c.isin(list(kw.get("value_set") or []))
+        if kw.get("value_set")
+        else F.lit(True)
+    ),
+    # --- string lengths ---
+    "expect_column_value_lengths_to_equal": _col_map(
+        lambda c, kw: F.length(c) == int(kw["value"])
+    ),
+    "expect_column_value_lengths_to_be_between": _col_map(
+        lambda c, kw: between_condition(
+            F.length(c),
+            kw.get("min_value"),
+            kw.get("max_value"),
+            bool(kw.get("strict_min", False)),
+            bool(kw.get("strict_max", False)),
+        )
+    ),
+    # --- regex / LIKE ---
+    "expect_column_values_to_match_regex": _col_map(lambda c, kw: c.rlike(kw["regex"])),
+    "expect_column_values_to_not_match_regex": _col_map(
+        lambda c, kw: ~c.rlike(kw["regex"])
+    ),
+    "expect_column_values_to_match_regex_list": _col_map(
+        lambda c, kw: regex_list_condition(
+            c, list(kw["regex_list"]), kw.get("match_on", "any")
+        )
+    ),
+    "expect_column_values_to_not_match_regex_list": _col_map(
+        # clean conjunction of negations (the reference's fold at
+        # column_values_not_match_regex_list.py:52-61 is skip-listed on Spark)
+        lambda c, kw: ~regex_list_condition(c, list(kw["regex_list"]), "any")
+    ),
+    "expect_column_values_to_match_like_pattern": _col_map(
+        lambda c, kw: c.like(kw["like_pattern"])
+    ),
+    "expect_column_values_to_not_match_like_pattern": _col_map(
+        lambda c, kw: ~c.like(kw["like_pattern"])
+    ),
+    "expect_column_values_to_match_like_pattern_list": _col_map(
+        lambda c, kw: _like_list(c, list(kw["like_pattern_list"]), kw.get("match_on", "any"))
+    ),
+    "expect_column_values_to_not_match_like_pattern_list": _col_map(
+        lambda c, kw: ~_like_list(c, list(kw["like_pattern_list"]), "any")
+    ),
+    # --- parse-ability (native, no per-row Python) ---
+    "expect_column_values_to_match_strftime_format": _col_map(_strftime),
+    "expect_column_values_to_be_dateutil_parseable": _col_map(
+        lambda c, kw: F.try_to_timestamp(c).isNotNull()
+    ),
+    "expect_column_values_to_be_json_parseable": _col_map(_json_parseable),
+    # --- column pair ---
+    "expect_column_pair_values_to_be_equal": lambda kw: _pair_cond(
+        kw,
+        lambda a, b: a.eqNullSafe(b),
+        default_ignore="both_values_are_missing",
+    ),
+    "expect_column_pair_values_a_to_be_greater_than_b": lambda kw: _pair_cond(
+        kw,
+        lambda a, b: (a >= b) if kw.get("or_equal") else (a > b),
+        default_ignore="both_values_are_missing",
+    ),
+    "expect_column_pair_values_to_be_in_set": lambda kw: _pair_cond(
+        kw,
+        lambda a, b: _pair_in_set(a, b, kw["value_pairs_set"]),
+        default_ignore="both_values_are_missing",
+    ),
+    # --- multicolumn ---
+    "expect_multicolumn_sum_to_equal": lambda kw: _multi_cond(
+        kw,
+        lambda cols: _sum_cols(cols) == lit_value(kw["sum_total"]),
+        default_ignore="any_value_is_missing",
+    ),
+    "expect_select_column_values_to_be_unique_within_record": lambda kw: _multi_cond(
+        kw,
+        _all_differ_within_row,
+        default_ignore="any_value_is_missing",
+    ),
+}
+
+
+def _like_list(col: Column, patterns: list[str], match_on: str) -> Column:
+    conds = [col.like(p) for p in patterns]
+    out = conds[0]
+    for c in conds[1:]:
+        out = (out | c) if match_on == "any" else (out & c)
+    return out
+
+
+def _pair_in_set(a: Column, b: Column, pairs: list) -> Column:
+    conds = [a.eqNullSafe(lit_value(x)) & b.eqNullSafe(lit_value(y)) for x, y in pairs]
+    out = F.lit(False)
+    for c in conds:
+        out = out | c
+    return out
+
+
+def _sum_cols(cols: list[Column]) -> Column:
+    out = F.coalesce(cols[0], F.lit(0))
+    for c in cols[1:]:
+        out = out + F.coalesce(c, F.lit(0))
+    return out
+
+
+def _all_differ_within_row(cols: list[Column]) -> Column:
+    # reference: select_column_values_unique_within_record.py:69-90
+    any_equal = F.lit(False)
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            any_equal = any_equal | cols[i].eqNullSafe(cols[j])
+    return ~any_equal
+
+
+def _pair_cond(
+    kwargs: dict, fn: Callable[[Column, Column], Column], default_ignore: str
+) -> MapCondition:
+    a, b, names = _pair(kwargs)
+    considered = _ignore_row_if_considered(
+        [a, b], kwargs.get("ignore_row_if"), default_ignore
+    )
+    return MapCondition(
+        expected=fn(a, b),
+        considered=considered,
+        value_expr=F.to_json(F.struct(a.alias(names[0]), b.alias(names[1]))),
+        counts_nulls=False,
+        columns=names,
+    )
+
+
+def _multi_cond(
+    kwargs: dict, fn: Callable[[list[Column]], Column], default_ignore: str
+) -> MapCondition:
+    cols, names = _multi(kwargs)
+    considered = _ignore_row_if_considered(
+        cols, kwargs.get("ignore_row_if"), default_ignore
+    )
+    return MapCondition(
+        expected=fn(cols),
+        considered=considered,
+        value_expr=F.to_json(F.struct(*[c.alias(n) for c, n in zip(cols, names)])),
+        counts_nulls=False,
+        columns=names,
+    )
+
+
+MAP_EXPECTATION_TYPES = frozenset(_MAP_BUILDERS)
+
+
+def register_map_expectation(
+    expectation_type: str, builder: Callable[[dict], MapCondition]
+) -> None:
+    """Extension point (image expectations etc. plug in here)."""
+    global MAP_EXPECTATION_TYPES
+    _MAP_BUILDERS[expectation_type] = builder
+    MAP_EXPECTATION_TYPES = frozenset(_MAP_BUILDERS)

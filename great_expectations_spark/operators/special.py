@@ -1,0 +1,330 @@
+"""Expectations needing their own physical pass: referential-integrity
+anti-joins, ordered (increasing/decreasing) checks, z-scores (two-phase),
+and user-SQL query expectations.
+
+Referential integrity is NEW surface vs the reference (it has no join
+operator — SURVEY.md §2.B.7; multi-table checks exist only via user SQL):
+implemented as a left-anti equi-join whose strategy Spark/AQE picks —
+broadcast-hash when the reference side is small (``broadcast=True`` forces
+the hint), sort-merge with AQE skew-split otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.config import ExpectationConfiguration
+from great_expectations_spark.core.result import (
+    format_map_output,
+    validate_metric_value_between,
+    validate_mostly,
+)
+
+
+def _resolve_ref(planner: Any, kwargs: dict) -> DataFrame:
+    ref = kwargs.get("ref")
+    if ref is not None:
+        return ref
+    table = kwargs.get("ref_table")
+    if table:
+        return planner.spark.table(table)
+    raise ValueError("referential expectation needs `ref` (DataFrame) or `ref_table`")
+
+
+def _compile_exist_in(planner: Any, cfg: ExpectationConfiguration) -> None:
+    """expect_column_values_to_exist_in — referential integrity via anti-join.
+
+    unexpected rows = df ⟕̸ ref on (column == ref_column); violation rows are
+    exactly the anti-join output (no window, no collect of the ref side).
+    """
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    columns = [kw["column"]] if "column" in kw else list(kw["column_list"])
+    ref_columns = (
+        [kw.get("ref_column") or columns[0]]
+        if len(columns) == 1
+        else list(kw.get("ref_column_list") or columns)
+    )
+    mostly = validate_mostly(kw.get("mostly"))
+    dom, dom_id = planner._domain(cfg)
+    a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
+    a_nonnull = planner._reg(
+        ("nonnull", dom_id, ",".join(columns)),
+        F.count(
+            F.when(
+                dom
+                & _all_not_null([F.col(c) for c in columns]),
+                F.lit(1),
+            )
+        ),
+    )
+    rf = planner.rf
+
+    def decide(ctx) -> tuple[bool, dict]:
+        ref = _resolve_ref(planner, kw)
+        keys = ref.select(
+            *[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(ref_columns)]
+        ).dropDuplicates()
+        if kw.get("broadcast"):
+            keys = F.broadcast(keys)
+        cond = None
+        for i, c in enumerate(columns):
+            eq = F.col(c) == F.col(f"__ref_{i}")
+            cond = eq if cond is None else (cond & eq)
+        base = planner.df.filter(dom & _all_not_null([F.col(c) for c in columns]))
+        violations = base.join(keys, on=cond, how="left_anti")
+        sample: Optional[list] = None
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            violations = violations.persist()
+        unexpected = violations.count()
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            n = rf["partial_unexpected_count"]
+            if len(columns) == 1:
+                rows = violations.select(columns[0]).limit(n).collect()
+                sample = [r[0] for r in rows]
+            else:
+                rows = violations.select(*columns).limit(n).collect()
+                sample = [json.dumps(list(r), default=str) for r in rows]
+            violations.unpersist()
+        elem = ctx.metrics[a_elem] or 0
+        nonnull = ctx.metrics[a_nonnull] or 0
+        if elem == 0 or nonnull == 0:
+            success = True
+        else:
+            success = ((nonnull - unexpected) / nonnull) >= mostly
+        out = format_map_output(
+            rf, bool(success), elem, nonnull, unexpected, unexpected_list=sample
+        )
+        return bool(success), out.get("result", {"success": success})
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+def _all_not_null(cols: list[Column]) -> Column:
+    cond = cols[0].isNotNull()
+    for c in cols[1:]:
+        cond = cond & c.isNotNull()
+    return cond
+
+
+def _compile_monotonic(planner: Any, cfg: ExpectationConfiguration, increasing: bool) -> None:
+    """expect_column_values_to_be_increasing / _decreasing.
+
+    Reference uses a WINDOW_CONDITION_FN over a global ordering
+    (column_values_increasing.py:84-140). Here: lag() over an explicit
+    ``order_by`` column (or stable scan order via
+    monotonically_increasing_id). NOTE: a global Window.orderBy collapses to
+    one task — fine for validation-sized slices; at 10^12 rows pass
+    ``order_by`` on a partitioned prefix or pre-sort upstream.
+    """
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    column = kw["column"]
+    strictly = bool(kw.get("strictly", False))
+    order_by = kw.get("order_by")
+    mostly = validate_mostly(kw.get("mostly"))
+    dom, dom_id = planner._domain(cfg)
+    a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
+    rf = planner.rf
+
+    def decide(ctx) -> tuple[bool, dict]:
+        col = F.col(column)
+        base = planner.df.filter(dom & col.isNotNull())
+        if order_by:
+            base = base.withColumn("_ord", F.col(order_by))
+        else:
+            base = base.withColumn("_ord", F.monotonically_increasing_id())
+        w = Window.orderBy("_ord")
+        prev = F.lag(col).over(w)
+        if increasing:
+            ok = (col > prev) if strictly else (col >= prev)
+        else:
+            ok = (col < prev) if strictly else (col <= prev)
+        flagged = base.withColumn(
+            "_viol", F.when(prev.isNull(), F.lit(False)).otherwise(~ok)
+        )
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("nonnull"),
+            F.count(F.when(F.col("_viol"), F.lit(1))).alias("unexp"),
+        ).collect()[0]
+        nonnull, unexpected = int(agg["nonnull"]), int(agg["unexp"])
+        sample = None
+        if rf["result_format"] != "BOOLEAN_ONLY" and unexpected:
+            rows = (
+                flagged.filter(F.col("_viol"))
+                .select(col)
+                .limit(rf["partial_unexpected_count"])
+                .collect()
+            )
+            sample = [r[0] for r in rows]
+        elem = ctx.metrics[a_elem] or 0
+        success = (
+            True
+            if elem == 0 or nonnull == 0
+            else ((nonnull - unexpected) / nonnull) >= mostly
+        )
+        out = format_map_output(
+            rf, bool(success), elem, nonnull, unexpected, unexpected_list=sample
+        )
+        return bool(success), out.get("result", {"success": success})
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+def _compile_z_scores(planner: Any, cfg: ExpectationConfiguration) -> None:
+    """expect_column_value_z_scores_to_be_less_than — two-phase.
+
+    Phase 0 resolves mean/stddev (bundled with any other prerequisites in one
+    agg); the z-condition is then folded into the main pass as literals
+    (reference models the same cross-metric dependency at
+    column_values_z_score.py:113-127).
+    """
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    column = kw["column"]
+    threshold = float(kw["threshold"])
+    double_sided = bool(kw.get("double_sided", True))
+    mostly = validate_mostly(kw.get("mostly"))
+    dom, dom_id = planner._domain(cfg)
+    col = F.col(column)
+    a_mean = planner._reg_pre(("column.mean", column), F.avg(F.when(dom, col)))
+    a_std = planner._reg_pre(
+        ("column.standard_deviation", column), F.stddev_samp(F.when(dom, col))
+    )
+    a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
+    a_nonnull = planner._reg(("nonnull", dom_id, column), F.count(F.when(dom, col)))
+    state: dict[str, str] = {}
+    eid = cfg.id
+    rf = planner.rf
+
+    def finalize(pre_metrics: dict) -> None:
+        mean = pre_metrics[a_mean]
+        std = pre_metrics[a_std]
+        if mean is None or std is None or std == 0:
+            state["degenerate"] = "stddev is zero or undefined"
+            return
+        z = (col - F.lit(float(mean))) / F.lit(float(std))
+        expected = (F.abs(z) < threshold) if double_sided else (z < threshold)
+        unexpected_cond = dom & col.isNotNull() & F.coalesce(~expected, F.lit(False))
+        state["a_unexp"] = planner._reg(
+            ("z_unexpected", dom_id, eid), F.count(F.when(unexpected_cond, F.lit(1)))
+        )
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            planner._sample_specs.append((eid, unexpected_cond, col, column))
+
+    planner._deferred.append(finalize)
+
+    def decide(ctx) -> tuple[bool, dict]:
+        if "degenerate" in state:
+            return False, {"observed_value": None, "details": {"error": state["degenerate"]}}
+        elem = ctx.metrics[a_elem] or 0
+        nonnull = ctx.metrics[a_nonnull] or 0
+        unexpected = ctx.metrics[state["a_unexp"]] or 0
+        success = (
+            True
+            if elem == 0 or nonnull == 0
+            else ((nonnull - unexpected) / nonnull) >= mostly
+        )
+        out = format_map_output(
+            rf,
+            bool(success),
+            elem,
+            nonnull,
+            unexpected,
+            unexpected_list=ctx.sample_values.get(eid),
+        )
+        return bool(success), out.get("result", {"success": success})
+
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
+
+
+_QUERY_VIEW = "ge_spark_active_batch"
+
+
+def _run_user_query(planner: Any, query: str) -> DataFrame:
+    """User SQL with {batch}/{active_batch} placeholder — the escape hatch for
+    arbitrary relational ops (reference: query_table.py:68-91)."""
+    planner.df.createOrReplaceTempView(_QUERY_VIEW)
+    q = query.replace("{active_batch}", _QUERY_VIEW).replace("{batch}", _QUERY_VIEW)
+    return planner.spark.sql(q)
+
+
+def _compile_query_no_rows(planner: Any, cfg: ExpectationConfiguration) -> None:
+    from great_expectations_spark.plans.planner import _Item
+
+    query = cfg.kwargs["query"]
+    rf = planner.rf
+
+    def decide(ctx) -> tuple[bool, dict]:
+        res = _run_user_query(planner, query)
+        res = res.persist()
+        n = res.count()
+        result: dict[str, Any] = {"observed_value": n}
+        if n and rf["result_format"] != "BOOLEAN_ONLY":
+            rows = res.limit(rf["partial_unexpected_count"]).collect()
+            result["partial_unexpected_list"] = [
+                json.dumps(r.asDict(), default=str) for r in rows
+            ]
+        res.unpersist()
+        return n == 0, result
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+def _compile_query_row_count(planner: Any, cfg: ExpectationConfiguration) -> None:
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    query = kw["query"]
+
+    def decide(ctx) -> tuple[bool, dict]:
+        n = _run_user_query(planner, query).count()
+        return validate_metric_value_between(
+            n,
+            kw.get("min_value"),
+            kw.get("max_value"),
+            bool(kw.get("strict_min", False)),
+            bool(kw.get("strict_max", False)),
+        )
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+def _compile_row_count_equal_other_table(planner: Any, cfg: ExpectationConfiguration) -> None:
+    """SQL-only in the reference (self_check/util.py:1892) — native here."""
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    dom, dom_id = planner._domain(cfg)
+    a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
+
+    def decide(ctx) -> tuple[bool, dict]:
+        other = kw.get("other_table_ref")
+        other_df = other if isinstance(other, DataFrame) else planner.spark.table(
+            kw["other_table_name"]
+        )
+        other_count = other_df.count()
+        mine = ctx.metrics[a_elem] or 0
+        return bool(mine == other_count), {
+            "observed_value": {"self": mine, "other": other_count}
+        }
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+SPECIAL_COMPILERS: dict[str, Callable[[Any, ExpectationConfiguration], None]] = {
+    "expect_column_values_to_exist_in": _compile_exist_in,
+    "expect_column_values_to_be_increasing": lambda p, c: _compile_monotonic(p, c, True),
+    "expect_column_values_to_be_decreasing": lambda p, c: _compile_monotonic(p, c, False),
+    "expect_column_value_z_scores_to_be_less_than": _compile_z_scores,
+    "expect_query_to_return_no_rows": _compile_query_no_rows,
+    "expect_query_row_count_to_be_between": _compile_query_row_count,
+    "expect_table_row_count_to_equal_other_table": _compile_row_count_equal_other_table,
+}

@@ -1,0 +1,627 @@
+"""Suite planner — compiles an ExpectationSuite into a minimal set of Spark
+jobs and executes them.
+
+Physical plan for a suite (contrast: the reference runs one job per metric
+bundle per domain + one eager job per VALUE metric —
+sparkdf_execution_engine.py:649-743, map_metric_provider.py:2356-2506):
+
+  pass 0 (optional)  df.agg(...)                     prerequisites (z-score
+                                                     mean/stddev, auto bins)
+  pass 1 (main)      df.rollup(*partition_cols)      EVERY bundled aggregate
+                       .agg(*all_metric_exprs)       metric for EVERY
+                                                     expectation — counts,
+                                                     unexpected counts,
+                                                     min/max/mean/stddev/sum,
+                                                     percentiles, distinct
+                                                     counts, histogram bins —
+                                                     one scan; GROUPING SETS
+                                                     rollup yields per-
+                                                     partition verdicts AND
+                                                     the global rollup
+  pass 2 (per key)   df.groupBy(cols).agg(count)     value-counts family:
+                                                     distinct sets, modes,
+                                                     uniqueness dup stats,
+                                                     categorical drift —
+                                                     shuffle-bounded, never a
+                                                     global window
+  pass 3 (samples)   ONE unioned job over the        partial_unexpected_list /
+                     failing map conditions          partial_unexpected_counts
+  special passes     anti-joins (referential),       per expectation that
+                     ordered windows (increasing)    needs them
+
+Metric identity dedup (reference: validator/metric_configuration.py:64-69,
+validation_graph.py:37-42) happens in ``_reg``: two expectations needing
+``column.min(l_quantity)`` share one aggregate expression.
+
+Domain (row_condition) filters are folded into aggregate expressions as
+``F.when(dom, x)`` so differing domains still share the single scan; when all
+expectations share one domain the filter is applied to the DataFrame instead
+(predicate pushdown reaches the source scan).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.config import (
+    ExpectationConfiguration,
+    ExpectationSuite,
+    deterministic_id,
+)
+from great_expectations_spark.core.result import (
+    ExpectationValidationResult,
+    SuiteValidationResult,
+    format_map_output,
+    parse_result_format,
+    suite_statistics,
+    validate_mostly,
+)
+from great_expectations_spark.operators import schema_checks
+from great_expectations_spark.operators.aggregates import AGG_BUILDERS
+from great_expectations_spark.operators.conditions import (
+    MAP_EXPECTATION_TYPES,
+    compile_map_condition,
+    translate_row_condition,
+)
+
+COMPLETE_CAP = 10_000  # driver-side cap on COMPLETE unexpected_list
+DISTINCT_CAP = 65_536  # driver-side cap on collected distinct values
+
+
+def _caster_for(df: DataFrame, column: Optional[str]) -> Callable[[str], Any]:
+    if column is None or column not in df.columns:
+        return lambda s: s
+    dt = df.schema[column].dataType.simpleString()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return lambda s: int(s)
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        return lambda s: float(s)
+    if dt == "boolean":
+        return lambda s: s == "true"
+    return lambda s: s
+
+
+@dataclass
+class _GroupByNeed:
+    cols: tuple[str, ...]
+    drop_nulls: bool = False
+    want_dup_stats: bool = False
+    want_top: bool = False
+    want_dup_sample: bool = False
+
+
+@dataclass
+class _GroupByResult:
+    dup_row_count: int = 0  # rows belonging to a value with count > 1
+    dup_value_count: int = 0  # distinct values with count > 1
+    distinct_count: int = 0
+    total_count: int = 0
+    top: list[tuple[tuple, int]] = field(default_factory=list)  # (values, count)
+    dup_sample: list[tuple[tuple, int]] = field(default_factory=list)
+    top_truncated: bool = False
+
+
+class _Ctx:
+    """Resolution context handed to decision closures."""
+
+    def __init__(self) -> None:
+        self.metrics: dict[str, Any] = {}
+        self.groupby: dict[tuple, _GroupByResult] = {}
+        self.sample_values: dict[str, list[Any]] = {}
+        self.sample_counts: dict[str, list[tuple[Any, int]]] = {}
+        self.is_partition: bool = False
+
+
+@dataclass
+class _Item:
+    cfg: ExpectationConfiguration
+    decide: Callable[[_Ctx], tuple[bool, dict]]
+    partition_capable: bool = True  # can emit per-partition verdicts
+
+
+class SuitePlanner:
+    def __init__(
+        self,
+        df: DataFrame,
+        suite: ExpectationSuite,
+        result_format: Any = "BASIC",
+        partition_by: Optional[list[str]] = None,
+        spark: Optional[SparkSession] = None,
+        complete_cap: int = COMPLETE_CAP,
+        persist: bool = False,
+    ) -> None:
+        self.df = df
+        self.suite = suite
+        self.rf = parse_result_format(result_format)
+        self.partition_by = list(partition_by or [])
+        self.spark = spark or df.sparkSession
+        self.complete_cap = complete_cap
+        self.persist = persist
+
+        self._main_aggs: dict[str, Column] = {}
+        self._main_keys: dict[str, str] = {}  # key-json -> alias
+        self._pre_aggs: dict[str, Column] = {}
+        self._groupby_needs: dict[tuple, _GroupByNeed] = {}
+        self._sample_specs: list[tuple[str, Column, Column, Optional[str]]] = []
+        # (eid, unexpected_cond, value_expr, column_for_cast)
+        self._items: list[_Item] = []
+        self._deferred: list[Callable[[], None]] = []  # phase-2 compile (z-score)
+        self._errors: list[tuple[ExpectationConfiguration, Exception]] = []
+
+    # ---- registration helpers -------------------------------------------
+
+    def _reg(self, key_parts: tuple, expr: Column) -> str:
+        """Metric-identity dedup: same key → same aggregate expression."""
+        key = json.dumps([str(p) for p in key_parts])
+        alias = self._main_keys.get(key)
+        if alias is None:
+            alias = "m_" + deterministic_id(key)
+            self._main_keys[key] = alias
+            self._main_aggs[alias] = expr.alias(alias)
+        return alias
+
+    def _reg_pre(self, key_parts: tuple, expr: Column) -> str:
+        alias = "p_" + deterministic_id(json.dumps([str(p) for p in key_parts]))
+        if alias not in self._pre_aggs:
+            self._pre_aggs[alias] = expr.alias(alias)
+        return alias
+
+    def _need_groupby(self, cols: tuple[str, ...], drop_nulls: bool, **wants: bool) -> tuple:
+        key = (cols, drop_nulls)
+        need = self._groupby_needs.setdefault(
+            key, _GroupByNeed(cols=cols, drop_nulls=drop_nulls)
+        )
+        for k, v in wants.items():
+            setattr(need, k, getattr(need, k) or v)
+        return key
+
+    def _domain(self, cfg: ExpectationConfiguration) -> tuple[Column, str]:
+        rc = cfg.kwargs.get("row_condition")
+        if rc:
+            return (
+                translate_row_condition(rc, cfg.kwargs.get("condition_parser", "spark")),
+                cfg.domain_id,
+            )
+        return F.lit(True), "whole"
+
+    # ---- compilation -----------------------------------------------------
+
+    def compile(self) -> "SuitePlanner":
+        from great_expectations_spark.operators import drift as drift_ops
+        from great_expectations_spark.operators import special as special_ops
+
+        for cfg in self.suite.expectations:
+            t = cfg.expectation_type
+            try:
+                if t in schema_checks.SCHEMA_EXPECTATION_TYPES:
+                    self._compile_schema(cfg)
+                elif t in MAP_EXPECTATION_TYPES:
+                    self._compile_map(cfg)
+                elif t in AGG_BUILDERS:
+                    self._compile_agg(cfg)
+                elif t in _GROUPBY_COMPILERS:
+                    _GROUPBY_COMPILERS[t](self, cfg)
+                elif t in drift_ops.DRIFT_COMPILERS:
+                    drift_ops.DRIFT_COMPILERS[t](self, cfg)
+                elif t in special_ops.SPECIAL_COMPILERS:
+                    special_ops.SPECIAL_COMPILERS[t](self, cfg)
+                else:
+                    raise KeyError(f"unknown expectation_type: {t}")
+            except Exception as e:  # compile-time failure → failed EVR
+                self._errors.append((cfg, e))
+        return self
+
+    def _compile_schema(self, cfg: ExpectationConfiguration) -> None:
+        check = schema_checks.SCHEMA_CHECKS[cfg.expectation_type]
+        success, result = check(self.df, cfg.kwargs)
+
+        self._items.append(
+            _Item(cfg, lambda ctx, s=success, r=result: (s, dict(r)), partition_capable=False)
+        )
+
+    def _compile_agg(self, cfg: ExpectationConfiguration) -> None:
+        dom, _ = self._domain(cfg)
+        decide = AGG_BUILDERS[cfg.expectation_type](cfg.kwargs, dom, self._reg)
+        self._items.append(
+            _Item(cfg, lambda ctx, d=decide: d(ctx.metrics), partition_capable=True)
+        )
+
+    def _compile_map(self, cfg: ExpectationConfiguration) -> None:
+        mc = compile_map_condition(cfg.expectation_type, cfg.kwargs)
+        dom, dom_id = self._domain(cfg)
+        mostly = validate_mostly(cfg.kwargs.get("mostly"))
+
+        a_elem = self._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
+        a_cons = self._reg(
+            ("considered", dom_id, cfg.expectation_type, str(cfg.success_kwargs))
+            if mc.counts_nulls or cfg.kwargs.get("ignore_row_if")
+            else ("nonnull", dom_id, ",".join(mc.columns)),
+            F.count(F.when(dom & mc.considered, F.lit(1))),
+        )
+        unexpected_cond = dom & mc.considered & F.coalesce(~mc.expected, F.lit(False))
+        a_unexp = self._reg(
+            ("unexpected", dom_id, cfg.id), F.count(F.when(unexpected_cond, F.lit(1)))
+        )
+
+        eid = cfg.id
+        cast_col = mc.columns[0] if len(mc.columns) == 1 else None
+        if self.rf["result_format"] != "BOOLEAN_ONLY":
+            self._sample_specs.append((eid, unexpected_cond, mc.value_expr, cast_col))
+        counts_nulls = mc.counts_nulls
+
+        def decide(ctx: _Ctx) -> tuple[bool, dict]:
+            elem = ctx.metrics[a_elem] or 0
+            considered = ctx.metrics[a_cons] or 0
+            unexpected = ctx.metrics[a_unexp] or 0
+            if elem == 0 or considered == 0:
+                success = True  # vacuous (reference expectation.py:2213-2215)
+            else:
+                success = ((considered - unexpected) / considered) >= mostly
+            out = format_map_output(
+                self.rf,
+                bool(success),
+                element_count=elem,
+                nonnull_count=elem if counts_nulls else considered,
+                unexpected_count=unexpected,
+                unexpected_list=ctx.sample_values.get(eid),
+            )
+            result = out.get("result", {})
+            if not ctx.is_partition and eid in ctx.sample_counts:
+                counts = ctx.sample_counts[eid]
+                result["partial_unexpected_counts"] = [
+                    {"value": v, "count": c}
+                    for v, c in counts[: self.rf["partial_unexpected_count"]]
+                ]
+            return bool(success), result
+
+        self._items.append(_Item(cfg, decide, partition_capable=True))
+
+    # ---- execution -------------------------------------------------------
+
+    def run(self, meta: Optional[dict] = None) -> SuiteValidationResult:
+        self.compile()
+        df = self.df
+        if self.persist:
+            df = df.persist()
+
+        # phase 0: prerequisites (z-score etc.)
+        if self._pre_aggs:
+            pre_row = df.agg(*self._pre_aggs.values()).collect()[0]
+            pre_metrics = pre_row.asDict()
+            for fin in self._deferred:
+                fin(pre_metrics)  # type: ignore[call-arg]
+
+        # phase 1: the bundled main pass
+        global_metrics: dict[str, Any] = {}
+        partition_rows: list[tuple[dict, dict]] = []  # (partition_key, metrics)
+        if self._main_aggs:
+            exprs = list(self._main_aggs.values())
+            if self.partition_by:
+                gid = (1 << len(self.partition_by)) - 1
+                res = (
+                    df.rollup(*self.partition_by)
+                    .agg(F.grouping_id().alias("_gid"), *exprs)
+                    .collect()
+                )
+                for row in res:
+                    d = row.asDict()
+                    g = d.pop("_gid")
+                    pkey = {c: d.pop(c) for c in self.partition_by}
+                    if g == gid:
+                        global_metrics = d
+                    elif g == 0:
+                        partition_rows.append((pkey, d))
+            else:
+                global_metrics = df.agg(*exprs).collect()[0].asDict()
+
+        # phase 2: groupBy passes (value-counts family)
+        ctx = _Ctx()
+        ctx.metrics = global_metrics
+        for key, need in self._groupby_needs.items():
+            ctx.groupby[key] = self._run_groupby(df, need)
+
+        # phase 3: unexpected-value samples — ONE unioned job
+        if self._sample_specs:
+            self._run_samples(df, ctx)
+
+        # decisions
+        results: list[ExpectationValidationResult] = []
+        partition_results: list[ExpectationValidationResult] = []
+        for item in self._items:
+            results.append(self._decide(item, ctx))
+            if item.partition_capable and partition_rows:
+                for pkey, pmetrics in partition_rows:
+                    pctx = _Ctx()
+                    pctx.metrics = pmetrics
+                    pctx.groupby = ctx.groupby
+                    pctx.is_partition = True
+                    evr = self._decide(item, pctx)
+                    evr.partition = pkey
+                    partition_results.append(evr)
+        for cfg, err in self._errors:
+            results.append(
+                ExpectationValidationResult(
+                    success=False,
+                    expectation_config=cfg.to_dict(),
+                    result={},
+                    exception_info={
+                        "raised_exception": True,
+                        "exception_message": f"{type(err).__name__}: {err}",
+                        "exception_traceback": None,
+                    },
+                )
+            )
+
+        if self.persist:
+            df.unpersist()
+
+        success = all(r.success for r in results)
+        return SuiteValidationResult(
+            success=success,
+            results=results,
+            statistics=suite_statistics(results),
+            meta={"suite_name": self.suite.name, **(meta or {})},
+            partition_results=partition_results,
+        )
+
+    def _decide(self, item: _Item, ctx: _Ctx) -> ExpectationValidationResult:
+        try:
+            success, result = item.decide(ctx)
+            return ExpectationValidationResult(
+                success=bool(success),
+                expectation_config=item.cfg.to_dict(),
+                result=result,
+            )
+        except Exception as e:
+            return ExpectationValidationResult(
+                success=False,
+                expectation_config=item.cfg.to_dict(),
+                result={},
+                exception_info={
+                    "raised_exception": True,
+                    "exception_message": f"{type(e).__name__}: {e}",
+                    "exception_traceback": None,
+                },
+            )
+
+    def _run_groupby(self, df: DataFrame, need: _GroupByNeed) -> _GroupByResult:
+        cols = [F.col(c) for c in need.cols]
+        base = df
+        if need.drop_nulls:
+            cond = cols[0].isNotNull()
+            for c in cols[1:]:
+                cond = cond & c.isNotNull()
+            base = base.filter(cond)
+        grouped = base.groupBy(*cols).agg(F.count(F.lit(1)).alias("_cnt"))
+        n_products = sum(
+            [need.want_dup_stats, need.want_top, need.want_dup_sample]
+        )
+        if n_products > 1:
+            grouped = grouped.persist()
+        out = _GroupByResult()
+        try:
+            if need.want_dup_stats:
+                row = grouped.agg(
+                    F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt"))).alias("dup_rows"),
+                    F.count(F.when(F.col("_cnt") > 1, F.lit(1))).alias("dup_vals"),
+                    F.count(F.lit(1)).alias("distinct"),
+                    F.sum("_cnt").alias("total"),
+                ).collect()[0]
+                out.dup_row_count = int(row["dup_rows"] or 0)
+                out.dup_value_count = int(row["dup_vals"] or 0)
+                out.distinct_count = int(row["distinct"] or 0)
+                out.total_count = int(row["total"] or 0)
+            if need.want_top:
+                top_rows = (
+                    grouped.orderBy(F.desc("_cnt"), *[F.asc(c) for c in need.cols])
+                    .limit(DISTINCT_CAP + 1)
+                    .collect()
+                )
+                out.top_truncated = len(top_rows) > DISTINCT_CAP
+                out.top = [
+                    (tuple(r[c] for c in need.cols), int(r["_cnt"]))
+                    for r in top_rows[:DISTINCT_CAP]
+                ]
+                if not need.want_dup_stats:
+                    out.distinct_count = len(out.top)
+                    out.total_count = sum(c for _, c in out.top)
+            if need.want_dup_sample:
+                dup_rows = (
+                    grouped.filter(F.col("_cnt") > 1)
+                    .orderBy(F.desc("_cnt"), *[F.asc(c) for c in need.cols])
+                    .limit(self.rf["partial_unexpected_count"])
+                    .collect()
+                )
+                out.dup_sample = [
+                    (tuple(r[c] for c in need.cols), int(r["_cnt"])) for r in dup_rows
+                ]
+        finally:
+            if n_products > 1:
+                grouped.unpersist()
+        return out
+
+    def _run_samples(self, df: DataFrame, ctx: _Ctx) -> None:
+        level = self.rf["result_format"]
+        partial_n = self.rf["partial_unexpected_count"]
+        casters = {
+            eid: _caster_for(df, col) for eid, _, _, col in self._sample_specs
+        }
+        if level == "BASIC":
+            branches = [
+                df.filter(cond)
+                .select(
+                    F.lit(eid).alias("_eid"), value.cast("string").alias("_val")
+                )
+                .limit(partial_n)
+                for eid, cond, value, _ in self._sample_specs
+            ]
+            unioned = branches[0]
+            for b in branches[1:]:
+                unioned = unioned.unionAll(b)
+            for r in unioned.collect():
+                v = None if r["_val"] is None else casters[r["_eid"]](r["_val"])
+                ctx.sample_values.setdefault(r["_eid"], []).append(v)
+        else:  # SUMMARY / COMPLETE — exact value counts per expectation
+            cap = partial_n if level == "SUMMARY" else self.complete_cap
+            branches = [
+                df.filter(cond)
+                .groupBy(value.cast("string").alias("_val"))
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .orderBy(F.desc("_cnt"), F.asc("_val"))
+                .limit(cap)
+                .select(F.lit(eid).alias("_eid"), "_val", "_cnt")
+                for eid, cond, value, _ in self._sample_specs
+            ]
+            unioned = branches[0]
+            for b in branches[1:]:
+                unioned = unioned.unionAll(b)
+            for r in unioned.collect():
+                v = None if r["_val"] is None else casters[r["_eid"]](r["_val"])
+                ctx.sample_counts.setdefault(r["_eid"], []).append((v, int(r["_cnt"])))
+            for eid, counts in ctx.sample_counts.items():
+                counts.sort(key=lambda vc: (-vc[1], str(type(vc[0]).__name__), str(vc[0])))
+                expanded: list[Any] = []
+                limit = partial_n if level == "SUMMARY" else self.complete_cap
+                for v, c in counts:
+                    if len(expanded) >= limit:
+                        break
+                    expanded.extend([v] * min(c, limit - len(expanded)))
+                ctx.sample_values[eid] = expanded
+
+
+# ---- groupBy-based expectations (distinct sets / modes / uniqueness) -----
+
+
+def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, mode: str) -> None:
+    name = cfg.kwargs["column"]
+    value_set = cfg.kwargs.get("value_set")
+    key = planner._need_groupby((name,), drop_nulls=True, want_top=True)
+
+    def decide(ctx: _Ctx) -> tuple[bool, dict]:
+        gb = ctx.groupby[key]
+        observed = sorted(
+            (values[0] for values, _ in gb.top),
+            key=lambda x: (str(type(x).__name__), str(x)),
+        )
+        obs_set = set(observed)
+        exp_set = set(value_set or [])
+        if mode == "in":
+            success = value_set is None or obs_set.issubset(exp_set)
+        elif mode == "contain":
+            success = exp_set.issubset(obs_set)
+        else:  # equal
+            success = obs_set == exp_set
+        result: dict[str, Any] = {"observed_value": observed}
+        if gb.top_truncated:
+            result["details"] = {"observed_truncated_at": DISTINCT_CAP}
+        if mode == "in":
+            result["details"] = {
+                **result.get("details", {}),
+                "unexpected_values": sorted(
+                    (obs_set - exp_set), key=lambda x: (str(type(x).__name__), str(x))
+                ),
+            }
+        elif mode == "contain":
+            result["details"] = {
+                **result.get("details", {}),
+                "missing_values": sorted(
+                    (exp_set - obs_set), key=lambda x: (str(type(x).__name__), str(x))
+                ),
+            }
+        return bool(success), result
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+def _compile_most_common(planner: SuitePlanner, cfg: ExpectationConfiguration) -> None:
+    name = cfg.kwargs["column"]
+    value_set = set(cfg.kwargs["value_set"])
+    ties_okay = bool(cfg.kwargs.get("ties_okay", False))
+    key = planner._need_groupby((name,), drop_nulls=True, want_top=True)
+
+    def decide(ctx: _Ctx) -> tuple[bool, dict]:
+        gb = ctx.groupby[key]
+        if not gb.top:
+            return True, {"observed_value": []}
+        max_cnt = gb.top[0][1]
+        modes = sorted(
+            (values[0] for values, cnt in gb.top if cnt == max_cnt),
+            key=lambda x: (str(type(x).__name__), str(x)),
+        )
+        if ties_okay:
+            success = any(m in value_set for m in modes)
+        else:
+            success = all(m in value_set for m in modes)
+        return bool(success), {"observed_value": modes}
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) -> None:
+    """expect_column_values_to_be_unique / expect_compound_columns_to_be_unique.
+
+    Shuffle-bounded groupBy-count instead of the reference's global window
+    (column_values_unique.py:79-84, compound_columns_unique.py:150-155) —
+    a window over Window.partitionBy(col) materializes every group in one
+    task's memory; groupBy + count partial-aggregates map-side and scales.
+    """
+    if cfg.expectation_type == "expect_column_values_to_be_unique":
+        cols = (cfg.kwargs["column"],)
+        drop_nulls = True
+    else:
+        cols = tuple(cfg.kwargs["column_list"])
+        drop_nulls = False
+    mostly = validate_mostly(cfg.kwargs.get("mostly"))
+    dom, dom_id = planner._domain(cfg)
+    a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
+    key = planner._need_groupby(
+        cols, drop_nulls=drop_nulls, want_dup_stats=True, want_dup_sample=True
+    )
+    rf = planner.rf
+
+    def decide(ctx: _Ctx) -> tuple[bool, dict]:
+        gb = ctx.groupby[key]
+        elem = ctx.metrics.get(a_elem, 0) or 0
+        considered = gb.total_count
+        unexpected = gb.dup_row_count
+        if elem == 0 or considered == 0:
+            success = True
+        else:
+            success = ((considered - unexpected) / considered) >= mostly
+        sample: list[Any] = []
+        limit = rf["partial_unexpected_count"]
+        for values, cnt in gb.dup_sample:
+            if len(sample) >= limit:
+                break
+            v = values[0] if len(values) == 1 else json.dumps(list(values), default=str)
+            sample.extend([v] * min(cnt, limit - len(sample)))
+        out = format_map_output(
+            rf,
+            bool(success),
+            element_count=elem,
+            nonnull_count=considered,
+            unexpected_count=unexpected,
+            unexpected_list=sample if not ctx.is_partition else None,
+        )
+        result = out.get("result", {})
+        result["details"] = {"duplicate_value_count": gb.dup_value_count}
+        return bool(success), result
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+_GROUPBY_COMPILERS: dict[str, Callable[[SuitePlanner, ExpectationConfiguration], None]] = {
+    "expect_column_distinct_values_to_be_in_set": lambda p, c: _compile_distinct_set(p, c, "in"),
+    "expect_column_distinct_values_to_contain_set": lambda p, c: _compile_distinct_set(p, c, "contain"),
+    "expect_column_distinct_values_to_equal_set": lambda p, c: _compile_distinct_set(p, c, "equal"),
+    "expect_column_most_common_value_to_be_in_set": _compile_most_common,
+    "expect_column_values_to_be_unique": _compile_unique_map,
+    "expect_compound_columns_to_be_unique": _compile_unique_map,
+    "expect_multicolumn_values_to_be_unique": _compile_unique_map,
+}

@@ -1,0 +1,165 @@
+"""Aggregate + schema + groupBy-family expectations, incl. a whole-suite
+single-pass run over lineitem."""
+
+import math
+
+import pytest
+
+from great_expectations_spark import ExpectationSuite, validate
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"), (None, "c")],
+        ["v", "g"],
+    )
+
+
+def run_one(df, t, **kwargs):
+    suite = ExpectationSuite("t")
+    suite.add(t, **kwargs)
+    return validate(df, suite, result_format="COMPLETE").results[0]
+
+
+def test_min_max_mean_sum_stdev(nums):
+    assert run_one(nums, "expect_column_min_to_be_between", column="v", min_value=1, max_value=1).success
+    assert run_one(nums, "expect_column_max_to_be_between", column="v", min_value=4, max_value=4).success
+    evr = run_one(nums, "expect_column_mean_to_be_between", column="v", min_value=2.5, max_value=2.5)
+    assert evr.success and evr.result["observed_value"] == 2.5
+    assert run_one(nums, "expect_column_sum_to_be_between", column="v", min_value=10, max_value=10).success
+    evr = run_one(nums, "expect_column_stdev_to_be_between", column="v", min_value=1.29, max_value=1.30)
+    assert evr.success  # stddev_samp of 1..4 ≈ 1.2909944
+
+
+def test_median_and_quantiles(nums):
+    evr = run_one(nums, "expect_column_median_to_be_between", column="v", min_value=2.5, max_value=2.5)
+    assert evr.success and evr.result["observed_value"] == 2.5
+    evr = run_one(
+        nums,
+        "expect_column_quantile_values_to_be_between",
+        column="v",
+        quantile_ranges={
+            "quantiles": [0.0, 0.5, 1.0],
+            "value_ranges": [[1, 1], [2, 3], [4, 4]],
+        },
+    )
+    assert evr.success
+    assert evr.result["observed_value"]["values"] == [1.0, 2.5, 4.0]
+
+
+def test_unique_value_count_and_proportion(nums):
+    evr = run_one(
+        nums, "expect_column_unique_value_count_to_be_between", column="v", min_value=4, max_value=4
+    )
+    assert evr.success and evr.result["observed_value"] == 4
+    evr = run_one(
+        nums,
+        "expect_column_proportion_of_unique_values_to_be_between",
+        column="v",
+        min_value=1.0,
+        max_value=1.0,
+    )
+    assert evr.success
+
+
+def test_row_count(nums):
+    assert run_one(nums, "expect_table_row_count_to_equal", value=5).success
+    assert run_one(nums, "expect_table_row_count_to_be_between", min_value=5, max_value=10).success
+    assert not run_one(nums, "expect_table_row_count_to_be_between", min_value=6).success
+
+
+def test_row_count_with_row_condition(nums):
+    evr = run_one(
+        nums,
+        "expect_table_row_count_to_equal",
+        value=2,
+        row_condition="g = 'a'",
+        condition_parser="spark",
+    )
+    assert evr.success
+
+
+def test_schema_checks(nums):
+    assert run_one(nums, "expect_column_to_exist", column="v").success
+    assert not run_one(nums, "expect_column_to_exist", column="w").success
+    assert run_one(
+        nums, "expect_table_columns_to_match_ordered_list", column_list=["v", "g"]
+    ).success
+    assert not run_one(
+        nums, "expect_table_columns_to_match_ordered_list", column_list=["g", "v"]
+    ).success
+    assert run_one(
+        nums, "expect_table_columns_to_match_set", column_set=["g", "v"]
+    ).success
+    assert run_one(nums, "expect_table_column_count_to_equal", value=2).success
+    assert run_one(
+        nums, "expect_column_values_to_be_of_type", column="v", type_="DoubleType"
+    ).success
+    assert run_one(
+        nums, "expect_column_values_to_be_of_type", column="g", type_="string"
+    ).success
+    assert not run_one(
+        nums, "expect_column_values_to_be_of_type", column="g", type_="int"
+    ).success
+    assert run_one(
+        nums,
+        "expect_column_values_to_be_in_type_list",
+        column="v",
+        type_list=["int", "double"],
+    ).success
+
+
+def test_distinct_sets(nums):
+    evr = run_one(
+        nums, "expect_column_distinct_values_to_be_in_set", column="g", value_set=["a", "b", "c", "d"]
+    )
+    assert evr.success and evr.result["observed_value"] == ["a", "b", "c"]
+    assert not run_one(
+        nums, "expect_column_distinct_values_to_be_in_set", column="g", value_set=["a", "b"]
+    ).success
+    assert run_one(
+        nums, "expect_column_distinct_values_to_contain_set", column="g", value_set=["a", "b"]
+    ).success
+    assert run_one(
+        nums, "expect_column_distinct_values_to_equal_set", column="g", value_set=["a", "b", "c"]
+    ).success
+
+
+def test_most_common(nums):
+    evr = run_one(
+        nums, "expect_column_most_common_value_to_be_in_set", column="g", value_set=["a", "b"]
+    )
+    # a and b tie at 2 → modes [a, b] ⊆ set
+    assert evr.success and evr.result["observed_value"] == ["a", "b"]
+
+
+def test_zscore(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(10)] + [(100.0,)], ["v"])
+    evr = run_one(
+        df, "expect_column_value_z_scores_to_be_less_than", column="v", threshold=3.0
+    )
+    assert evr.success is False
+    assert evr.result["unexpected_count"] == 1
+    assert evr.result["partial_unexpected_list"] == [100.0]
+
+
+def test_whole_suite_one_scan_lineitem(lineitem):
+    """A realistic suite across many metric families, all green, one run."""
+    suite = ExpectationSuite("lineitem_core")
+    suite.add("expect_table_row_count_to_be_between", min_value=1000)
+    suite.add("expect_column_to_exist", column="l_quantity")
+    suite.add("expect_column_values_to_not_be_null", column="l_orderkey")
+    suite.add("expect_column_values_to_be_between", column="l_discount", min_value=0.0, max_value=0.2)
+    suite.add("expect_column_values_to_be_in_set", column="l_returnflag", value_set=["A", "N", "R"])
+    suite.add("expect_column_min_to_be_between", column="l_quantity", min_value=0)
+    suite.add("expect_column_mean_to_be_between", column="l_quantity", min_value=1, max_value=100)
+    suite.add("expect_column_values_to_match_regex", column="l_linestatus", regex="^[OF]$")
+    res = validate(lineitem, suite, result_format="BASIC")
+    assert res.success, [
+        (r.expectation_config["expectation_type"], r.result, r.exception_info)
+        for r in res.results
+        if not r.success
+    ]
+    assert res.statistics["evaluated_expectations"] == 8
+    assert res.statistics["success_percent"] == 100.0

@@ -1,0 +1,294 @@
+"""Golden tests for map expectations on reference-style micro-datasets
+(FIXTURES.md F3; mirrors tests/test_definitions/* in the reference)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from great_expectations_spark import ExpectationSuite, validate
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    schema = T.StructType(
+        [
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("z", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (1, 1.1, "hello", None, 1, 1),
+        (2, 2.2, "jello", 1, 2, 1),
+        (4, 5.5, "mello", 2, None, None),
+        (4, 5.5, "abc", 2, 3, None),
+        (5, -1.0, None, 3, 1, 2),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def run_one(df, expectation_type, rf="COMPLETE", **kwargs):
+    suite = ExpectationSuite("t")
+    suite.add(expectation_type, **kwargs)
+    res = validate(df, suite, result_format=rf)
+    return res.results[0]
+
+
+def test_not_be_null(golden):
+    evr = run_one(golden, "expect_column_values_to_not_be_null", column="n")
+    assert evr.success is False
+    r = evr.result
+    assert r["element_count"] == 5
+    assert r["unexpected_count"] == 1
+    # null-ness expectation: denominator is element_count
+    assert r["unexpected_percent"] == 20.0
+    assert r["missing_count"] == 0
+
+
+def test_be_null(golden):
+    evr = run_one(golden, "expect_column_values_to_be_null", column="n", mostly=0.2)
+    assert evr.success is True
+    assert evr.result["unexpected_count"] == 4
+
+
+def test_between_with_nulls(golden):
+    evr = run_one(
+        golden, "expect_column_values_to_be_between", column="n", min_value=1, max_value=2
+    )
+    r = evr.result
+    assert r["element_count"] == 5
+    assert r["missing_count"] == 1
+    assert r["unexpected_count"] == 1  # the 3
+    assert evr.success is False
+    assert r["unexpected_list"] == [3]
+    # nonnull denominator
+    assert r["unexpected_percent"] == 25.0
+
+
+def test_between_strict(golden):
+    evr = run_one(
+        golden,
+        "expect_column_values_to_be_between",
+        column="x",
+        min_value=1,
+        max_value=5,
+        strict_max=True,
+    )
+    assert evr.result["unexpected_count"] == 1  # the 5
+    assert evr.result["unexpected_list"] == [5]
+
+
+def test_between_mostly(golden):
+    evr = run_one(
+        golden,
+        "expect_column_values_to_be_between",
+        column="x",
+        min_value=1,
+        max_value=4,
+        mostly=0.8,
+    )
+    assert evr.success is True
+
+
+def test_in_set(golden):
+    evr = run_one(
+        golden,
+        "expect_column_values_to_be_in_set",
+        column="z",
+        value_set=["hello", "jello", "mello"],
+    )
+    assert evr.success is False
+    assert evr.result["unexpected_list"] == ["abc"]
+    # nulls not counted
+    assert evr.result["missing_count"] == 1
+    assert evr.result["unexpected_percent"] == 25.0
+
+
+def test_in_set_empty_set_vacuous(golden):
+    evr = run_one(
+        golden, "expect_column_values_to_be_in_set", column="z", value_set=[]
+    )
+    assert evr.success is True
+    assert evr.result["unexpected_count"] == 0
+
+
+def test_not_in_set(golden):
+    evr = run_one(
+        golden, "expect_column_values_to_not_be_in_set", column="z", value_set=["abc"]
+    )
+    assert evr.success is False
+    assert evr.result["unexpected_list"] == ["abc"]
+
+
+def test_value_lengths(golden):
+    evr = run_one(
+        golden, "expect_column_value_lengths_to_equal", column="z", value=5
+    )
+    assert evr.result["unexpected_list"] == ["abc"]
+    evr = run_one(
+        golden,
+        "expect_column_value_lengths_to_be_between",
+        column="z",
+        min_value=4,
+        max_value=10,
+    )
+    assert evr.result["unexpected_count"] == 1
+
+
+def test_match_regex(golden):
+    evr = run_one(
+        golden, "expect_column_values_to_match_regex", column="z", regex=".ello"
+    )
+    assert evr.success is False
+    assert evr.result["unexpected_list"] == ["abc"]
+
+
+def test_not_match_regex(golden):
+    evr = run_one(
+        golden, "expect_column_values_to_not_match_regex", column="z", regex="^a"
+    )
+    assert evr.result["unexpected_list"] == ["abc"]
+    evr = run_one(
+        golden, "expect_column_values_to_not_match_regex", column="z", regex="^q"
+    )
+    assert evr.result["unexpected_count"] == 0
+
+
+def test_match_regex_list_any_all(golden):
+    evr = run_one(
+        golden,
+        "expect_column_values_to_match_regex_list",
+        column="z",
+        regex_list=["^h", "ello"],
+        match_on="any",
+    )
+    assert evr.result["unexpected_list"] == ["abc"]
+    evr = run_one(
+        golden,
+        "expect_column_values_to_match_regex_list",
+        column="z",
+        regex_list=["^h", "ello"],
+        match_on="all",
+    )
+    assert sorted(evr.result["unexpected_list"]) == ["abc", "jello", "mello"]
+
+
+def test_like_pattern(golden):
+    evr = run_one(
+        golden,
+        "expect_column_values_to_match_like_pattern",
+        column="z",
+        like_pattern="%ello",
+    )
+    assert evr.result["unexpected_list"] == ["abc"]
+
+
+def test_pair_equal_ignore_both_missing(golden):
+    evr = run_one(
+        golden,
+        "expect_column_pair_values_to_be_equal",
+        column_A="a",
+        column_B="b",
+    )
+    r = evr.result
+    # row (None, None) ignored; considered = 4; unexpected: (2,1), (3,None), (1,2)
+    assert r["element_count"] == 5
+    assert r["missing_count"] == 1
+    assert r["unexpected_count"] == 3
+    assert evr.success is False
+
+
+def test_pair_greater(golden):
+    evr = run_one(
+        golden,
+        "expect_column_pair_values_a_to_be_greater_than_b",
+        column_A="a",
+        column_B="b",
+        or_equal=True,
+        ignore_row_if="either_value_is_missing",
+    )
+    r = evr.result
+    # considered pairs: (1,1),(2,1),(1,2) → unexpected only (1,2)
+    assert r["unexpected_count"] == 1
+    assert r["element_count"] == 5
+    assert r["missing_count"] == 2
+
+
+def test_multicolumn_sum(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 7), (3, 3, 4), (5, 5, 5)], ["p", "q", "r"]
+    )
+    evr = run_one(
+        df,
+        "expect_multicolumn_sum_to_equal",
+        column_list=["p", "q", "r"],
+        sum_total=10,
+    )
+    assert evr.result["unexpected_count"] == 1
+    assert evr.success is False
+
+
+def test_unique_within_record(spark):
+    df = spark.createDataFrame([(1, 2, 3), (1, 1, 2), (4, 5, 6)], ["p", "q", "r"])
+    evr = run_one(
+        df,
+        "expect_select_column_values_to_be_unique_within_record",
+        column_list=["p", "q", "r"],
+    )
+    assert evr.result["unexpected_count"] == 1
+
+
+def test_strftime(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-13-45",), ("nope",)], ["d"]
+    )
+    evr = run_one(
+        df,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Y-%m-%d",
+    )
+    assert evr.result["unexpected_count"] == 2
+
+
+def test_json_parseable(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ("[1,2,3]",), ("{oops",), (None,)], ["j"]
+    )
+    evr = run_one(
+        df, "expect_column_values_to_be_json_parseable", column="j"
+    )
+    assert evr.result["unexpected_count"] == 1
+    assert evr.result["missing_count"] == 1
+
+
+def test_row_condition_domain(golden):
+    evr = run_one(
+        golden,
+        "expect_column_values_to_be_between",
+        column="x",
+        min_value=1,
+        max_value=2,
+        row_condition="y > 2.0",
+        condition_parser="spark",
+    )
+    r = evr.result
+    # domain: rows with y>2.0 → x in {2,4,4}; the two 4s are outside [1,2]
+    assert r["element_count"] == 3
+    assert r["unexpected_count"] == 2
+    assert sorted(r["unexpected_list"]) == [4, 4]
+
+
+def test_summary_partial_counts(golden):
+    evr = run_one(
+        golden,
+        "expect_column_values_to_be_in_set",
+        column="x",
+        value_set=[1, 2],
+        rf="SUMMARY",
+    )
+    counts = evr.result["partial_unexpected_counts"]
+    assert counts[0] == {"value": 4, "count": 2}
+    assert counts[1] == {"value": 5, "count": 1}

@@ -1,0 +1,138 @@
+"""Uniqueness (groupBy-count, not window) + referential (anti-join) +
+monotonic + query expectations + per-partition rollup verdicts."""
+
+import pytest
+
+from great_expectations_spark import ExpectationSuite, validate
+
+
+def run_one(df, t, rf="COMPLETE", **kwargs):
+    suite = ExpectationSuite("t")
+    suite.add(t, **kwargs)
+    return validate(df, suite, result_format=rf).results[0]
+
+
+def test_unique_map(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",), ("c",), ("c",), (None,)], ["k"]
+    )
+    evr = run_one(df, "expect_column_values_to_be_unique", column="k")
+    r = evr.result
+    assert evr.success is False
+    assert r["element_count"] == 7
+    assert r["unexpected_count"] == 5  # 2×b + 3×c
+    assert r["details"]["duplicate_value_count"] == 2
+    assert sorted(r["partial_unexpected_list"]) == ["b", "b", "c", "c", "c"]
+
+
+def test_unique_mostly(spark):
+    df = spark.createDataFrame([(i % 90,) for i in range(100)], ["k"])
+    evr = run_one(df, "expect_column_values_to_be_unique", column="k", mostly=0.5)
+    assert evr.success is True
+
+
+def test_compound_unique(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "x"), (2, "x")], ["a", "b"]
+    )
+    evr = run_one(df, "expect_compound_columns_to_be_unique", column_list=["a", "b"])
+    assert evr.success is False
+    assert evr.result["unexpected_count"] == 2  # the two (1, x) rows
+
+
+def test_referential_anti_join(spark):
+    data = spark.createDataFrame([("i1",), ("i2",), ("i3",), ("i9",), (None,)], ["id"])
+    ref = spark.createDataFrame([("i1",), ("i2",), ("i3",), ("i4",)], ["image_id"])
+    evr = run_one(
+        data,
+        "expect_column_values_to_exist_in",
+        column="id",
+        ref=ref,
+        ref_column="image_id",
+        broadcast=True,
+    )
+    r = evr.result
+    assert evr.success is False
+    assert r["element_count"] == 5
+    assert r["missing_count"] == 1
+    assert r["unexpected_count"] == 1
+    assert r["partial_unexpected_list"] == ["i9"]
+
+
+def test_referential_fk_testdata(lineitem, orders):
+    evr = run_one(
+        lineitem,
+        "expect_column_values_to_exist_in",
+        column="l_orderkey",
+        ref=orders,
+        ref_column="o_orderkey",
+    )
+    assert evr.success is True
+
+
+def test_increasing(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 15.0), (4, 30.0)], ["seq", "v"]
+    )
+    evr = run_one(
+        df, "expect_column_values_to_be_increasing", column="v", order_by="seq"
+    )
+    assert evr.success is False
+    assert evr.result["unexpected_count"] == 1
+    assert evr.result["partial_unexpected_list"] == [15.0]
+    evr = run_one(
+        df, "expect_column_values_to_be_decreasing", column="v", order_by="seq"
+    )
+    assert evr.result["unexpected_count"] == 2
+
+
+def test_query_expectations(spark, lineitem):
+    evr = run_one(
+        lineitem,
+        "expect_query_to_return_no_rows",
+        query="SELECT * FROM {batch} WHERE l_quantity < 0",
+    )
+    assert evr.success is True
+    evr = run_one(
+        lineitem,
+        "expect_query_row_count_to_be_between",
+        query="SELECT DISTINCT l_returnflag FROM {batch}",
+        min_value=3,
+        max_value=3,
+    )
+    assert evr.success is True
+
+
+def test_row_count_equal_other_table(lineitem, orders):
+    evr = run_one(
+        lineitem,
+        "expect_table_row_count_to_equal_other_table",
+        other_table_ref=orders,
+    )
+    assert evr.success is False
+    assert evr.result["observed_value"]["other"] == orders.count()
+
+
+def test_partition_rollup_verdicts(spark):
+    df = spark.createDataFrame(
+        [("png", 1.0), ("png", 2.0), ("png", None), ("jpeg", -5.0), ("jpeg", 3.0)],
+        ["fmt", "v"],
+    )
+    suite = ExpectationSuite("p")
+    suite.add("expect_column_values_to_be_between", column="v", min_value=0.0)
+    suite.add("expect_column_mean_to_be_between", column="v", min_value=0.0)
+    res = validate(df, suite, result_format="BASIC", partition_by=["fmt"])
+    # global verdicts
+    by_type = {r.expectation_config["expectation_type"]: r for r in res.results}
+    assert by_type["expect_column_values_to_be_between"].success is False
+    # per-partition verdicts: png passes, jpeg fails
+    parts = {
+        (r.partition["fmt"], r.expectation_config["expectation_type"]): r
+        for r in res.partition_results
+    }
+    assert parts[("png", "expect_column_values_to_be_between")].success is True
+    assert parts[("jpeg", "expect_column_values_to_be_between")].success is False
+    png_map = parts[("png", "expect_column_values_to_be_between")].result
+    assert png_map["element_count"] == 3
+    assert png_map["missing_count"] == 1
+    assert parts[("jpeg", "expect_column_mean_to_be_between")].result["observed_value"] == -1.0
