@@ -142,6 +142,15 @@ class MapCondition:
     value_expr: Column
     counts_nulls: bool = False
     columns: list[str] = field(default_factory=list)
+    # column whose dtype governs casting collected sample strings back to
+    # Python values; None → keep strings (e.g. to_json struct samples).
+    # "auto" → the single domain column when there is exactly one.
+    cast_column: Any = "auto"
+
+    def sample_cast_column(self) -> Any:
+        if self.cast_column != "auto":
+            return self.cast_column
+        return self.columns[0] if len(self.columns) == 1 else None
 
 
 def _ignore_row_if_considered(cols: list[Column], policy: str, default: str) -> Column:
@@ -380,13 +389,12 @@ def _multi_cond(
     )
 
 
-MAP_EXPECTATION_TYPES = frozenset(_MAP_BUILDERS)
+def is_map_expectation(expectation_type: str) -> bool:
+    return expectation_type in _MAP_BUILDERS
 
 
 def register_map_expectation(
     expectation_type: str, builder: Callable[[dict], MapCondition]
 ) -> None:
     """Extension point (image expectations etc. plug in here)."""
-    global MAP_EXPECTATION_TYPES
     _MAP_BUILDERS[expectation_type] = builder
-    MAP_EXPECTATION_TYPES = frozenset(_MAP_BUILDERS)

@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines over a documents
+table.
+
+Five strategies, all shuffle-bounded DataFrame compositions (no windows over
+global orderings, no driver-side loops):
+
+- exact:            md5(normalized text) hash-groupBy
+- minhash_lsh:      shingles → 64 minhashes (F.hash with per-permutation
+                    seeds) → banded LSH buckets → candidate pairs →
+                    exact-Jaccard verify
+- simhash:          token hashes → bitwise weighted sum → 64-bit signature →
+                    banded lookup for near-neighbors within Hamming distance
+- token_jaccard:    distinct-token explode → self-join on token → pairwise
+                    |∩| / |∪|
+- embedding cosine: see similarity.py (near_duplicate_pairs)
+
+Scale notes: every strategy partial-aggregates map-side before its shuffle;
+band/bucket joins broadcast nothing and AQE skew-split handles hot buckets
+(e.g. boilerplate shingles). Candidate verification touches only candidate
+pairs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from great_expectations_spark.operators.text import normalize_text, tokens
+
+# ---- exact dedup --------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (after normalization).
+
+    → (fp, n_docs, keep_id, doc_ids) for groups with n_docs > 1."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per normalized-text group.
+
+    Implemented as groupBy→min + semi-join (two hash shuffles on the same
+    key; no global window)."""
+    keep = (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("__keep"))
+        .select(F.col("__keep").alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---- shingles / minhash LSH --------------------------------------------
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct k-char shingles of the normalized text (native sequence +
+    transform + substr)."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1)), F.lit(1))
+    return F.array_distinct(F.transform(starts, lambda s: norm.substr(s, F.lit(k))))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)), F.lit(1))
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<int>) — min over shingles of num_hashes seeded hashes.
+
+    One explode + one groupBy(id) with num_hashes min() partials — map-side
+    combine keeps the shuffle at num_hashes ints per doc."""
+    exploded = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.hash(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket → candidate pairs (a < b)."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("band"), F.col("bucket")
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("band"), F.col("bucket")
+    )
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def minhash_estimate_jaccard(
+    signatures: DataFrame, candidates: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """candidates × signatures → estimated jaccard = matching minhash frac."""
+    sa = signatures.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    joined = candidates.join(sa, "a").join(sb, "b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return joined.select(
+        "a", "b", (matches / F.size(F.col("sig_a"))).alias("est_jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pairs with estimated jaccard ≥ τ."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = sigs.persist()
+    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    est = minhash_estimate_jaccard(sigs, cands, id_col)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# ---- simhash ------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash long): sign of per-bit weighted sums of token hashes.
+
+    explode(tokens) → for each bit: sum(±1 by token-hash bit) → assemble.
+    One shuffle (groupBy id), `bits` tiny agg columns."""
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    perbit = exploded.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return perbit.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming via chunk-banding:
+    signatures agreeing on ≥1 of `chunks` 16-bit chunks are candidates
+    (guaranteed complete when max_hamming < chunks); verify with
+    bit_count(xor)."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk_val"
+    )
+    pairs = (
+        left.join(right, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("a", "b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---- token-set jaccard --------------------------------------------------
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard ≥ τ via explode + equi-self-join on token.
+
+    |∩| from the join, |A|,|B| from a pre-agg; jaccard = c/(na+nb-c).
+    SQL-expressible — the DuckDB oracle reproduces it exactly."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("tok"),
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col(id_col).alias("a"), "tok")
+    tb = tok.select(F.col(id_col).alias("b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("c")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data pipelines over a documents table
+(doc_id, text, ...). All JVM-side Catalyst expressions (split/regexp/aggregate
+higher-order functions) — no Python UDFs anywhere in this module.
+
+These are first-class pipeline ops (not reference parity — the reference is
+payload-agnostic): token counting, quality scoring, n-gram language ID,
+content fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization --------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.trim(col) == "", F.array()).otherwise(t)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: split on the word/punct boundary regex
+    GPT-style BPE vocabularies roughly follow (letters runs, digit runs,
+    punctuation singles). Deterministic, JVM-side regexp_count."""
+    return (
+        F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    )
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+# --- quality scoring -----------------------------------------------------
+
+_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "was", "on", "are", "as", "with", "at", "be", "this", "have", "from",
+]
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    return F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    p = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality ∈ [0,1]: length band + sane word length +
+    low punctuation density. Deterministic formula, SQL-expressible (the
+    DuckDB oracle mirrors it term for term)."""
+    n_chars = F.length(col).cast("double")
+    len_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    mwl = mean_word_length(col)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    p_score = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return (len_score + wl_score + p_score) / F.lit(3.0)
+
+
+# --- language ID ---------------------------------------------------------
+
+# tiny marker-word inventories per language (deterministic heuristic)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "une", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "nicht"],
+}
+
+
+def lang_scores(col: Column) -> Column:
+    """Struct of per-language marker-hit counts."""
+    toks = tokens(F.lower(col))
+    fields = [
+        F.size(F.filter(toks, lambda t: t.isin(m))).alias(lang)
+        for lang, m in LANG_MARKERS.items()
+    ]
+    return F.struct(*fields)
+
+
+def detect_lang(col: Column) -> Column:
+    """argmax language by marker count; 'und' when no markers hit.
+
+    Ties break by LANG_MARKERS order (en > es > fr > de)."""
+    s = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_n = s[langs[0]]
+    for lang in langs[1:]:
+        cond = s[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, s[lang]).otherwise(best_n)
+    return F.when(best_n > 0, best).otherwise(F.lit("und"))
+
+
+# --- fingerprinting ------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace — canonical form for dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of normalized text (exact-dup key; stable
+    across engines so an external oracle reproduces it)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprints(col: Column, k: int = 50, stride: int = 25) -> Column:
+    """Array of window fingerprints (rolling-hash-style document shingles at
+    character granularity): md5 of each k-char window every `stride` chars.
+    Native: sequence + transform + substr — no Python."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1)), F.lit(stride))
+    return F.transform(starts, lambda s: F.md5(norm.substr(s, F.lit(k))))
+
+
+# --- table-level convenience ---------------------------------------------
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → per-doc analysis columns (single projection, one scan)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        char_count(c).alias("n_chars_computed"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        mean_word_length(c).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        detect_lang(c).alias("lang_detected"),
+        fingerprint(c).alias("fp"),
+    )

@@ -65,8 +65,8 @@ from great_expectations_spark.core.result import (
 from great_expectations_spark.operators import schema_checks
 from great_expectations_spark.operators.aggregates import AGG_BUILDERS
 from great_expectations_spark.operators.conditions import (
-    MAP_EXPECTATION_TYPES,
     compile_map_condition,
+    is_map_expectation,
     translate_row_condition,
 )
 
@@ -201,7 +201,7 @@ class SuitePlanner:
             try:
                 if t in schema_checks.SCHEMA_EXPECTATION_TYPES:
                     self._compile_schema(cfg)
-                elif t in MAP_EXPECTATION_TYPES:
+                elif is_map_expectation(t):
                     self._compile_map(cfg)
                 elif t in AGG_BUILDERS:
                     self._compile_agg(cfg)
@@ -250,7 +250,7 @@ class SuitePlanner:
         )
 
         eid = cfg.id
-        cast_col = mc.columns[0] if len(mc.columns) == 1 else None
+        cast_col = mc.sample_cast_column()
         if self.rf["result_format"] != "BOOLEAN_ONLY":
             self._sample_specs.append((eid, unexpected_cond, mc.value_expr, cast_col))
         counts_nulls = mc.counts_nulls

@@ -1,0 +1,209 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash/jaccard), text
+analysis, embedding similarity — over the driver-provided documents /
+embeddings tables plus controlled micro-fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs_small(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  quick brown fox jumps over the lazy dog"),  # dup after norm
+        (4, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (5, "completely different content about spark engines"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---- text analysis ------------------------------------------------------
+
+
+def test_token_counts(spark, docs_small):
+    out = docs_small.select(
+        "doc_id", text.token_count(F.col("text")).alias("n")
+    ).collect()
+    by_id = {r["doc_id"]: r["n"] for r in out}
+    assert by_id[1] == 9
+    assert by_id[6] == 0
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world! x2",)], "t string")
+    n = df.select(text.bpe_ish_token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    # hello , world ! x 2 → 6
+    assert n == 6
+
+
+def test_quality_and_ratios(docs_small):
+    out = docs_small.select(
+        "doc_id",
+        text.stopword_ratio(F.col("text")).alias("sw"),
+        text.punct_ratio(F.col("text")).alias("p"),
+        text.mean_word_length(F.col("text")).alias("mwl"),
+        text.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert r1["sw"] == pytest.approx(2 / 9)  # "the" ×2
+    assert r1["p"] == 0.0
+    assert r1["mwl"] == pytest.approx(35 / 9)
+    assert 0 < r1["q"] <= 1
+
+
+def test_detect_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "el gato esta en la casa de los abuelos"),
+            (3, "le chat est dans la maison pour les vacances"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", text.detect_lang(F.col("text")).alias("lang")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization(docs_small):
+    fps = docs_small.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fps}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[1] != by_id[4]
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame([("a" * 200,)], "t string")
+    out = df.select(
+        F.size(text.rolling_fingerprints(F.col("t"), k=50, stride=25)).alias("n")
+    ).collect()[0]["n"]
+    assert out == 7  # starts 1,26,...,151
+
+
+def test_analyze_documents_on_testdata(documents):
+    out = text.analyze_documents(documents)
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_chars_computed"] == row["n_chars"]  # matches generator column
+    assert row["n_tokens"] > 0
+    assert row["fp"] is not None
+
+
+# ---- dedup --------------------------------------------------------------
+
+
+def test_exact_duplicate_groups(docs_small):
+    groups = dedup.exact_duplicate_groups(docs_small).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 3
+    assert g["keep_id"] == 1
+    assert g["doc_ids"] == [1, 2, 3]
+
+
+def test_exact_dedup_keeps_one(docs_small):
+    kept = dedup.exact_dedup(docs_small)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [1, 4, 5, 6]
+
+
+def test_minhash_lsh_finds_near_dups(docs_small):
+    pairs = dedup.minhash_dedup_pairs(
+        docs_small.filter("doc_id < 6"), threshold=0.5, num_hashes=64, bands=16
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # exact dups must be found with est_jaccard 1.0
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    # near-dup (fox/cat) shares most shingles
+    assert any(a == 1 and b == 4 for a, b in got)
+    # unrelated doc 5 pairs must not appear
+    assert not any(5 in p for p in got)
+
+
+def test_simhash(docs_small):
+    sigs = dedup.simhash_signatures(docs_small.filter("doc_id < 6"))
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 0
+    assert (1, 5) not in got
+
+
+def test_token_jaccard(docs_small):
+    pairs = dedup.token_jaccard_pairs(docs_small, threshold=0.5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    # docs 1 vs 4: 8 distinct tokens each ("the" dedups), |∩|=7, |∪|=9
+    assert got[(1, 4)] == pytest.approx(7 / 9)
+    assert (1, 5) not in got
+
+
+def test_minhash_on_testdata_documents(documents):
+    """Sanity at realistic shape: runs end-to-end, est_jaccard within [0,1]."""
+    pairs = dedup.minhash_dedup_pairs(documents.limit(200), threshold=0.8)
+    rows = pairs.collect()
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+# ---- similarity ---------------------------------------------------------
+
+
+def test_brute_force_topk(spark, embeddings):
+    qrow = embeddings.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow["embedding"])
+    top = similarity.brute_force_topk(embeddings, q, k=5).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    qrow = embeddings.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow["embedding"])
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            embeddings, q, k=10, n_planes=8, multi_probe_hamming=2
+        ).collect()
+    ]
+    # the query itself must be found; recall@10 should be reasonable
+    assert 0 in approx
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5
+
+
+def test_embedding_near_dup_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base * 2.0]),  # same direction → cosine 1
+        (3, [float(x) for x in base + rng.standard_normal(16) * 0.01]),
+        (4, [float(x) for x in rng.standard_normal(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicate_pairs(df, threshold=0.99, n_planes=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
+    # LSH result ⊆ exact result
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.brute_force_pairs(df, threshold=0.99).collect()
+    }
+    assert got <= exact
