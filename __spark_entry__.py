@@ -1,38 +1,1459 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship: validation suite over the synthesized
+                        image+caption table (BASELINE.json input_hint) plus a
+                        TPC-H-ish suite on sf0.001 lineitem; returns the
+                        validation-results DataFrame.
+``queries()``         — one entry per implemented operator from SURVEY.md §2
+                        (plus the training-data pipeline operators).
+``oracle_sql()``      — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column names are aligned between the Spark result and the oracle SQL (the
+driver sorts columns by name before value-hashing). Integer metrics are cast
+to BIGINT on both sides; floats are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.config import ExpectationSuite
+from great_expectations_spark.engine import SparkValidationEngine
+from great_expectations_spark.operators import dedup as dd
+from great_expectations_spark.operators import images as img
+from great_expectations_spark.operators import similarity as sim
+from great_expectations_spark.operators import text as tx
+
+METRICS_SCHEMA = "expectation string, element_count long, unexpected_count long, success long"
+OBS_SCHEMA = "expectation string, observed double, success long"
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _run_suite(spark, df, specs, **kw):
+    suite = ExpectationSuite(name="entry")
+    for label, t, kwargs in specs:
+        cfg = suite.add(t, **kwargs)
+        cfg.meta["label"] = label
+    return SparkValidationEngine(spark).validate(df, suite, result_format="BASIC", **kw)
+
+
+def _map_metrics_df(spark, df, specs) -> DataFrame:
+    """Run map-style expectations; emit (expectation, element_count,
+    unexpected_count, success) — the ExpectationValidationResult metric core."""
+    res = _run_suite(spark, df, specs)
+    rows = []
+    for evr in res.results:
+        label = evr.expectation_config["meta"]["label"]
+        r = evr.result or {}
+        rows.append(
+            (
+                label,
+                int(r["element_count"]) if r.get("element_count") is not None else None,
+                int(r["unexpected_count"]) if r.get("unexpected_count") is not None else None,
+                1 if evr.success else 0,
+            )
+        )
+    return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
+def _obs_df(spark, df, specs, digits: int = 4) -> DataFrame:
+    """Run aggregate expectations; emit (expectation, observed, success)."""
+    res = _run_suite(spark, df, specs)
+    rows = []
+    for evr in res.results:
+        label = evr.expectation_config["meta"]["label"]
+        obs = (evr.result or {}).get("observed_value")
+        rows.append(
+            (label, float(obs) if obs is not None else None, 1 if evr.success else 0)
+        )
+    out = spark.createDataFrame(rows, OBS_SCHEMA)
+    return out.select(
+        "expectation", F.round("observed", digits).alias("observed"), "success"
+    )
+
+
+# ---------------------------------------------------------------------------
+# map-expectation queries (engine end-to-end; oracle = SQL over same tables)
+# ---------------------------------------------------------------------------
+
+
+def q_nullness(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return _map_metrics_df(
+        spark,
+        ev,
+        [
+            ("not_null", "expect_column_values_to_not_be_null", {"column": "props"}),
+            ("be_null", "expect_column_values_to_be_null", {"column": "props"}),
+        ],
+    )
+
+
+SQL_NULLNESS = """
+SELECT 'not_null' AS expectation, CAST(count(*) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM events
+UNION ALL
+SELECT 'be_null', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM events
+"""
+
+
+def _one_map_sql(label: str, table: str, unexpected_pred: str, considered: str = "TRUE") -> str:
+    """count/sum/mostly-success template shared by the map-expectation oracles
+    (mostly = 1.0 → success ⇔ unexpected_count = 0)."""
+    return f"""
+SELECT '{label}' AS expectation,
+       CAST(count(*) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN ({considered}) AND ({unexpected_pred}) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN ({considered}) AND ({unexpected_pred}) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM {table}
+"""
+
+
+def q_between(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "between",
+                "expect_column_values_to_be_between",
+                {"column": "l_quantity", "min_value": 10, "max_value": 40},
+            )
+        ],
+    )
+
+
+SQL_BETWEEN = _one_map_sql(
+    "between", "lineitem", "NOT (l_quantity >= 10 AND l_quantity <= 40)"
+)
+
+
+def q_in_set(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "in_set",
+                "expect_column_values_to_be_in_set",
+                {"column": "l_returnflag", "value_set": ["A", "N"]},
+            )
+        ],
+    )
+
+
+SQL_IN_SET = _one_map_sql("in_set", "lineitem", "l_returnflag NOT IN ('A','N')")
+
+
+def q_not_in_set(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    return _map_metrics_df(
+        spark,
+        o,
+        [
+            (
+                "not_in_set",
+                "expect_column_values_to_not_be_in_set",
+                {"column": "o_orderpriority", "value_set": ["1-URGENT"]},
+            )
+        ],
+    )
+
+
+SQL_NOT_IN_SET = _one_map_sql("not_in_set", "orders", "o_orderpriority IN ('1-URGENT')")
+
+
+def q_value_lengths(spark, sf_dir):
+    p = _load(spark, sf_dir, "part")
+    return _map_metrics_df(
+        spark,
+        p,
+        [
+            (
+                "value_lengths",
+                "expect_column_value_lengths_to_be_between",
+                {"column": "p_name", "min_value": 5, "max_value": 10},
+            )
+        ],
+    )
+
+
+SQL_VALUE_LENGTHS = _one_map_sql(
+    "value_lengths", "part", "NOT (length(p_name) >= 5 AND length(p_name) <= 10)"
+)
+
+
+def q_regex(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    return _map_metrics_df(
+        spark,
+        c,
+        [
+            (
+                "match_regex",
+                "expect_column_values_to_match_regex",
+                {"column": "c_name", "regex": "^Customer#0000000[0-9]{2}$"},
+            ),
+            (
+                "not_match_regex",
+                "expect_column_values_to_not_match_regex",
+                {"column": "c_name", "regex": "9$"},
+            ),
+        ],
+    )
+
+
+SQL_REGEX = (
+    _one_map_sql(
+        "match_regex", "customer", "NOT regexp_matches(c_name, '^Customer#0000000[0-9]{2}$')"
+    )
+    + " UNION ALL "
+    + _one_map_sql("not_match_regex", "customer", "regexp_matches(c_name, '9$')")
+)
+
+
+def q_regex_list(spark, sf_dir):
+    p = _load(spark, sf_dir, "part")
+    return _map_metrics_df(
+        spark,
+        p,
+        [
+            (
+                "regex_list_any",
+                "expect_column_values_to_match_regex_list",
+                {"column": "p_type", "regex_list": ["^PROMO$", "^ECONOMY$"], "match_on": "any"},
+            )
+        ],
+    )
+
+
+SQL_REGEX_LIST = _one_map_sql(
+    "regex_list_any",
+    "part",
+    "NOT (regexp_matches(p_type, '^PROMO$') OR regexp_matches(p_type, '^ECONOMY$'))",
+)
+
+
+def q_like(spark, sf_dir):
+    p = _load(spark, sf_dir, "part")
+    return _map_metrics_df(
+        spark,
+        p,
+        [
+            (
+                "like",
+                "expect_column_values_to_match_like_pattern",
+                {"column": "p_name", "like_pattern": "%widget%"},
+            ),
+            (
+                "like_list_any",
+                "expect_column_values_to_match_like_pattern_list",
+                {
+                    "column": "p_brand",
+                    "like_pattern_list": ["Brand#1%", "Brand#2%"],
+                    "match_on": "any",
+                },
+            ),
+        ],
+    )
+
+
+SQL_LIKE = (
+    _one_map_sql("like", "part", "p_name NOT LIKE '%widget%'")
+    + " UNION ALL "
+    + _one_map_sql(
+        "like_list_any",
+        "part",
+        "NOT (p_brand LIKE 'Brand#1%' OR p_brand LIKE 'Brand#2%')",
+    )
+)
+
+
+def q_json(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return _map_metrics_df(
+        spark,
+        ev,
+        [
+            ("json_parseable", "expect_column_values_to_be_json_parseable", {"column": "props"}),
+            (
+                "json_regex",
+                "expect_column_values_to_match_regex",
+                {"column": "props", "regex": '"k": [0-9]+'},
+            ),
+        ],
+    )
+
+
+SQL_JSON = (
+    _one_map_sql("json_parseable", "events", "NOT json_valid(props)")
+    + " UNION ALL "
+    + _one_map_sql("json_regex", "events", "NOT regexp_matches(props, '\"k\": [0-9]+')")
+)
+
+
+def q_pair(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "pair_equal",
+                "expect_column_pair_values_to_be_equal",
+                {"column_A": "l_returnflag", "column_B": "l_linestatus"},
+            ),
+            (
+                "pair_greater",
+                "expect_column_pair_values_a_to_be_greater_than_b",
+                {"column_A": "l_discount", "column_B": "l_tax"},
+            ),
+            (
+                "pair_in_set",
+                "expect_column_pair_values_to_be_in_set",
+                {
+                    "column_A": "l_returnflag",
+                    "column_B": "l_linestatus",
+                    "value_pairs_set": [["A", "F"], ["N", "O"], ["R", "F"]],
+                },
+            ),
+        ],
+    )
+
+
+SQL_PAIR = (
+    _one_map_sql("pair_equal", "lineitem", "NOT (l_returnflag = l_linestatus)")
+    + " UNION ALL "
+    + _one_map_sql("pair_greater", "lineitem", "NOT (l_discount > l_tax)")
+    + " UNION ALL "
+    + _one_map_sql(
+        "pair_in_set",
+        "lineitem",
+        "NOT ((l_returnflag='A' AND l_linestatus='F') OR (l_returnflag='N' AND l_linestatus='O') OR (l_returnflag='R' AND l_linestatus='F'))",
+    )
+)
+
+
+def q_multicolumn(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "multicolumn_sum",
+                "expect_multicolumn_sum_to_equal",
+                {"column_list": ["l_quantity", "l_linenumber"], "sum_total": 30},
+            ),
+            (
+                "unique_within_record",
+                "expect_select_column_values_to_be_unique_within_record",
+                {"column_list": ["l_partkey", "l_suppkey"]},
+            ),
+        ],
+    )
+
+
+SQL_MULTICOLUMN = (
+    _one_map_sql(
+        "multicolumn_sum",
+        "lineitem",
+        "NOT (coalesce(l_quantity,0) + coalesce(l_linenumber,0) = 30)",
+    )
+    + " UNION ALL "
+    + _one_map_sql("unique_within_record", "lineitem", "l_partkey = l_suppkey")
+)
+
+
+def q_zscore(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "zscore",
+                "expect_column_value_z_scores_to_be_less_than",
+                {"column": "l_extendedprice", "threshold": 2.0, "double_sided": True},
+            )
+        ],
+    )
+
+
+SQL_ZSCORE = """
+WITH s AS (SELECT avg(l_extendedprice) AS m, stddev_samp(l_extendedprice) AS sd FROM lineitem)
+SELECT 'zscore' AS expectation,
+       CAST(count(*) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN NOT (abs((l_extendedprice - s.m)/s.sd) < 2.0) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN NOT (abs((l_extendedprice - s.m)/s.sd) < 2.0) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM lineitem, s
+"""
+
+
+def q_row_condition(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "row_condition",
+                "expect_column_values_to_be_between",
+                {
+                    "column": "l_quantity",
+                    "min_value": 5,
+                    "max_value": 45,
+                    "row_condition": "l_returnflag = 'A'",
+                    "condition_parser": "spark",
+                },
+            )
+        ],
+    )
+
+
+SQL_ROW_CONDITION = """
+SELECT 'row_condition' AS expectation,
+       CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN l_returnflag = 'A' AND NOT (l_quantity >= 5 AND l_quantity <= 45) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN l_returnflag = 'A' AND NOT (l_quantity >= 5 AND l_quantity <= 45) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM lineitem
+"""
+
+
+def q_mostly(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "mostly",
+                "expect_column_values_to_be_in_set",
+                {"column": "l_returnflag", "value_set": ["N", "A"], "mostly": 0.6},
+            )
+        ],
+    )
+
+
+SQL_MOSTLY = """
+SELECT 'mostly' AS expectation,
+       CAST(count(*) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN l_returnflag NOT IN ('N','A') THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN (count(*) - sum(CASE WHEN l_returnflag NOT IN ('N','A') THEN 1 ELSE 0 END)) * 1.0 / count(*) >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM lineitem
+"""
+
+
+def q_strftime(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    return _map_metrics_df(
+        spark,
+        ev,
+        [
+            (
+                "strftime",
+                "expect_column_values_to_match_strftime_format",
+                {"column": "ts_str", "strftime_format": "%Y-%m-%d %H:%M:%S"},
+            )
+        ],
+    )
+
+
+SQL_STRFTIME = _one_map_sql(
+    "strftime",
+    "events",
+    "try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') IS NULL",
+)
+
+
+# ---------------------------------------------------------------------------
+# aggregate-expectation queries
+# ---------------------------------------------------------------------------
+
+
+def q_agg_stats(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _obs_df(
+        spark,
+        li,
+        [
+            ("min", "expect_column_min_to_be_between", {"column": "l_quantity", "min_value": 0, "max_value": 5}),
+            ("max", "expect_column_max_to_be_between", {"column": "l_quantity", "min_value": 45, "max_value": 55}),
+            ("mean", "expect_column_mean_to_be_between", {"column": "l_quantity", "min_value": 20, "max_value": 30}),
+            ("sum", "expect_column_sum_to_be_between", {"column": "l_quantity", "min_value": 0, "max_value": 1e12}),
+            ("stdev", "expect_column_stdev_to_be_between", {"column": "l_quantity", "min_value": 5, "max_value": 25}),
+            ("median", "expect_column_median_to_be_between", {"column": "l_quantity", "min_value": 20, "max_value": 30}),
+            ("row_count", "expect_table_row_count_to_be_between", {"min_value": 1, "max_value": 10**12}),
+        ],
+        digits=4,
+    )
+
+
+SQL_AGG_STATS = """
+SELECT 'min' AS expectation, round(CAST(min(l_quantity) AS DOUBLE), 4) AS observed,
+       CAST(CASE WHEN min(l_quantity) >= 0 AND min(l_quantity) <= 5 THEN 1 ELSE 0 END AS BIGINT) AS success FROM lineitem
+UNION ALL SELECT 'max', round(CAST(max(l_quantity) AS DOUBLE), 4),
+       CAST(CASE WHEN max(l_quantity) >= 45 AND max(l_quantity) <= 55 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+UNION ALL SELECT 'mean', round(avg(l_quantity), 4),
+       CAST(CASE WHEN avg(l_quantity) >= 20 AND avg(l_quantity) <= 30 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+UNION ALL SELECT 'sum', round(CAST(sum(l_quantity) AS DOUBLE), 4),
+       CAST(CASE WHEN sum(l_quantity) >= 0 AND sum(l_quantity) <= 1e12 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+UNION ALL SELECT 'stdev', round(stddev_samp(l_quantity), 4),
+       CAST(CASE WHEN stddev_samp(l_quantity) >= 5 AND stddev_samp(l_quantity) <= 25 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+UNION ALL SELECT 'median', round(quantile_cont(l_quantity, 0.5), 4),
+       CAST(CASE WHEN quantile_cont(l_quantity, 0.5) >= 20 AND quantile_cont(l_quantity, 0.5) <= 30 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+UNION ALL SELECT 'row_count', round(CAST(count(*) AS DOUBLE), 4),
+       CAST(1 AS BIGINT) FROM lineitem
+"""
+
+
+def q_agg_quantiles(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "quantiles",
+                "expect_column_quantile_values_to_be_between",
+                {
+                    "column": "l_extendedprice",
+                    "quantile_ranges": {
+                        "quantiles": qs,
+                        "value_ranges": [[None, None]] * len(qs),
+                    },
+                },
+            )
+        ],
+    )
+    obs = res.results[0].result["observed_value"]
+    rows = list(zip([float(q) for q in obs["quantiles"]], [float(v) for v in obs["values"]]))
+    out = spark.createDataFrame(rows, "quantile double, value double")
+    return out.select("quantile", F.round("value", 2).alias("value"))
+
+
+SQL_AGG_QUANTILES = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS quantile,"
+    f" round(quantile_cont(l_extendedprice, {q}), 2) AS value FROM lineitem"
+    for q in [0.1, 0.25, 0.5, 0.75, 0.9]
+)
+
+
+def q_agg_distinct(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _obs_df(
+        spark,
+        li,
+        [
+            (
+                "unique_value_count",
+                "expect_column_unique_value_count_to_be_between",
+                {"column": "l_partkey", "min_value": 1, "max_value": 10**9},
+            ),
+            (
+                "proportion_unique",
+                "expect_column_proportion_of_unique_values_to_be_between",
+                {"column": "l_partkey", "min_value": 0, "max_value": 0.5},
+            ),
+        ],
+        digits=6,
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT 'unique_value_count' AS expectation,
+       round(CAST(count(DISTINCT l_partkey) AS DOUBLE), 6) AS observed,
+       CAST(1 AS BIGINT) AS success FROM lineitem
+UNION ALL
+SELECT 'proportion_unique',
+       round(CAST(count(DISTINCT l_partkey) AS DOUBLE) / count(l_partkey), 6),
+       CAST(CASE WHEN CAST(count(DISTINCT l_partkey) AS DOUBLE) / count(l_partkey) <= 0.5 THEN 1 ELSE 0 END AS BIGINT) FROM lineitem
+"""
+
+
+def q_value_counts(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+SQL_VALUE_COUNTS = """
+SELECT l_returnflag AS value, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_most_common(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    res = _run_suite(
+        spark,
+        o,
+        [
+            (
+                "most_common",
+                "expect_column_most_common_value_to_be_in_set",
+                {"column": "o_orderpriority", "value_set": ["4-NOT SPECIFIED"]},
+            )
+        ],
+    )
+    modes = res.results[0].result["observed_value"]
+    return spark.createDataFrame([(str(m),) for m in modes], "value string")
+
+
+SQL_MOST_COMMON = """
+SELECT o_orderpriority AS value FROM orders GROUP BY o_orderpriority
+HAVING count(*) = (SELECT max(c) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderpriority))
+"""
+
+
+def q_distinct_set(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "distinct_contain",
+                "expect_column_distinct_values_to_contain_set",
+                {"column": "l_linestatus", "value_set": ["F", "O"]},
+            )
+        ],
+    )
+    observed = res.results[0].result["observed_value"]
+    return spark.createDataFrame([(str(v),) for v in observed], "value string")
+
+
+SQL_DISTINCT_SET = "SELECT DISTINCT l_linestatus AS value FROM lineitem"
+
+
+HIST_BINS = [1.0, 11.0, 21.0, 31.0, 41.0, 51.0]
+
+
+def q_histogram(spark, sf_dir):
+    """Histogram kernel — same [lo,hi) / last-[lo,hi] bin semantics the drift
+    pass registers inside the bundled agg (operators/drift.py:39-73; reference
+    column_histogram.py:172-240)."""
+    li = _load(spark, sf_dir, "lineitem")
+    col = F.col("l_quantity")
+    k = len(HIST_BINS) - 1
+    expr = F.lit(None).cast("long")
+    for i in range(k - 1, -1, -1):
+        lo, hi = HIST_BINS[i], HIST_BINS[i + 1]
+        cond = (col >= F.lit(lo)) & ((col <= F.lit(hi)) if i == k - 1 else (col < F.lit(hi)))
+        expr = F.when(cond, F.lit(i).cast("long")).otherwise(expr)
+    return (
+        li.select(expr.alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT CASE
+    WHEN l_quantity >= 1 AND l_quantity < 11 THEN 0
+    WHEN l_quantity >= 11 AND l_quantity < 21 THEN 1
+    WHEN l_quantity >= 21 AND l_quantity < 31 THEN 2
+    WHEN l_quantity >= 31 AND l_quantity < 41 THEN 3
+    WHEN l_quantity >= 41 AND l_quantity <= 51 THEN 4
+  END AS bin FROM lineitem) WHERE bin IS NOT NULL GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# uniqueness / referential
+# ---------------------------------------------------------------------------
+
+
+def q_unique_column(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    return _map_metrics_df(
+        spark,
+        o,
+        [("unique", "expect_column_values_to_be_unique", {"column": "o_custkey"})],
+    )
+
+
+SQL_UNIQUE_COLUMN = """
+WITH g AS (SELECT o_custkey, count(*) AS c FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
+SELECT 'unique' AS expectation,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN c > 1 THEN c ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM g
+"""
+
+
+def q_unique_compound(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "compound_unique",
+                "expect_compound_columns_to_be_unique",
+                {"column_list": ["l_orderkey", "l_linenumber"]},
+            )
+        ],
+    )
+
+
+SQL_UNIQUE_COMPOUND = """
+WITH g AS (SELECT l_orderkey, l_linenumber, count(*) AS c FROM lineitem GROUP BY 1, 2)
+SELECT 'compound_unique' AS expectation,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN c > 1 THEN c ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM g
+"""
+
+
+def q_referential(spark, sf_dir):
+    """Referential integrity via anti-join (broadcast-able ref side) —
+    SURVEY.md §2.B.7; violations = left_anti output."""
+    o = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    return _map_metrics_df(
+        spark,
+        o,
+        [
+            (
+                "ref_ok",
+                "expect_column_values_to_exist_in",
+                {"column": "o_custkey", "ref": cust, "ref_column": "c_custkey", "broadcast": True},
+            ),
+            (
+                "ref_violations",
+                "expect_column_values_to_exist_in",
+                {
+                    "column": "o_custkey",
+                    "ref": cust.filter(F.col("c_custkey") <= 750),
+                    "ref_column": "c_custkey",
+                    "broadcast": True,
+                },
+            ),
+        ],
+    )
+
+
+SQL_REFERENTIAL = """
+SELECT 'ref_ok' AS expectation, CAST(count(*) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM orders
+UNION ALL
+SELECT 'ref_violations', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey <= 750) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey <= 750) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# drift
+# ---------------------------------------------------------------------------
+
+
+def q_drift_kl(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "kl",
+                "expect_column_kl_divergence_to_be_less_than",
+                {
+                    "column": "l_quantity",
+                    "partition_object": {"bins": HIST_BINS, "weights": [0.2] * 5},
+                    "threshold": 0.1,
+                },
+            )
+        ],
+    )
+    evr = res.results[0]
+    obs = evr.result.get("observed_value")
+    rows = [("kl", float(obs) if obs is not None else None, 1 if evr.success else 0)]
+    out = spark.createDataFrame(rows, OBS_SCHEMA)
+    return out.select("expectation", F.round("observed", 6).alias("observed"), "success")
+
+
+SQL_DRIFT_KL = """
+WITH h AS (
+  SELECT CASE
+    WHEN l_quantity >= 1 AND l_quantity < 11 THEN 0
+    WHEN l_quantity >= 11 AND l_quantity < 21 THEN 1
+    WHEN l_quantity >= 21 AND l_quantity < 31 THEN 2
+    WHEN l_quantity >= 31 AND l_quantity < 41 THEN 3
+    WHEN l_quantity >= 41 AND l_quantity <= 51 THEN 4
+  END AS bin FROM lineitem WHERE l_quantity IS NOT NULL),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM h),
+agg AS (SELECT sum((c / n.total) * ln((c / n.total) / 0.2)) AS kl
+        FROM (SELECT bin, CAST(count(*) AS DOUBLE) AS c FROM h WHERE bin IS NOT NULL GROUP BY bin), n)
+SELECT 'kl' AS expectation, round(kl, 6) AS observed,
+       CAST(CASE WHEN kl < 0.1 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM agg
+"""
+
+
+def q_drift_chi2(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "chi2",
+                "expect_column_chi_square_test_p_value_to_be_greater_than",
+                {
+                    "column": "l_returnflag",
+                    "partition_object": {
+                        "values": ["A", "N", "R"],
+                        "weights": [1 / 3, 1 / 3, 1 / 3],
+                    },
+                    "p": 0.05,
+                },
+            )
+        ],
+    )
+    stat = res.results[0].result["details"]["chi_square_statistic"]
+    rows = [(float(stat),)]
+    out = spark.createDataFrame(rows, "chi_square_statistic double")
+    return out.select(F.round("chi_square_statistic", 6).alias("chi_square_statistic"))
+
+
+SQL_DRIFT_CHI2 = """
+WITH cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS r
+  FROM lineitem WHERE l_returnflag IS NOT NULL)
+SELECT round(
+    pow(a - (a + n + r)/3, 2) / ((a + n + r)/3)
+  + pow(n - (a + n + r)/3, 2) / ((a + n + r)/3)
+  + pow(r - (a + n + r)/3, 2) / ((a + n + r)/3), 6) AS chi_square_statistic
+FROM cnt
+"""
+
+
+def q_drift_ks(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "ks",
+                "expect_column_kstest_p_value_to_be_greater_than",
+                {
+                    "column": "l_quantity",
+                    "partition_object": {"bins": HIST_BINS, "weights": [0.2] * 5},
+                    "p": 0.05,
+                },
+            )
+        ],
+    )
+    d = res.results[0].result["details"]["ks_statistic"]
+    out = spark.createDataFrame([(float(d),)], "ks_statistic double")
+    return out.select(F.round("ks_statistic", 6).alias("ks_statistic"))
+
+
+SQL_DRIFT_KS = """
+WITH h AS (
+  SELECT CASE
+    WHEN l_quantity >= 1 AND l_quantity < 11 THEN 0
+    WHEN l_quantity >= 11 AND l_quantity < 21 THEN 1
+    WHEN l_quantity >= 21 AND l_quantity < 31 THEN 2
+    WHEN l_quantity >= 31 AND l_quantity < 41 THEN 3
+    WHEN l_quantity >= 41 AND l_quantity <= 51 THEN 4
+  END AS bin FROM lineitem WHERE l_quantity IS NOT NULL),
+bins AS (SELECT bin, CAST(count(*) AS DOUBLE) AS c FROM h WHERE bin IS NOT NULL GROUP BY bin),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM h),
+cdf AS (SELECT bin,
+               sum(c) OVER (ORDER BY bin) / n.total AS cp,
+               (bin + 1) * 0.2 AS cq
+        FROM bins, n)
+SELECT round(max(abs(cp - cq)), 6) AS ks_statistic FROM cdf
+"""
+
+
+def q_drift_psi(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "psi",
+                "expect_column_psi_to_be_less_than",
+                {
+                    "column": "l_quantity",
+                    "partition_object": {"bins": HIST_BINS, "weights": [0.2] * 5},
+                    "threshold": 0.2,
+                },
+            )
+        ],
+    )
+    evr = res.results[0]
+    obs = evr.result.get("observed_value")
+    rows = [("psi", float(obs) if obs is not None else None, 1 if evr.success else 0)]
+    out = spark.createDataFrame(rows, OBS_SCHEMA)
+    return out.select("expectation", F.round("observed", 6).alias("observed"), "success")
+
+
+# PSI with eps=1e-6 floors and renormalization (functions/stats.py:72-80):
+# obs = [below]+bins+[above] (below=above=0 with full-range bins), exp =
+# [0, .2×5, 0]; p = renorm(max(frac, eps)); psi = Σ (p−q) ln(p/q).
+SQL_DRIFT_PSI = """
+WITH h AS (
+  SELECT CASE
+    WHEN l_quantity >= 1 AND l_quantity < 11 THEN 0
+    WHEN l_quantity >= 11 AND l_quantity < 21 THEN 1
+    WHEN l_quantity >= 21 AND l_quantity < 31 THEN 2
+    WHEN l_quantity >= 31 AND l_quantity < 41 THEN 3
+    WHEN l_quantity >= 41 AND l_quantity <= 51 THEN 4
+  END AS bin FROM lineitem WHERE l_quantity IS NOT NULL),
+c AS (SELECT
+        CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+        CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+        CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+        CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS c4,
+        CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS c5,
+        CAST(count(*) AS DOUBLE) AS t
+      FROM h),
+p AS (SELECT
+        1e-6 AS p0,
+        greatest(c1/t, 1e-6) AS p1, greatest(c2/t, 1e-6) AS p2,
+        greatest(c3/t, 1e-6) AS p3, greatest(c4/t, 1e-6) AS p4,
+        greatest(c5/t, 1e-6) AS p5,
+        1e-6 AS p6,
+        1e-6 AS q0, 0.2 AS q1, 0.2 AS q2, 0.2 AS q3, 0.2 AS q4, 0.2 AS q5, 1e-6 AS q6
+      FROM c),
+s AS (SELECT *,
+        (p0 + p1 + p2 + p3 + p4 + p5 + p6) AS sp,
+        (q0 + q1 + q2 + q3 + q4 + q5 + q6) AS sq
+      FROM p)
+SELECT round(
+    (p0/sp - q0/sq) * ln((p0/sp)/(q0/sq))
+  + (p1/sp - q1/sq) * ln((p1/sp)/(q1/sq))
+  + (p2/sp - q2/sq) * ln((p2/sp)/(q2/sq))
+  + (p3/sp - q3/sq) * ln((p3/sp)/(q3/sq))
+  + (p4/sp - q4/sq) * ln((p4/sp)/(q4/sq))
+  + (p5/sp - q5/sq) * ln((p5/sp)/(q5/sq))
+  + (p6/sp - q6/sq) * ln((p6/sp)/(q6/sq)), 6) AS observed,
+  'psi' AS expectation,
+  CAST(CASE WHEN
+    (p0/sp - q0/sq) * ln((p0/sp)/(q0/sq))
+  + (p1/sp - q1/sq) * ln((p1/sp)/(q1/sq))
+  + (p2/sp - q2/sq) * ln((p2/sp)/(q2/sq))
+  + (p3/sp - q3/sq) * ln((p3/sp)/(q3/sq))
+  + (p4/sp - q4/sq) * ln((p4/sp)/(q4/sq))
+  + (p5/sp - q5/sq) * ln((p5/sp)/(q5/sq))
+  + (p6/sp - q6/sq) * ln((p6/sp)/(q6/sq)) < 0.2 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# monotonic / query escape hatch / schema
+# ---------------------------------------------------------------------------
+
+
+def q_monotonic(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return _map_metrics_df(
+        spark,
+        ev,
+        [
+            (
+                "increasing",
+                "expect_column_values_to_be_increasing",
+                {"column": "value", "order_by": "event_id"},
+            )
+        ],
+    )
+
+
+SQL_MONOTONIC = """
+WITH w AS (SELECT value, lag(value) OVER (ORDER BY event_id) AS prev FROM events WHERE value IS NOT NULL)
+SELECT 'increasing' AS expectation,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND NOT (value >= prev) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN prev IS NOT NULL AND NOT (value >= prev) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM w
+"""
+
+
+def q_query_no_rows(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "no_rows",
+                "expect_query_to_return_no_rows",
+                {"query": "SELECT * FROM {batch} WHERE l_quantity < 0 OR l_quantity > 50"},
+            )
+        ],
+    )
+    evr = res.results[0]
+    rows = [("no_rows", int(evr.result["observed_value"]), 1 if evr.success else 0)]
+    return spark.createDataFrame(rows, "expectation string, observed long, success long")
+
+
+SQL_QUERY_NO_ROWS = """
+SELECT 'no_rows' AS expectation,
+       CAST(count(*) AS BIGINT) AS observed,
+       CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM lineitem WHERE l_quantity < 0 OR l_quantity > 50
+"""
+
+
+def q_schema_checks(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    specs = [
+        (
+            "columns_match_set",
+            "expect_table_columns_to_match_set",
+            {
+                "column_set": [
+                    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                    "l_returnflag", "l_linestatus", "l_shipdate",
+                ]
+            },
+        ),
+        ("column_exists", "expect_column_to_exist", {"column": "l_quantity"}),
+        (
+            "of_type",
+            "expect_column_values_to_be_of_type",
+            {"column": "l_quantity", "type_": "DoubleType"},
+        ),
+        ("column_count", "expect_table_column_count_to_equal", {"value": 11}),
+    ]
+    res = _run_suite(spark, li, specs)
+    rows = [
+        (evr.expectation_config["meta"]["label"], 1 if evr.success else 0)
+        for evr in res.results
+    ]
+    return spark.createDataFrame(rows, "expectation string, success long")
+
+
+SQL_SCHEMA_CHECKS = """
+SELECT 'columns_match_set' AS expectation, CAST(1 AS BIGINT) AS success
+UNION ALL SELECT 'column_exists', CAST(1 AS BIGINT)
+UNION ALL SELECT 'of_type', CAST(1 AS BIGINT)
+UNION ALL SELECT 'column_count', CAST(1 AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.char_count(c).alias("n_chars"),
+        tx.token_count(c).alias("n_tokens"),
+        tx.bpe_ish_token_count(c).alias("n_bpe"),
+        F.round(tx.mean_word_length(c), 4).alias("mean_word_len"),
+        tx.fingerprint(c).alias("fp"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe,
+       round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_text_lang(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select("doc_id", tx.detect_lang(c).alias("lang_detected"))
+
+
+def _sql_marker(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" t -> t IN ({markers})))"
+    )
+
+
+SQL_TEXT_LANG = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_sql_marker('en')} AS en, {_sql_marker('es')} AS es,
+         {_sql_marker('fr')} AS fr, {_sql_marker('de')} AS de
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+            WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+            WHEN es >= fr AND es >= de THEN 'es'
+            WHEN fr >= de THEN 'fr'
+            ELSE 'de' END AS lang_detected
+FROM m
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over a doubled corpus (each text injected twice) — keep
+    min(doc_id) per md5(normalized text) group via groupBy + semi-join."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return dd.exact_dedup(doubled).select("doc_id")
+
+
+SQL_DEDUP_EXACT = r"""
+WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents),
+f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM u)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM f GROUP BY fp
+"""
+
+
+def q_dedup_groups(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return dd.exact_duplicate_groups(doubled).select("fp", "n_docs", "keep_id")
+
+
+SQL_DEDUP_GROUPS = r"""
+WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents),
+f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM u)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM f GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dd.token_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.9
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_JACCARD = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+')) AS t
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS c
+          FROM tok ta JOIN tok tb ON ta.t = tb.t AND ta.doc_id < tb.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.doc_id
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.9
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (F.hash seeded permutations — not
+    SQL-expressible; rows-only check)."""
+    return dd.minhash_dedup_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.5
+    ).select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    sigs = dd.simhash_signatures(_load(spark, sf_dir, "documents"))
+    return dd.simhash_near_pairs(sigs, max_hamming=8).select("a", "b", "hamming")
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q_sim_topk(spark, sf_dir):
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    top = sim.brute_force_topk(e, qv, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_SIM_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+z AS (SELECT e.vec_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS ev,
+             CAST(unnest(q.qe) AS DOUBLE) AS qv
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(sum(ev*qv) / (sqrt(sum(ev*ev)) * sqrt(sum(qv*qv))), 4) AS cosine
+FROM z GROUP BY vec_id
+ORDER BY sum(ev*qv) / (sqrt(sum(ev*ev)) * sqrt(sum(qv*qv))) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_sim_pairs(spark, sf_dir):
+    return sim.brute_force_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=0.3
+    ).select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_SIM_PAIRS = """
+WITH z AS (SELECT ea.vec_id AS a, eb.vec_id AS b,
+                  CAST(unnest(ea.embedding) AS DOUBLE) AS xa,
+                  CAST(unnest(eb.embedding) AS DOUBLE) AS xb
+           FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id)
+SELECT a, b, round(sum(xa*xb) / (sqrt(sum(xa*xa)) * sqrt(sum(xb*xb))), 4) AS cosine
+FROM z GROUP BY a, b
+HAVING sum(xa*xb) / (sqrt(sum(xa*xa)) * sqrt(sum(xb*xb))) >= 0.3
+"""
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (random-hyperplane buckets; approximate — rows-only)."""
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    top = sim.lsh_topk(e, qv, k=10, n_planes=8, multi_probe_hamming=2)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embed_norm(spark, sf_dir):
+    e = _load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(sim.norm(F.col("embedding")), 4).alias("l2_norm"))
+
+
+SQL_EMBED_NORM = """
+SELECT vec_id, round(sqrt(sum(x*x)), 4) AS l2_norm
+FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# image payload (synthesized per BASELINE.json input_hint; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _image_suite():
+    suite = ExpectationSuite(name="image_validation")
+    suite.add("expect_image_bytes_to_be_decodable", column="bytes")
+    suite.add("expect_image_dims_to_match_metadata")
+    suite.add("expect_image_fmt_to_match_metadata")
+    suite.add("expect_image_phash_to_match", max_hamming_distance=0)
+    suite.add("expect_column_values_to_not_be_null", column="caption")
+    suite.add("expect_column_values_to_be_unique", column="image_id")
+    suite.add("expect_column_values_to_be_in_set", column="fmt", value_set=["png", "jpeg", "webp"])
+    suite.add("expect_table_row_count_to_be_between", min_value=1, max_value=10**12)
+    return suite
+
+
+def q_images_validate(spark, sf_dir):
+    """Flagship image-payload validation: Arrow pandas_udf decode kernels +
+    the standard map-metric machinery, per-partition verdicts by fmt."""
+    from great_expectations_spark.testing.images import images_df
+
+    df, ref, _ = images_df(spark, n=500, seed=7)
+    result = img.validate_images(df, _image_suite(), partition_by=["fmt"])
+    rows = []
+    for evr in result.results + result.partition_results:
+        r = evr.result or {}
+        rows.append(
+            (
+                evr.expectation_config["expectation_type"],
+                "|".join(f"{k}={v}" for k, v in (evr.partition or {}).items()) or "global",
+                1 if evr.success else 0,
+                int(r["element_count"]) if r.get("element_count") is not None else None,
+                int(r["unexpected_count"]) if r.get("unexpected_count") is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "expectation_type string, partition_key string, success long, "
+        "element_count long, unexpected_count long",
+    )
+
+
+def q_images_enrich(spark, sf_dir):
+    from great_expectations_spark.testing.images import images_df
+
+    df, _, _ = images_df(spark, n=500, seed=7)
+    e = img.enrich_images(df)
+    d = F.col(img.DECODED_COL)
+    return e.select(
+        "image_id",
+        d["ok"].alias("decode_ok"),
+        (d["w"].eqNullSafe(F.col("w")) & d["h"].eqNullSafe(F.col("h"))).alias("dims_match"),
+        d["fmt"].eqNullSafe(F.col("fmt")).alias("fmt_match"),
+        F.when(d["ok"], F.bit_count(d["phash"].bitwiseXOR(F.col("phash")))).alias(
+            "phash_hamming"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # map expectations
+    "nullness": q_nullness,
+    "between": q_between,
+    "in_set": q_in_set,
+    "not_in_set": q_not_in_set,
+    "value_lengths": q_value_lengths,
+    "regex": q_regex,
+    "regex_list": q_regex_list,
+    "like": q_like,
+    "json": q_json,
+    "pair": q_pair,
+    "multicolumn": q_multicolumn,
+    "zscore": q_zscore,
+    "row_condition": q_row_condition,
+    "mostly": q_mostly,
+    "strftime": q_strftime,
+    # aggregates
+    "agg_stats": q_agg_stats,
+    "agg_quantiles": q_agg_quantiles,
+    "agg_distinct": q_agg_distinct,
+    "value_counts": q_value_counts,
+    "most_common": q_most_common,
+    "distinct_set": q_distinct_set,
+    "histogram": q_histogram,
+    # uniqueness / referential
+    "unique_column": q_unique_column,
+    "unique_compound": q_unique_compound,
+    "referential": q_referential,
+    # drift
+    "drift_kl": q_drift_kl,
+    "drift_chi2": q_drift_chi2,
+    "drift_ks": q_drift_ks,
+    "drift_psi": q_drift_psi,
+    # special
+    "monotonic": q_monotonic,
+    "query_no_rows": q_query_no_rows,
+    "schema_checks": q_schema_checks,
+    # text / dedup / similarity
+    "text_stats": q_text_stats,
+    "text_lang": q_text_lang,
+    "dedup_exact": q_dedup_exact,
+    "dedup_groups": q_dedup_groups,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk": q_sim_topk,
+    "sim_pairs": q_sim_pairs,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "embed_norm": q_embed_norm,
+    # images
+    "images_validate": q_images_validate,
+    "images_enrich": q_images_enrich,
+}
+
+_ORACLES: dict[str, str] = {
+    "nullness": SQL_NULLNESS,
+    "between": SQL_BETWEEN,
+    "in_set": SQL_IN_SET,
+    "not_in_set": SQL_NOT_IN_SET,
+    "value_lengths": SQL_VALUE_LENGTHS,
+    "regex": SQL_REGEX,
+    "regex_list": SQL_REGEX_LIST,
+    "like": SQL_LIKE,
+    "json": SQL_JSON,
+    "pair": SQL_PAIR,
+    "multicolumn": SQL_MULTICOLUMN,
+    "zscore": SQL_ZSCORE,
+    "row_condition": SQL_ROW_CONDITION,
+    "mostly": SQL_MOSTLY,
+    "strftime": SQL_STRFTIME,
+    "agg_stats": SQL_AGG_STATS,
+    "agg_quantiles": SQL_AGG_QUANTILES,
+    "agg_distinct": SQL_AGG_DISTINCT,
+    "value_counts": SQL_VALUE_COUNTS,
+    "most_common": SQL_MOST_COMMON,
+    "distinct_set": SQL_DISTINCT_SET,
+    "histogram": SQL_HISTOGRAM,
+    "unique_column": SQL_UNIQUE_COLUMN,
+    "unique_compound": SQL_UNIQUE_COMPOUND,
+    "referential": SQL_REFERENTIAL,
+    "drift_kl": SQL_DRIFT_KL,
+    "drift_chi2": SQL_DRIFT_CHI2,
+    "drift_ks": SQL_DRIFT_KS,
+    "drift_psi": SQL_DRIFT_PSI,
+    "monotonic": SQL_MONOTONIC,
+    "query_no_rows": SQL_QUERY_NO_ROWS,
+    "schema_checks": SQL_SCHEMA_CHECKS,
+    "text_stats": SQL_TEXT_STATS,
+    "text_lang": SQL_TEXT_LANG,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_groups": SQL_DEDUP_GROUPS,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "sim_topk": SQL_SIM_TOPK,
+    "sim_pairs": SQL_SIM_PAIRS,
+    "embed_norm": SQL_EMBED_NORM,
+    # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
+    # sim_lsh_topk (seeded-hash / approximate), images_* (binary payloads)
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: image-payload validation (north star) + a TPC-H-ish suite on
+    sf0.001 lineitem, as one validation-results DataFrame."""
+    from great_expectations_spark.testing.images import images_df
+
+    engine = SparkValidationEngine(spark)
+    df, ref, _ = images_df(spark, n=1000, seed=42)
+    image_result = img.validate_images(df, _image_suite(), partition_by=["fmt"])
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    suite = ExpectationSuite(name="lineitem_core")
+    suite.add("expect_column_values_to_not_be_null", column="l_orderkey")
+    suite.add("expect_column_values_to_be_between", column="l_quantity", min_value=1, max_value=50)
+    suite.add("expect_column_values_to_be_in_set", column="l_returnflag", value_set=["A", "N", "R"])
+    suite.add("expect_column_mean_to_be_between", column="l_quantity", min_value=10, max_value=40)
+    suite.add("expect_compound_columns_to_be_unique", column_list=["l_orderkey", "l_linenumber"])
+    li_result = engine.validate(li, suite, result_format="BASIC", partition_by=["l_returnflag"])
+
+    return engine.results_df(image_result).unionAll(engine.results_df(li_result))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

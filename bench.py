@@ -1,0 +1,219 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Modes:
+  python bench.py             # headline bench (driver contract)
+  python bench.py --scaling   # same image-validation job at local[8] vs
+                              # local[32] → throughput + scaling efficiency
+                              # (north-rule two-cluster-size evidence)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
+
+
+def make_spark(cores: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("ges-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _suite_lineitem():
+    from great_expectations_spark.core.config import ExpectationSuite
+
+    s = ExpectationSuite(name="bench_lineitem")
+    s.add("expect_column_values_to_not_be_null", column="l_orderkey")
+    s.add("expect_column_values_to_be_between", column="l_quantity", min_value=1, max_value=50)
+    s.add("expect_column_values_to_be_between", column="l_discount", min_value=0, max_value=0.2)
+    s.add("expect_column_values_to_be_in_set", column="l_returnflag", value_set=["A", "N", "R"])
+    s.add("expect_column_values_to_be_in_set", column="l_linestatus", value_set=["O", "F"])
+    s.add("expect_column_values_to_match_regex", column="l_returnflag", regex="^[ANR]$")
+    s.add("expect_column_pair_values_a_to_be_greater_than_b", column_A="l_extendedprice", column_B="l_discount")
+    s.add("expect_multicolumn_sum_to_equal", column_list=["l_quantity", "l_linenumber"], sum_total=30, mostly=0.001)
+    s.add("expect_column_min_to_be_between", column="l_quantity", min_value=0, max_value=5)
+    s.add("expect_column_max_to_be_between", column="l_quantity", min_value=45, max_value=55)
+    s.add("expect_column_mean_to_be_between", column="l_extendedprice", min_value=0, max_value=1e9)
+    s.add("expect_column_stdev_to_be_between", column="l_extendedprice", min_value=0, max_value=1e9)
+    s.add("expect_column_sum_to_be_between", column="l_quantity", min_value=0, max_value=1e15)
+    s.add("expect_column_unique_value_count_to_be_between", column="l_partkey", min_value=1, max_value=10**9)
+    s.add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="l_quantity",
+        partition_object={"bins": [1.0, 11.0, 21.0, 31.0, 41.0, 51.0], "weights": [0.2] * 5},
+        threshold=0.1,
+    )
+    s.add(
+        "expect_column_psi_to_be_less_than",
+        column="l_extendedprice",
+        partition_object={"bins": [0.0, 2e4, 4e4, 6e4, 1e7], "weights": [0.25] * 4},
+        threshold=1.0,
+    )
+    s.add("expect_column_value_z_scores_to_be_less_than", column="l_extendedprice", threshold=4.0, mostly=0.99)
+    s.add("expect_table_row_count_to_be_between", min_value=1, max_value=10**12)
+    return s
+
+
+def _image_suite():
+    from great_expectations_spark.core.config import ExpectationSuite
+
+    s = ExpectationSuite(name="bench_images")
+    s.add("expect_image_bytes_to_be_decodable", column="bytes", mostly=0.98)
+    s.add("expect_image_dims_to_match_metadata", mostly=0.95)
+    s.add("expect_image_fmt_to_match_metadata", mostly=0.95)
+    s.add("expect_image_phash_to_match", max_hamming_distance=0, mostly=0.9)
+    s.add("expect_column_values_to_not_be_null", column="caption", mostly=0.95)
+    s.add("expect_column_values_to_be_in_set", column="fmt", value_set=["png", "jpeg", "webp"])
+    s.add("expect_table_row_count_to_be_between", min_value=1, max_value=10**12)
+    return s
+
+
+def bench_images(spark, n_images: int) -> dict:
+    """North-star workload: image-payload validation throughput. Generation
+    and validation both run on the executors (mapInPandas / pandas_udf)."""
+    from great_expectations_spark.operators.images import validate_images
+    from great_expectations_spark.testing.images import distributed_images_df
+
+    df = distributed_images_df(spark, n_images, partitions=max(CPUS * 2, 16))
+    t0 = time.time()
+    result = validate_images(df, _image_suite(), partition_by=["fmt"], persist=True)
+    dt = time.time() - t0
+    assert result.results, "no results"
+    return {"sec": dt, "rows": n_images, "rows_per_sec": n_images / dt}
+
+
+def run_headline(spark) -> dict[str, float]:
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.operators import dedup as dd
+    from great_expectations_spark.operators import similarity as sim
+    from great_expectations_spark.operators import text as tx
+
+    engine = SparkValidationEngine(spark)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    timed(
+        "suite_lineitem",
+        lambda: engine.validate(
+            lineitem, _suite_lineitem(), result_format="BASIC", partition_by=["l_returnflag"]
+        ),
+    )
+
+    def ref_and_unique():
+        from great_expectations_spark.core.config import ExpectationSuite
+
+        s = ExpectationSuite(name="bench_orders")
+        s.add("expect_column_values_to_be_unique", column="o_orderkey")
+        s.add(
+            "expect_column_values_to_exist_in",
+            column="o_custkey",
+            ref=customer,
+            ref_column="c_custkey",
+            broadcast=True,
+        )
+        engine.validate(orders, s, result_format="BASIC")
+
+    timed("orders_unique_referential", ref_and_unique)
+
+    timed(
+        "text_stats",
+        lambda: tx.analyze_documents(documents).agg(
+            F.sum("n_tokens"), F.sum(F.length("fp"))
+        ).collect(),
+    )
+    timed(
+        "dedup_minhash",
+        lambda: dd.minhash_dedup_pairs(documents, threshold=0.5).count(),
+    )
+    timed(
+        "dedup_simhash",
+        lambda: dd.simhash_near_pairs(dd.simhash_signatures(documents), max_hamming=8).count(),
+    )
+    timed(
+        "sim_lsh_pairs",
+        lambda: sim.embedding_near_duplicate_pairs(
+            embeddings, threshold=0.2, n_planes=8
+        ).count(),
+    )
+    timed("images_validate", lambda: bench_images(spark, N_IMAGES))
+    return timings
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        out = {}
+        for cores in (8, 32):
+            spark = make_spark(cores)
+            spark.sparkContext.setLogLevel("ERROR")
+            # warm-up JVM/Arrow paths on a small run, then measure
+            bench_images(spark, 5000)
+            r = bench_images(spark, N_IMAGES)
+            out[f"local[{cores}]"] = {
+                "sec": round(r["sec"], 2),
+                "rows_per_sec": round(r["rows_per_sec"], 1),
+            }
+            spark.stop()
+        speedup = out["local[32]"]["rows_per_sec"] / out["local[8]"]["rows_per_sec"]
+        out["speedup_8_to_32"] = round(speedup, 3)
+        out["scaling_efficiency"] = round(speedup / 4.0, 3)
+        out["n_images"] = N_IMAGES
+        print(json.dumps(out))
+        return
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    timings = run_headline(spark)
+    total = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline validation+pipeline suite wall seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "n_images": N_IMAGES,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

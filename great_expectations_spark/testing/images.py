@@ -212,3 +212,64 @@ def images_df(spark, n: int = 1000, seed: int = 42, **kwargs):
     df = spark.createDataFrame(rows, schema=IMAGES_SCHEMA)
     ref = spark.createDataFrame(ref_rows, schema=REF_SCHEMA)
     return df, ref, truth
+
+
+# ---- distributed generation (benchmark / scale path) ---------------------
+
+
+def distributed_images_df(spark, n: int, partitions: int = 64, seed: int = 42):
+    """Images table generated ON THE EXECUTORS (mapInPandas over spark.range):
+    deterministic per image_id, so any two runs — and any two cluster sizes —
+    produce identical rows. This is the scale path for benchmarking: the
+    driver never materializes a row, generation + validation parallelize
+    across all cores, matching the input_hint schema exactly.
+
+    Violation injection (deterministic by id): every 97th image corrupt,
+    every 89th dim-mismatched, every 83rd fmt-mismatched, every 79th
+    phash-perturbed, every 73rd caption NULL.
+    """
+    import pandas as pd
+
+    fmt_names = list(FMT_WEIGHTS)
+    fmt_probs = list(FMT_WEIGHTS.values())
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = {
+                "image_id": [], "bytes": [], "w": [], "h": [],
+                "fmt": [], "caption": [], "phash": [],
+            }
+            for i in ids:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                fmt = str(rng.choice(fmt_names, p=fmt_probs))
+                side = int(rng.integers(8, 17))
+                pixels = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
+                data = encode_image(pixels, fmt)
+                _, _, _, decoded = decode_image(data)
+                w = h = side
+                ph = phash64(decoded)
+                caption = f"caption for image {i}"
+                if i % 97 == 0:
+                    data = data[: max(1, len(data) // 2)]
+                if i % 89 == 0:
+                    w = side + 1
+                if i % 83 == 0:
+                    fmt = "png" if fmt != "png" else "jpeg"
+                if i % 79 == 0:
+                    ph = (ph ^ (1 << (i % 64))) & ((1 << 64) - 1)
+                    if ph >= 1 << 63:
+                        ph -= 1 << 64
+                if i % 73 == 0:
+                    caption = None
+                out["image_id"].append(f"img-{i:012d}")
+                out["bytes"].append(bytes(data))
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["caption"].append(caption)
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)

@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run every __spark_entry__
+query at sf0.01 on Spark AND its DuckDB oracle, compare row count + sorted
+column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse -0.0 / 0.0 and represent consistently
+        if v == 0:
+            return 0.0
+        return v
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN {name}: 0 rows")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        sc, sr = norm_rows(scols, srows)
+        dc, dr = norm_rows(dcols, drows)
+        status = []
+        if sc != dc:
+            status.append(f"cols spark={sc} duck={dc}")
+        if len(sr) != len(dr):
+            status.append(f"rowcount spark={len(sr)} duck={len(dr)}")
+        elif sr != dr:
+            bad = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
+            status.append(f"values differ, first diffs: {bad}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(status))
+        else:
+            print(f"ok   {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
