@@ -137,3 +137,42 @@ class ExpectationSuite:
     @classmethod
     def from_json(cls, s: str) -> "ExpectationSuite":
         return cls.from_dict(json.loads(s))
+
+
+class EvaluationParameterError(KeyError):
+    pass
+
+
+def substitute_evaluation_parameters(
+    cfg: "ExpectationConfiguration", params: dict[str, Any]
+) -> "ExpectationConfiguration":
+    """Resolve ``{"$PARAMETER": "name"}`` kwarg values against bound
+    evaluation parameters — the reference's evaluation-parameter substitution
+    (validator/validator.py:356-361, core/evaluation_parameters.py:307-421),
+    minus the URN mini-language: parameters are plain names bound at validate
+    time (explicit arg > suite.evaluation_parameters)."""
+
+    def sub(v: Any) -> Any:
+        if isinstance(v, dict):
+            if "$PARAMETER" in v:
+                name = v["$PARAMETER"]
+                if name not in params:
+                    raise EvaluationParameterError(
+                        f"unbound evaluation parameter: {name}"
+                    )
+                return params[name]
+            return {k: sub(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [sub(x) for x in v]
+        return v
+
+    needs = any(
+        isinstance(v, (dict, list)) for v in cfg.kwargs.values()
+    )
+    if not needs:
+        return cfg
+    return ExpectationConfiguration(
+        expectation_type=cfg.expectation_type,
+        kwargs={k: sub(v) for k, v in cfg.kwargs.items()},
+        meta=dict(cfg.meta),
+    )

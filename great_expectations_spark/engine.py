@@ -32,6 +32,7 @@ class SparkValidationEngine:
         partition_by: Optional[list[str]] = None,
         persist: bool = False,
         meta: Optional[dict] = None,
+        evaluation_parameters: Optional[dict] = None,
     ) -> SuiteValidationResult:
         planner = SuitePlanner(
             df,
@@ -40,8 +41,21 @@ class SparkValidationEngine:
             partition_by=partition_by,
             spark=self.spark or df.sparkSession,
             persist=persist,
+            evaluation_parameters=evaluation_parameters,
         )
         return planner.run(meta=meta)
+
+    def violations(
+        self,
+        df: DataFrame,
+        suite: ExpectationSuite,
+        columns: Optional[list[str]] = None,
+    ) -> DataFrame:
+        """Violating rows as a DataFrame (COMPLETE mode at scale: write to a
+        table instead of collecting — plans/violations.py)."""
+        from great_expectations_spark.plans.violations import violations_df
+
+        return violations_df(df, suite, columns=columns)
 
     def results_df(self, result: SuiteValidationResult) -> DataFrame:
         """Validation results as a DataFrame (for persistence / the driver's

@@ -217,7 +217,9 @@ def _compile_z_scores(planner: Any, cfg: ExpectationConfiguration) -> None:
             ("z_unexpected", dom_id, eid), F.count(F.when(unexpected_cond, F.lit(1)))
         )
         if rf["result_format"] != "BOOLEAN_ONLY":
-            planner._sample_specs.append((eid, unexpected_cond, col, column))
+            planner._sample_specs.append(
+                (eid, unexpected_cond, col, column, state["a_unexp"])
+            )
 
     planner._deferred.append(finalize)
 

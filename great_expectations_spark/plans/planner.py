@@ -53,6 +53,7 @@ from great_expectations_spark.core.config import (
     ExpectationConfiguration,
     ExpectationSuite,
     deterministic_id,
+    substitute_evaluation_parameters,
 )
 from great_expectations_spark.core.result import (
     ExpectationValidationResult,
@@ -135,9 +136,16 @@ class SuitePlanner:
         spark: Optional[SparkSession] = None,
         complete_cap: int = COMPLETE_CAP,
         persist: bool = False,
+        evaluation_parameters: Optional[dict[str, Any]] = None,
     ) -> None:
         self.df = df
         self.suite = suite
+        # binding priority: explicit arg > suite-level (reference
+        # validator.py:1942-1966)
+        self.evaluation_parameters = {
+            **getattr(suite, "evaluation_parameters", {}),
+            **(evaluation_parameters or {}),
+        }
         self.rf = parse_result_format(result_format)
         self.partition_by = list(partition_by or [])
         self.spark = spark or df.sparkSession
@@ -148,8 +156,10 @@ class SuitePlanner:
         self._main_keys: dict[str, str] = {}  # key-json -> alias
         self._pre_aggs: dict[str, Column] = {}
         self._groupby_needs: dict[tuple, _GroupByNeed] = {}
-        self._sample_specs: list[tuple[str, Column, Column, Optional[str]]] = []
-        # (eid, unexpected_cond, value_expr, column_for_cast)
+        self._sample_specs: list[tuple[str, Column, Column, Optional[str], Optional[str]]] = []
+        # (eid, unexpected_cond, value_expr, column_for_cast, unexpected_alias)
+        # unexpected_alias: main-pass metric alias; branches with a known-zero
+        # global unexpected count are skipped in the sample pass
         self._items: list[_Item] = []
         self._deferred: list[Callable[[], None]] = []  # phase-2 compile (z-score)
         self._errors: list[tuple[ExpectationConfiguration, Exception]] = []
@@ -199,6 +209,10 @@ class SuitePlanner:
         for cfg in self.suite.expectations:
             t = cfg.expectation_type
             try:
+                if self.evaluation_parameters:
+                    cfg = substitute_evaluation_parameters(
+                        cfg, self.evaluation_parameters
+                    )
                 if t in schema_checks.SCHEMA_EXPECTATION_TYPES:
                     self._compile_schema(cfg)
                 elif is_map_expectation(t):
@@ -252,7 +266,9 @@ class SuitePlanner:
         eid = cfg.id
         cast_col = mc.sample_cast_column()
         if self.rf["result_format"] != "BOOLEAN_ONLY":
-            self._sample_specs.append((eid, unexpected_cond, mc.value_expr, cast_col))
+            self._sample_specs.append(
+                (eid, unexpected_cond, mc.value_expr, cast_col, a_unexp)
+            )
         counts_nulls = mc.counts_nulls
 
         def decide(ctx: _Ctx) -> tuple[bool, dict]:
@@ -449,9 +465,17 @@ class SuitePlanner:
     def _run_samples(self, df: DataFrame, ctx: _Ctx) -> None:
         level = self.rf["result_format"]
         partial_n = self.rf["partial_unexpected_count"]
-        casters = {
-            eid: _caster_for(df, col) for eid, _, _, col in self._sample_specs
-        }
+        # the main pass already counted violations — branches whose global
+        # unexpected_count is 0 cannot produce sample rows; pruning them
+        # makes the happy path (all expectations pass) sample-free
+        specs = [
+            s
+            for s in self._sample_specs
+            if s[4] is None or (ctx.metrics.get(s[4]) or 0) > 0
+        ]
+        if not specs:
+            return
+        casters = {eid: _caster_for(df, col) for eid, _, _, col, _ in specs}
         if level == "BASIC":
             branches = [
                 df.filter(cond)
@@ -459,7 +483,7 @@ class SuitePlanner:
                     F.lit(eid).alias("_eid"), value.cast("string").alias("_val")
                 )
                 .limit(partial_n)
-                for eid, cond, value, _ in self._sample_specs
+                for eid, cond, value, _, _ in specs
             ]
             unioned = branches[0]
             for b in branches[1:]:
@@ -476,7 +500,7 @@ class SuitePlanner:
                 .orderBy(F.desc("_cnt"), F.asc("_val"))
                 .limit(cap)
                 .select(F.lit(eid).alias("_eid"), "_val", "_cnt")
-                for eid, cond, value, _ in self._sample_specs
+                for eid, cond, value, _, _ in specs
             ]
             unioned = branches[0]
             for b in branches[1:]:
@@ -580,6 +604,16 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
     mostly = validate_mostly(cfg.kwargs.get("mostly"))
     dom, dom_id = planner._domain(cfg)
     a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
+    # approx_count_distinct (HLL) rides the single bundled scan; the exact
+    # count comes from the shuffle-bounded groupBy pass — reconciling the two
+    # is the scale-path sanity check (north rule: hash-distinct + approx
+    # reconciliation; at 10^12 rows the approx pass alone can gate cheaply
+    # before the shuffle is paid).
+    key_col = F.col(cols[0]) if len(cols) == 1 else F.struct(*[F.col(c) for c in cols])
+    a_approx = planner._reg(
+        ("approx_distinct", dom_id, ",".join(cols)),
+        F.approx_count_distinct(F.when(dom, key_col), rsd=0.01),
+    )
     key = planner._need_groupby(
         cols, drop_nulls=drop_nulls, want_dup_stats=True, want_dup_sample=True
     )
@@ -610,7 +644,18 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
             unexpected_list=sample if not ctx.is_partition else None,
         )
         result = out.get("result", {})
-        result["details"] = {"duplicate_value_count": gb.dup_value_count}
+        approx = ctx.metrics.get(a_approx)
+        exact = gb.distinct_count
+        result["details"] = {
+            "duplicate_value_count": gb.dup_value_count,
+            "distinct_count_exact": exact,
+            "distinct_count_approx": int(approx) if approx is not None else None,
+            "approx_rel_error": (
+                round(abs(int(approx) - exact) / exact, 6)
+                if approx is not None and exact
+                else None
+            ),
+        }
         return bool(success), result
 
     planner._items.append(_Item(cfg, decide, partition_capable=False))

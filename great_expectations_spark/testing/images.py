@@ -82,10 +82,8 @@ def phash64(pixels: np.ndarray) -> int:
         padded[:, w:] = padded[:, w - 1 : w]
     blocks = padded.reshape(8, ph // 8, 8, pw // 8).mean(axis=(1, 3))
     bits = (blocks > blocks.mean()).flatten()
-    val = 0
-    for i, b in enumerate(bits):
-        if b:
-            val |= 1 << i
+    # bit i of the hash = bits[i] (vectorized packing, little-endian)
+    val = int.from_bytes(np.packbits(bits, bitorder="little").tobytes(), "little")
     # to signed 64-bit
     if val >= 1 << 63:
         val -= 1 << 64
@@ -217,7 +215,13 @@ def images_df(spark, n: int = 1000, seed: int = 42, **kwargs):
 # ---- distributed generation (benchmark / scale path) ---------------------
 
 
-def distributed_images_df(spark, n: int, partitions: int = 64, seed: int = 42):
+def distributed_images_df(
+    spark,
+    n: int,
+    partitions: int = 64,
+    seed: int = 42,
+    side_range: tuple[int, int] = (8, 17),
+):
     """Images table generated ON THE EXECUTORS (mapInPandas over spark.range):
     deterministic per image_id, so any two runs — and any two cluster sizes —
     produce identical rows. This is the scale path for benchmarking: the
@@ -244,7 +248,7 @@ def distributed_images_df(spark, n: int, partitions: int = 64, seed: int = 42):
                 i = int(i)
                 rng = np.random.default_rng(seed * 1_000_003 + i)
                 fmt = str(rng.choice(fmt_names, p=fmt_probs))
-                side = int(rng.integers(8, 17))
+                side = int(rng.integers(side_range[0], side_range[1]))
                 pixels = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
                 data = encode_image(pixels, fmt)
                 _, _, _, decoded = decode_image(data)
