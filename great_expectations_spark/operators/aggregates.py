@@ -113,9 +113,12 @@ def _build_quantile_values(kwargs: dict, dom: Column, reg: RegFn) -> DecideFn:
 
 def _build_unique_value_count(kwargs: dict, dom: Column, reg: RegFn) -> DecideFn:
     name = kwargs["column"]
+    # distinct=True → isolated bundle (a count_distinct inside the shared
+    # bundle would re-key EVERY metric's buffer by the distinct value)
     alias = reg(
         ("column.distinct_values.count", name),
         F.count_distinct(_dom_col(dom, F.col(name))),
+        distinct=True,
     )
     return _value_between_decider(alias, kwargs)
 
@@ -124,7 +127,9 @@ def _build_proportion_unique(kwargs: dict, dom: Column, reg: RegFn) -> DecideFn:
     name = kwargs["column"]
     col = F.col(name)
     a_distinct = reg(
-        ("column.distinct_values.count", name), F.count_distinct(_dom_col(dom, col))
+        ("column.distinct_values.count", name),
+        F.count_distinct(_dom_col(dom, col)),
+        distinct=True,
     )
     a_nonnull = reg(("column.nonnull_count", name), F.count(_dom_col(dom, col)))
     bk = _between_kwargs(kwargs)

@@ -153,6 +153,13 @@ class SuitePlanner:
         self.persist = persist
 
         self._main_aggs: dict[str, Column] = {}
+        # distinct-style aggregates (count_distinct) run in a SEPARATE
+        # bundled pass: a single count_distinct inside the main bundle makes
+        # Catalyst re-key the WHOLE bundle by (group, value) through the
+        # shuffle — every other metric's buffer would ride a 10^12-key
+        # exchange. Isolated, the distinct pass shuffles only (group, value)
+        # pairs after map-side dedup.
+        self._distinct_aggs: dict[str, Column] = {}
         self._main_keys: dict[str, str] = {}  # key-json -> alias
         self._pre_aggs: dict[str, Column] = {}
         self._groupby_needs: dict[tuple, _GroupByNeed] = {}
@@ -166,14 +173,15 @@ class SuitePlanner:
 
     # ---- registration helpers -------------------------------------------
 
-    def _reg(self, key_parts: tuple, expr: Column) -> str:
+    def _reg(self, key_parts: tuple, expr: Column, distinct: bool = False) -> str:
         """Metric-identity dedup: same key → same aggregate expression."""
         key = json.dumps([str(p) for p in key_parts])
         alias = self._main_keys.get(key)
         if alias is None:
             alias = "m_" + deterministic_id(key)
             self._main_keys[key] = alias
-            self._main_aggs[alias] = expr.alias(alias)
+            target = self._distinct_aggs if distinct else self._main_aggs
+            target[alias] = expr.alias(alias)
         return alias
 
     def _reg_pre(self, key_parts: tuple, expr: Column) -> str:
@@ -313,11 +321,13 @@ class SuitePlanner:
             for fin in self._deferred:
                 fin(pre_metrics)  # type: ignore[call-arg]
 
-        # phase 1: the bundled main pass
+        # phase 1: the bundled main pass (+ isolated distinct bundle)
         global_metrics: dict[str, Any] = {}
         partition_rows: list[tuple[dict, dict]] = []  # (partition_key, metrics)
-        if self._main_aggs:
-            exprs = list(self._main_aggs.values())
+        part_index: dict[str, dict] = {}  # json(pkey) -> metrics dict
+        for exprs in (list(self._main_aggs.values()), list(self._distinct_aggs.values())):
+            if not exprs:
+                continue
             if self.partition_by:
                 gid = (1 << len(self.partition_by)) - 1
                 res = (
@@ -330,11 +340,15 @@ class SuitePlanner:
                     g = d.pop("_gid")
                     pkey = {c: d.pop(c) for c in self.partition_by}
                     if g == gid:
-                        global_metrics = d
+                        global_metrics.update(d)
                     elif g == 0:
-                        partition_rows.append((pkey, d))
+                        k = json.dumps(pkey, sort_keys=True, default=str)
+                        if k not in part_index:
+                            part_index[k] = {}
+                            partition_rows.append((pkey, part_index[k]))
+                        part_index[k].update(d)
             else:
-                global_metrics = df.agg(*exprs).collect()[0].asDict()
+                global_metrics.update(df.agg(*exprs).collect()[0].asDict())
 
         # phase 2: groupBy passes (value-counts family)
         ctx = _Ctx()
