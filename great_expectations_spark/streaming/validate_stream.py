@@ -1,0 +1,118 @@
+"""Structured-Streaming validation.
+
+The reference is batch-only (SURVEY.md §1.1 — no streams/watermarks/state);
+this module is new surface for pipelines that land data continuously:
+
+1. ``validation_sink`` / ``validate_stream`` — per-micro-batch suite
+   validation via ``foreachBatch``: each micro-batch is a Batch in the
+   reference's sense, validated with the same planner (bundled agg passes),
+   results appended to a ResultsStore. Exactly-once-ish by (run_id=batch_id)
+   idempotence.
+2. ``streaming_metrics`` — fully streaming alternative for map expectations:
+   compiles every map condition to ``sum(when(unexpected,1))`` aggregates
+   over event-time windows with a watermark, so late data folds in and state
+   is bounded. Emits one row per (window, metrics) — a live data-quality
+   dashboard feed; thresholding/alerting happens downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.config import ExpectationSuite
+from great_expectations_spark.operators.conditions import (
+    compile_map_condition,
+    is_map_expectation,
+)
+
+
+def validation_sink(
+    suite: ExpectationSuite,
+    store: Optional[Any] = None,
+    result_format: Any = "BASIC",
+    partition_by: Optional[list[str]] = None,
+    on_result: Optional[Callable[[Any, int], None]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback: validate each micro-batch with the full engine.
+
+    ``store``: ResultsStore — results/lineage appended per batch with
+    run_id = "stream-<batch_id>" (idempotent on retries of the same batch).
+    ``on_result(result, batch_id)``: in-process hook (alerting, metrics).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from great_expectations_spark.engine import SparkValidationEngine
+
+        engine = SparkValidationEngine(batch_df.sparkSession)
+        result = engine.validate(
+            batch_df, suite, result_format=result_format, partition_by=partition_by
+        )
+        result.meta["batch_id"] = batch_id
+        if store is not None:
+            store.write_results(result, run_id=f"stream-{batch_id}")
+        if on_result is not None:
+            on_result(result, batch_id)
+
+    return process
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    suite: ExpectationSuite,
+    checkpoint_location: str,
+    store: Optional[Any] = None,
+    trigger: Optional[dict] = None,
+    **sink_kwargs: Any,
+):
+    """Attach per-micro-batch validation to a streaming DataFrame and start
+    the query. ``trigger``: e.g. {"availableNow": True} or
+    {"processingTime": "30 seconds"}."""
+    writer = stream_df.writeStream.foreachBatch(
+        validation_sink(suite, store=store, **sink_kwargs)
+    ).option("checkpointLocation", checkpoint_location)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def streaming_metrics(
+    stream_df: DataFrame,
+    suite: ExpectationSuite,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    slide_duration: Optional[str] = None,
+) -> DataFrame:
+    """Per-event-time-window unexpected counts for every map expectation.
+
+    Pure streaming aggregation (watermark bounds state; map-side partial
+    aggregation keeps shuffle at one row per window per partition). Columns:
+    window, element_count, then per-expectation `<type>[#i]_unexpected`.
+    """
+    # watermarks require TIMESTAMP; transparently lift TIMESTAMP_NTZ (UTC)
+    if stream_df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("element_count")]
+    seen: dict[str, int] = {}
+    for cfg in suite.expectations:
+        if not is_map_expectation(cfg.expectation_type):
+            continue
+        mc = compile_map_condition(cfg.expectation_type, cfg.kwargs)
+        unexpected = mc.considered & F.coalesce(~mc.expected, F.lit(False))
+        n = seen.get(cfg.expectation_type, 0)
+        seen[cfg.expectation_type] = n + 1
+        label = cfg.expectation_type if n == 0 else f"{cfg.expectation_type}#{n}"
+        aggs.append(F.sum(F.when(unexpected, 1).otherwise(0)).alias(f"{label}_unexpected"))
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(win.alias("window"))
+        .agg(*aggs)
+    )

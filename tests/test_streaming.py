@@ -1,0 +1,131 @@
+"""Structured-Streaming validation (streaming/validate_stream.py) + partition
+builders (operators/partition.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.config import ExpectationSuite
+from great_expectations_spark.operators.partition import (
+    build_categorical_partition_object,
+    build_partition_bins,
+    build_partition_object,
+)
+from great_expectations_spark.streaming.validate_stream import (
+    streaming_metrics,
+    validate_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("stream_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(str(src / "events"))
+    return str(src / "events")
+
+
+def _suite():
+    s = ExpectationSuite(name="stream")
+    s.add("expect_column_values_to_not_be_null", column="event_type")
+    s.add(
+        "expect_column_values_to_be_in_set",
+        column="event_type",
+        value_set=["click", "view", "purchase", "signup"],  # 'error' violates
+    )
+    s.add("expect_column_values_to_be_between", column="value", min_value=0)
+    return s
+
+
+def test_validate_stream_micro_batches(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    results = []
+    q = validate_stream(
+        stream,
+        _suite(),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        on_result=lambda r, bid: results.append((bid, r)),
+    )
+    q.awaitTermination(120)
+    assert results, "no micro-batches validated"
+    total_elem = sum(
+        r.results[0].result["element_count"] for _, r in results
+    )
+    assert total_elem == spark.read.parquet(events_stream_dir).count()
+    # in_set expectation must have flagged 'error' rows across batches
+    total_unexpected = sum(
+        r.results[1].result["unexpected_count"] for _, r in results
+    )
+    expected_errors = (
+        spark.read.parquet(events_stream_dir)
+        .filter("event_type = 'error'")
+        .count()
+    )
+    assert total_unexpected == expected_errors
+
+
+def test_streaming_metrics_windowed(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    metrics = streaming_metrics(
+        stream, _suite(), ts_col="ts", window_duration="1 day", watermark_delay="0 seconds"
+    )
+    q = (
+        metrics.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stream_metrics").collect()
+    # append mode emits only watermark-closed windows; with availableNow the
+    # final window may be withheld — compare against the closed subset
+    assert rows
+    batch = spark.read.parquet(events_stream_dir)
+    for r in rows:
+        start, end = r["window"]["start"], r["window"]["end"]
+        sub = batch.filter((F.col("ts") >= start) & (F.col("ts") < end))
+        assert r["element_count"] == sub.count()
+        assert (
+            r["expect_column_values_to_be_in_set_unexpected"]
+            == sub.filter("event_type = 'error'").count()
+        )
+
+
+def test_build_partition_uniform_and_auto(spark, lineitem):
+    po = build_partition_object(lineitem, "l_quantity", bins="uniform", n_bins=5)
+    assert len(po["bins"]) == 6
+    assert abs(sum(po["weights"]) - 1.0) < 1e-9
+    assert po["tail_weights"] == [0.0, 0.0]
+    auto_bins = build_partition_bins(lineitem, "l_quantity", bins="auto")
+    assert len(auto_bins) >= 2
+    q_bins = build_partition_bins(lineitem, "l_quantity", bins="ntile", n_bins=4)
+    assert sorted(q_bins) == q_bins
+
+
+def test_partition_feeds_drift_expectation(spark, lineitem):
+    """Baseline partition from one half of the data validates the other."""
+    from great_expectations_spark.engine import validate
+
+    base = lineitem.filter("l_orderkey % 2 = 0")
+    rest = lineitem.filter("l_orderkey % 2 = 1")
+    po = build_partition_object(base, "l_quantity", bins="uniform", n_bins=8)
+    s = ExpectationSuite(name="drift")
+    s.add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="l_quantity",
+        partition_object=po,
+        threshold=0.05,
+    )
+    res = validate(rest, s)
+    assert res.results[0].success is True  # same distribution
+    assert res.results[0].result["observed_value"] < 0.05
+
+
+def test_categorical_partition_object(spark, lineitem):
+    po = build_categorical_partition_object(lineitem, "l_returnflag")
+    assert po["values"] == ["A", "N", "R"]
+    assert abs(sum(po["weights"]) - 1.0) < 1e-9
+    assert build_categorical_partition_object(lineitem, "l_orderkey", max_values=10) is None
