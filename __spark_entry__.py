@@ -1265,6 +1265,138 @@ GROUP BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# violations table / partition builders / samplers / streaming
+# ---------------------------------------------------------------------------
+
+
+def q_violations(spark, sf_dir):
+    """Distributed COMPLETE-mode: violating rows labeled per expectation
+    (plans/violations.py — no driver collect)."""
+    from great_expectations_spark.plans.violations import violations_df
+
+    li = _load(spark, sf_dir, "lineitem")
+    s = ExpectationSuite(name="v")
+    s.add("expect_column_values_to_be_between", column="l_quantity", min_value=1, max_value=40)
+    s.add("expect_column_values_to_be_in_set", column="l_returnflag", value_set=["A", "N"])
+    v = violations_df(li, s, columns=["l_orderkey", "l_linenumber"])
+    return v.select(
+        "l_orderkey", "l_linenumber", F.explode("_violated_expectations").alias("violation")
+    )
+
+
+SQL_VIOLATIONS = """
+SELECT l_orderkey, l_linenumber, 'expect_column_values_to_be_between' AS violation
+FROM lineitem WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 40)
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'expect_column_values_to_be_in_set'
+FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+"""
+
+
+def q_partition_builder(spark, sf_dir):
+    from great_expectations_spark.operators.partition import build_partition_object
+
+    li = _load(spark, sf_dir, "lineitem")
+    po = build_partition_object(li, "l_quantity", bins="uniform", n_bins=5)
+    rows = [
+        (i, float(po["bins"][i]), float(po["bins"][i + 1]), float(w))
+        for i, w in enumerate(po["weights"])
+    ]
+    out = spark.createDataFrame(rows, "bin long, lo double, hi double, weight double")
+    return out.select(
+        "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+# uniform bins over [min,max]=[1,50]: width 9.8; last bin closed
+SQL_PARTITION_BUILDER = """
+WITH m AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi, count(l_quantity) AS n FROM lineitem),
+b AS (SELECT i, m.lo + i * (m.hi - m.lo)/5 AS blo, m.lo + (i+1) * (m.hi - m.lo)/5 AS bhi, m.n
+      FROM m, (SELECT unnest([0,1,2,3,4]) AS i))
+SELECT CAST(b.i AS BIGINT) AS bin, round(b.blo, 6) AS lo, round(b.bhi, 6) AS hi,
+       round(CAST((SELECT count(*) FROM lineitem l
+                   WHERE l.l_quantity >= b.blo
+                     AND (CASE WHEN b.i = 4 THEN l.l_quantity <= b.bhi ELSE l.l_quantity < b.bhi END))
+             AS DOUBLE) / b.n, 6) AS weight
+FROM b
+"""
+
+
+def q_sampler_splitter(spark, sf_dir):
+    """Native mod sampler + sha2 hash splitter (reference uses per-row Python
+    UDF hashing — sparkdf_data_sampler.py:161-203)."""
+    from great_expectations_spark.sources import split_sample as ss
+
+    o = _load(spark, sf_dir, "orders")
+    mod = ss.sample_using_mod(o, "o_orderkey", 10, 3).select(
+        F.lit("mod").alias("src"), F.col("o_orderkey").alias("key")
+    )
+    hashed = o.filter(ss.split_on_hashed_column("o_orderkey", 1, "a")).select(
+        F.lit("hash").alias("src"), F.col("o_orderkey").alias("key")
+    )
+    return mod.unionAll(hashed)
+
+
+SQL_SAMPLER_SPLITTER = """
+SELECT 'mod' AS src, o_orderkey AS key FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT 'hash', o_orderkey FROM orders WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+"""
+
+
+def q_streaming_metrics(spark, sf_dir):
+    """Watermarked event-time-window unexpected counts over the events table
+    replayed as a stream (availableNow). Append mode emits only
+    watermark-closed windows (end <= max event time)."""
+    import tempfile
+
+    from great_expectations_spark.streaming.validate_stream import streaming_metrics
+
+    ev = _load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ges_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    s = ExpectationSuite(name="sm")
+    s.add(
+        "expect_column_values_to_be_in_set",
+        column="event_type",
+        value_set=["click", "view", "purchase", "signup"],
+    )
+    m = streaming_metrics(
+        stream, s, ts_col="ts", window_duration="1 day", watermark_delay="0 seconds"
+    )
+    name = "ges_stream_metrics_q"
+    q = (
+        m.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+        F.col("element_count"),
+        F.col("expect_column_values_to_be_in_set_unexpected").alias("unexpected"),
+    )
+
+
+SQL_STREAMING_METRICS = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS unexpected
+FROM events, mx
+GROUP BY date_trunc('day', ts), mx.m
+HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= mx.m
+"""
+
+
+# ---------------------------------------------------------------------------
 # image payload (synthesized per BASELINE.json input_hint; rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -1367,6 +1499,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monotonic": q_monotonic,
     "query_no_rows": q_query_no_rows,
     "schema_checks": q_schema_checks,
+    "violations": q_violations,
+    "partition_builder": q_partition_builder,
+    "sampler_splitter": q_sampler_splitter,
+    "streaming_metrics": q_streaming_metrics,
     # text / dedup / similarity
     "text_stats": q_text_stats,
     "text_lang": q_text_lang,
@@ -1417,6 +1553,10 @@ _ORACLES: dict[str, str] = {
     "monotonic": SQL_MONOTONIC,
     "query_no_rows": SQL_QUERY_NO_ROWS,
     "schema_checks": SQL_SCHEMA_CHECKS,
+    "violations": SQL_VIOLATIONS,
+    "partition_builder": SQL_PARTITION_BUILDER,
+    "sampler_splitter": SQL_SAMPLER_SPLITTER,
+    "streaming_metrics": SQL_STREAMING_METRICS,
     "text_stats": SQL_TEXT_STATS,
     "text_lang": SQL_TEXT_LANG,
     "dedup_exact": SQL_DEDUP_EXACT,
