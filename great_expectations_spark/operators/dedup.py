@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 
 from great_expectations_spark.operators.text import normalize_text, tokens
 
+
+def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Small inputs often arrive as one or two file partitions — every
+    CPU-heavy operator here would then run on one core. Repartition by the
+    id up to default parallelism when the input has fewer partitions (no-op
+    on well-partitioned production tables)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 # ---- exact dedup --------------------------------------------------------
 
 
@@ -65,10 +77,17 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---- shingles / minhash LSH --------------------------------------------
 
 
-def char_shingles(col: Column, k: int = 5) -> Column:
+def char_shingles(col: Column, k: int = 5, normalized: bool = False) -> Column:
     """Distinct k-char shingles of the normalized text (native sequence +
-    transform + substr)."""
-    norm = normalize_text(col)
+    transform + substr).
+
+    IMPORTANT: expressions referenced inside a ``transform`` lambda are
+    re-evaluated PER ELEMENT — inlining ``normalize_text`` here would run its
+    regexp once per shingle (~300× per doc). Callers on a hot path must
+    materialize the normalized text as a column in a prior projection and
+    pass ``normalized=True`` (projections keep the alias separate because the
+    reference is non-cheap and used multiple times)."""
+    norm = col if normalized else normalize_text(col)
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1)), F.lit(1))
     return F.array_distinct(F.transform(starts, lambda s: norm.substr(s, F.lit(k))))
@@ -83,6 +102,34 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def _permutation_constants(num_hashes: int, seed: int = 1_000_003) -> list[tuple[int, int, int]]:
+    """Deterministic (xor_pre, rot, xor_post) triples for bijective 64-bit
+    mixing h -> rot(h ^ a, r) ^ b — shifts and xors only, so the expression
+    is safe under Spark's ANSI overflow checking (a*h+b would raise).
+    Splitmix-ish constant derivation."""
+    out = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for i in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = x
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = x
+        r = (i * 37) % 63 + 1
+        out.append((_to_signed64(a), r, _to_signed64(b)))
+    return out
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _permute64(col: Column, a: int, r: int, b: int) -> Column:
+    """rot_left(col ^ a, r) ^ b — bijective, ANSI-safe (no arithmetic)."""
+    x = col.bitwiseXOR(F.lit(a))
+    rotated = F.shiftleft(x, r).bitwiseOR(F.shiftrightunsigned(x, 64 - r))
+    return rotated.bitwiseXOR(F.lit(b))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -90,17 +137,28 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, sig array<int>) — min over shingles of num_hashes seeded hashes.
+    """(id, sig array<long>) — min over shingles of num_hashes permutations.
 
-    One explode + one groupBy(id) with num_hashes min() partials — map-side
-    combine keeps the shuffle at num_hashes ints per doc."""
-    exploded = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    Each shingle is string-hashed ONCE (xxhash64); the num_hashes
+    permutations are bijective xor-rotate-xor mixes of that long, so the
+    per-shingle cost is one string hash + num_hashes shift/xor triples
+    instead of num_hashes string hashes (~10× less CPU at num_hashes=64).
+    One explode + one groupBy(id) with min() partials — map-side combine
+    keeps the shuffle at num_hashes longs per doc."""
+    normed = _ensure_parallelism(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")),
+        id_col,
     )
+    hashed = normed.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col("_norm"), shingle_k, normalized=True)).alias("sh"),
+    ).select(F.col(id_col), F.xxhash64("sh").alias("th"))
+    consts = _permutation_constants(num_hashes)
     aggs = [
-        F.min(F.hash(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(_permute64(F.col("th"), a, r, b)).alias(f"h{i}")
+        for i, (a, r, b) in enumerate(consts)
     ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -192,8 +250,11 @@ def simhash_signatures(
 
     explode(tokens) → for each bit: sum(±1 by token-hash bit) → assemble.
     One shuffle (groupBy id), `bits` tiny agg columns."""
-    exploded = df.select(
-        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok")
+    exploded = _ensure_parallelism(
+        df.select(
+            F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok")
+        ),
+        id_col,
     ).withColumn("th", F.xxhash64("tok"))
     aggs = [
         F.sum(
@@ -269,9 +330,12 @@ def token_jaccard_pairs(
 
     |∩| from the join, |A|,|B| from a pre-agg; jaccard = c/(na+nb-c).
     SQL-expressible — the DuckDB oracle reproduces it exactly."""
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("tok"),
+    tok = _ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("tok"),
+        ),
+        id_col,
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ta = tok.select(F.col(id_col).alias("a"), "tok")
