@@ -93,8 +93,11 @@ def char_shingles(col: Column, k: int = 5, normalized: bool = False) -> Column:
     return F.array_distinct(F.transform(starts, lambda s: norm.substr(s, F.lit(k))))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    toks = tokens(normalize_text(col))
+def word_shingles(col: Column, k: int = 3, normalized: bool = False) -> Column:
+    """Hot paths: pre-materialize normalized text (see char_shingles note —
+    the toks expression inside the transform lambda re-evaluates per
+    element unless it is a plain column reference upstream)."""
+    toks = tokens(col if normalized else normalize_text(col))
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)), F.lit(1))
     return F.array_distinct(

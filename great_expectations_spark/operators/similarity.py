@@ -25,6 +25,16 @@ def _lit_array(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Embedding tables often arrive as one small file partition — cosine
+    math would then run on one core. Repartition up to default parallelism
+    when underpartitioned (no-op on well-partitioned tables)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -59,7 +69,8 @@ def brute_force_topk(
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     sim = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
     return (
-        df.select(F.col(id_col), sim.alias("cosine"))
+        _ensure_parallelism(df, id_col)
+        .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -115,7 +126,8 @@ def lsh_topk(
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     sim = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
     return (
-        df.filter(probe)
+        _ensure_parallelism(df, id_col)
+        .filter(probe)
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -136,17 +148,21 @@ def embedding_near_duplicate_pairs(
     pairs (quadratic only within buckets; AQE skew-splits hot buckets)."""
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    with_bucket = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    # norm computed once per VECTOR here, not once per pair in the join
+    with_bucket = _ensure_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("_n"),
     )
     left = with_bucket.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket", F.col("_n").alias("na")
     )
     right = with_bucket.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket", F.col("_n").alias("nb")
     )
     pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
-    sim = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("a", "b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -162,10 +178,13 @@ def brute_force_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ τ (oracle/baseline; quadratic — small inputs
     only)."""
-    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    df = _ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    )
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("_n").alias("na"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("_n").alias("nb"))
     pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
-    sim = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select("a", "b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

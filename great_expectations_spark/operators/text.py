@@ -128,11 +128,17 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def rolling_fingerprints(col: Column, k: int = 50, stride: int = 25) -> Column:
+def rolling_fingerprints(
+    col: Column, k: int = 50, stride: int = 25, normalized: bool = False
+) -> Column:
     """Array of window fingerprints (rolling-hash-style document shingles at
     character granularity): md5 of each k-char window every `stride` chars.
-    Native: sequence + transform + substr — no Python."""
-    norm = normalize_text(col)
+    Native: sequence + transform + substr — no Python.
+
+    Hot paths: materialize ``normalize_text`` as a column first and pass
+    ``normalized=True`` — expressions referenced inside the transform lambda
+    re-evaluate per element."""
+    norm = col if normalized else normalize_text(col)
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1)), F.lit(stride))
     return F.transform(starts, lambda s: F.md5(norm.substr(s, F.lit(k))))
