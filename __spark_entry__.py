@@ -980,6 +980,108 @@ FROM s
 """
 
 
+def q_cramers_phi(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "cramers_phi",
+                "expect_column_pair_cramers_phi_value_to_be_less_than",
+                {"column_A": "l_returnflag", "column_B": "l_linestatus", "threshold": 0.1},
+            )
+        ],
+    )
+    evr = res.results[0]
+    rows = [("cramers_phi", float(evr.result["observed_value"]), 1 if evr.success else 0)]
+    out = spark.createDataFrame(rows, OBS_SCHEMA)
+    return out.select("expectation", F.round("observed", 6).alias("observed"), "success")
+
+
+SQL_CRAMERS_PHI = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, CAST(count(*) AS DOUBLE) AS o
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2),
+margins AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS ra,
+         sum(o) OVER (PARTITION BY b) AS cb,
+         sum(o) OVER () AS n
+  FROM cells),
+chi AS (SELECT sum(pow(o - ra*cb/n, 2) / (ra*cb/n)) AS chi2, max(n) AS n,
+               count(DISTINCT a) AS r, count(DISTINCT b) AS c
+        FROM margins)
+SELECT 'cramers_phi' AS expectation,
+       round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS observed,
+       CAST(CASE WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.1 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM chi
+"""
+
+
+def q_param_ks(spark, sf_dir):
+    """One-sample KS vs uniform(1,49) via GK quantile sketch (approximate —
+    rows-only check)."""
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "param_ks_uniform",
+                "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+                {
+                    "column": "l_quantity",
+                    "distribution": "uniform",
+                    "params": {"min": 1.0, "range": 49.0},
+                    "p_value": 0.001,
+                },
+            )
+        ],
+    )
+    evr = res.results[0]
+    rows = [("param_ks_uniform", 1 if evr.success else 0)]
+    return spark.createDataFrame(rows, "expectation string, success long")
+
+
+def q_json_schema(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return _map_metrics_df(
+        spark,
+        ev,
+        [
+            (
+                "json_schema",
+                "expect_column_values_to_match_json_schema",
+                {
+                    "column": "props",
+                    "json_schema": {
+                        "type": "object",
+                        "properties": {"k": {"type": "integer", "minimum": 0}},
+                        "required": ["k"],
+                    },
+                },
+            )
+        ],
+    )
+
+
+SQL_JSON_SCHEMA = """
+SELECT 'json_schema' AS expectation,
+       CAST(count(*) AS BIGINT) AS element_count,
+       CAST(sum(CASE WHEN NOT (json_valid(props)
+                 AND json_type(json_extract(props, '$.k')) IN ('INTEGER','UBIGINT','BIGINT')
+                 AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       CAST(CASE WHEN sum(CASE WHEN NOT (json_valid(props)
+                 AND json_type(json_extract(props, '$.k')) IN ('INTEGER','UBIGINT','BIGINT')
+                 AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0)
+            THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # monotonic / query escape hatch / schema
 # ---------------------------------------------------------------------------
@@ -1495,6 +1597,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_chi2": q_drift_chi2,
     "drift_ks": q_drift_ks,
     "drift_psi": q_drift_psi,
+    "cramers_phi": q_cramers_phi,
+    "param_ks": q_param_ks,
+    "json_schema": q_json_schema,
     # special
     "monotonic": q_monotonic,
     "query_no_rows": q_query_no_rows,
@@ -1550,6 +1655,8 @@ _ORACLES: dict[str, str] = {
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_ks": SQL_DRIFT_KS,
     "drift_psi": SQL_DRIFT_PSI,
+    "cramers_phi": SQL_CRAMERS_PHI,
+    "json_schema": SQL_JSON_SCHEMA,
     "monotonic": SQL_MONOTONIC,
     "query_no_rows": SQL_QUERY_NO_ROWS,
     "schema_checks": SQL_SCHEMA_CHECKS,

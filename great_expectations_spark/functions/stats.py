@@ -196,3 +196,73 @@ def chi_square_test(
             continue
         stat += (o - e) ** 2 / e
     return stat, chi2_sf(stat, len(observed) - 1)
+
+
+# ---- parameterized distribution CDFs (for one-sample KS; no scipy) ------
+
+
+def norm_cdf(x: float, mean: float = 0.0, std: float = 1.0) -> float:
+    return 0.5 * (1.0 + math.erf((x - mean) / (std * math.sqrt(2.0))))
+
+
+def uniform_cdf(x: float, lo: float = 0.0, scale: float = 1.0) -> float:
+    if scale <= 0:
+        return 1.0 if x >= lo else 0.0
+    return min(1.0, max(0.0, (x - lo) / scale))
+
+
+def expon_cdf(x: float, loc: float = 0.0, scale: float = 1.0) -> float:
+    if x < loc:
+        return 0.0
+    return 1.0 - math.exp(-(x - loc) / scale)
+
+
+def parameterized_cdf(distribution: str, params) -> "Callable[[float], float]":
+    """CDF factory for the distributions the reference's parameterized KS
+    supports on our sketch path. ``params``: dict (named keys) or sequence
+    (positional loc/scale-style)."""
+    if isinstance(params, dict):
+        if distribution == "norm":
+            m = float(params.get("mean", params.get("loc", 0.0)))
+            s = float(params.get("std_dev", params.get("scale", 1.0)))
+            return lambda x: norm_cdf(x, m, s)
+        if distribution == "uniform":
+            lo = float(params.get("min", params.get("loc", 0.0)))
+            sc = float(params.get("range", params.get("scale", 1.0)))
+            return lambda x: uniform_cdf(x, lo, sc)
+        if distribution in ("expon", "exponential"):
+            lo = float(params.get("loc", 0.0))
+            sc = float(params.get("scale", 1.0))
+            return lambda x: expon_cdf(x, lo, sc)
+    else:
+        p = [float(v) for v in (params or [])]
+        if distribution == "norm":
+            return lambda x: norm_cdf(x, p[0] if p else 0.0, p[1] if len(p) > 1 else 1.0)
+        if distribution == "uniform":
+            return lambda x: uniform_cdf(x, p[0] if p else 0.0, p[1] if len(p) > 1 else 1.0)
+        if distribution in ("expon", "exponential"):
+            return lambda x: expon_cdf(x, p[0] if p else 0.0, p[1] if len(p) > 1 else 1.0)
+    raise ValueError(f"unsupported distribution: {distribution}")
+
+
+def cramers_phi(contingency: dict, n_rows: int, n_cols: int) -> tuple[float, float]:
+    """Cramér's V (phi_c) from a contingency table {(a_val, b_val): count}.
+
+    Returns (phi, chi2). phi = sqrt(chi2 / (N * min(r-1, c-1)))."""
+    total = float(sum(contingency.values()))
+    if total == 0 or n_rows < 2 or n_cols < 2:
+        return 0.0, 0.0
+    row_m: dict = {}
+    col_m: dict = {}
+    for (a, b), c in contingency.items():
+        row_m[a] = row_m.get(a, 0) + c
+        col_m[b] = col_m.get(b, 0) + c
+    chi2 = 0.0
+    for a, ra in row_m.items():
+        for b, cb in col_m.items():
+            exp = ra * cb / total
+            obs = contingency.get((a, b), 0)
+            if exp > 0:
+                chi2 += (obs - exp) ** 2 / exp
+    denom = total * min(len(row_m) - 1, len(col_m) - 1)
+    return (math.sqrt(chi2 / denom) if denom > 0 else 0.0), chi2

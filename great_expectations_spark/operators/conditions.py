@@ -20,10 +20,13 @@ but are all expressed as native Catalyst expressions (the reference's per-row
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import re
+
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -398,3 +401,68 @@ def register_map_expectation(
 ) -> None:
     """Extension point (image expectations etc. plug in here)."""
     _MAP_BUILDERS[expectation_type] = builder
+
+
+# ---- pandas-UDF-backed conditions (Arrow batches, never per-row Python) --
+
+
+def _json_schema_udf(schema_json: str):
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def matches(series: pd.Series) -> pd.Series:
+        # validator built once per executor batch stream, not per row
+        try:
+            import jsonschema
+
+            validator = jsonschema.Draft7Validator(_json.loads(schema_json))
+
+            def ok(v):
+                if v is None:
+                    return None
+                try:
+                    return validator.is_valid(_json.loads(v))
+                except Exception:
+                    return False
+
+        except ImportError:  # minimal fallback: parseable + type-of-root
+            root_type = _json.loads(schema_json).get("type")
+            py_types = {
+                "object": dict, "array": list, "string": str,
+                "number": (int, float), "integer": int, "boolean": bool,
+            }
+
+            def ok(v):
+                if v is None:
+                    return None
+                try:
+                    parsed = _json.loads(v)
+                except Exception:
+                    return False
+                want = py_types.get(root_type)
+                return True if want is None else isinstance(parsed, want)
+
+        return series.map(ok).astype("boolean")
+
+    return matches
+
+
+def _match_json_schema(kwargs: dict) -> MapCondition:
+    """expect_column_values_to_match_json_schema — Arrow pandas_udf batch
+    validation (reference runs per-row F.udf(jsonschema.validate) at
+    column_values_match_json_schema.py:38-57)."""
+    name = kwargs["column"]
+    col = F.col(name)
+    schema_json = json.dumps(kwargs["json_schema"], sort_keys=True)
+    expected = _json_schema_udf(schema_json)(col)
+    return MapCondition(
+        expected=F.coalesce(expected, F.lit(False)),
+        considered=col.isNotNull(),
+        value_expr=col,
+        columns=[name],
+    )
+
+
+_MAP_BUILDERS["expect_column_values_to_match_json_schema"] = _match_json_schema

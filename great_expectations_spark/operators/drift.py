@@ -24,10 +24,13 @@ from pyspark.sql import Column, functions as F
 from great_expectations_spark.core.config import ExpectationConfiguration
 from great_expectations_spark.functions.stats import (
     adjust_expected_weights,
+    chi2_sf,
     chi_square_test,
+    cramers_phi,
     kl_divergence,
     ks_from_histograms,
     ks_pvalue,
+    parameterized_cdf,
     psi,
 )
 
@@ -244,9 +247,84 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
     planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
+def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
+    """expect_column_pair_cramers_phi_value_to_be_less_than — categorical
+    association between two columns. Pandas-only in the reference
+    (self_check/util.py:1903-1906); here the contingency table comes from the
+    shared groupBy pass (one shuffle on (A,B)), phi is driver math.
+    Continuous columns should be pre-binned (the reference's bins_A/bins_B
+    path) — pass already-bucketed columns."""
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    a, b = kw["column_A"], kw["column_B"]
+    threshold = float(kw.get("threshold", 0.1))
+    key = planner._need_groupby((a, b), drop_nulls=True, want_top=True)
+
+    def decide(ctx) -> tuple[bool, dict]:
+        gb = ctx.groupby[key]
+        contingency = {values: cnt for values, cnt in gb.top}
+        rows = len({v[0] for v in contingency})
+        cols = len({v[1] for v in contingency})
+        phi, chi2 = cramers_phi(contingency, rows, cols)
+        return bool(phi < threshold), {
+            "observed_value": phi,
+            "details": {"chi_squared": chi2, "n_rows": rows, "n_cols": cols},
+        }
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
+
+
+def _compile_parameterized_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
+    """expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than
+    — one-sample KS against a named distribution (norm/uniform/expon).
+
+    Pandas-only in the reference (sample-based scipy.stats.kstest); the scale
+    path here evaluates |F_dist(x_p) − p| at K approximate sample quantiles
+    from the bundled agg pass (GK sketch — single pass, mergeable)."""
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    column = kw["column"]
+    p_threshold = float(kw.get("p_value", kw.get("p", 0.05)))
+    cdf = parameterized_cdf(kw["distribution"], kw.get("params"))
+    n_probe = int(kw.get("n_quantiles", 100))
+    dom, dom_id = planner._domain(cfg)
+    col = F.col(column)
+    probes = [i / n_probe for i in range(1, n_probe)]
+    a_q = planner._reg(
+        ("param_ks_quantiles", column, dom_id, n_probe),
+        F.percentile_approx(
+            F.when(dom, col), F.array(*[F.lit(p) for p in probes]), F.lit(10000)
+        ),
+    )
+    a_n = planner._reg(("nonnull", dom_id, column), F.count(F.when(dom, col)))
+
+    def decide(ctx) -> tuple[bool, dict]:
+        xs = ctx.metrics[a_q]
+        nonnull = ctx.metrics[a_n] or 0
+        if xs is None or nonnull == 0:
+            return True, {"observed_value": None}
+        d = max(abs(cdf(float(x)) - p) for x, p in zip(xs, probes))
+        pval = ks_pvalue(d, nonnull)
+        return bool(pval > p_threshold), {
+            "observed_value": pval,
+            "details": {"ks_statistic": d, "n_quantile_probes": n_probe},
+        }
+
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
+
+
 DRIFT_COMPILERS: dict[str, Callable[[Any, ExpectationConfiguration], None]] = {
     "expect_column_kl_divergence_to_be_less_than": _compile_kl,
     "expect_column_chi_square_test_p_value_to_be_greater_than": _compile_chi_square,
+    # reference spelling (expect_column_chisquare_test_p_value_to_be_greater_than.py)
+    "expect_column_chisquare_test_p_value_to_be_greater_than": _compile_chi_square,
     "expect_column_kstest_p_value_to_be_greater_than": _compile_ks,
+    # histogram-sketch stand-in for the reference's bootstrapped sample KS
+    # (pandas-only there — expect_column_bootstrapped_ks_test_p_value_...)
+    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than": _compile_ks,
     "expect_column_psi_to_be_less_than": _compile_psi,
+    "expect_column_pair_cramers_phi_value_to_be_less_than": _compile_cramers_phi,
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than": _compile_parameterized_ks,
 }

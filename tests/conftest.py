@@ -40,3 +40,8 @@ def documents(spark):
 @pytest.fixture(scope="session")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
