@@ -207,6 +207,9 @@ class SuiteValidationResult:
     # per-partition EVRs (partition != None), kept separate from the
     # whole-table results used for `success`/statistics
     partition_results: list[ExpectationValidationResult] = field(default_factory=list)
+    # resolved metric values: {"global": {metric_key: value},
+    # "partitions": [(partition_key_dict, {metric_key: value}), ...]}
+    metrics: dict[str, Any] = field(default_factory=dict)
 
     def to_dict(self) -> dict[str, Any]:
         return {

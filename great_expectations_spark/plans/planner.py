@@ -392,12 +392,29 @@ class SuitePlanner:
             df.unpersist()
 
         success = all(r.success for r in results)
+        # resolved metrics keyed by their human-readable identity (the _reg
+        # key parts), global + per partition — persisted by the stores layer
+        # (reference: metric_store.py / StoreMetricsAction)
+        alias_to_key = {alias: key for key, alias in self._main_keys.items()}
+        out_metrics = {
+            "global": {
+                alias_to_key[a]: v for a, v in global_metrics.items() if a in alias_to_key
+            },
+            "partitions": [
+                (
+                    pkey,
+                    {alias_to_key[a]: v for a, v in pmetrics.items() if a in alias_to_key},
+                )
+                for pkey, pmetrics in partition_rows
+            ],
+        }
         return SuiteValidationResult(
             success=success,
             results=results,
             statistics=suite_statistics(results),
             meta={"suite_name": self.suite.name, **(meta or {})},
             partition_results=partition_results,
+            metrics=out_metrics,
         )
 
     def _decide(self, item: _Item, ctx: _Ctx) -> ExpectationValidationResult:

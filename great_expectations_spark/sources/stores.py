@@ -48,6 +48,16 @@ RESULTS_SCHEMA = T.StructType(
     ]
 )
 
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("suite_name", T.StringType()),
+        T.StructField("metric_key", T.StringType()),  # json list of key parts
+        T.StructField("partition_key", T.StringType()),  # json; null = global
+        T.StructField("value", T.StringType()),  # json-encoded value
+    ]
+)
+
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
@@ -103,6 +113,30 @@ class ResultsStore:
         rows = results_to_rows(result, run_id)
         df = self.spark.createDataFrame(rows, schema=RESULTS_SCHEMA)
         df.write.mode("append").parquet(self._path("validation_results"))
+
+    def write_metrics(self, result: SuiteValidationResult, run_id: str) -> None:
+        """Resolved metric values, global + per partition — the cross-run
+        metric history (reference: metric_store.py, StoreMetricsAction
+        checkpoint/actions.py:909-993)."""
+        m = result.metrics or {}
+        suite_name = result.meta.get("suite_name", "unnamed")
+        rows = [
+            (run_id, suite_name, k, None, json.dumps(v, default=str))
+            for k, v in m.get("global", {}).items()
+        ]
+        for pkey, pmetrics in m.get("partitions", []):
+            pj = json.dumps(pkey, default=str)
+            rows += [
+                (run_id, suite_name, k, pj, json.dumps(v, default=str))
+                for k, v in pmetrics.items()
+            ]
+        if not rows:
+            return
+        df = self.spark.createDataFrame(rows, schema=METRICS_SCHEMA)
+        df.write.mode("append").parquet(self._path("metrics"))
+
+    def read_metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("metrics"))
 
     def write_lineage(
         self,
@@ -202,6 +236,7 @@ class CheckpointRunner:
                 result.partition_results.append(evr)
             result.results = []
             self.store.write_results(result, run_id)
+            self.store.write_metrics(result, run_id)
             self.store.write_lineage(
                 run_id, suite.id, input_fingerprint, pkey, "completed", started
             )

@@ -107,3 +107,27 @@ def test_unique_approx_reconciliation(spark, orders):
     assert det["distinct_count_exact"] == orders.count()
     assert det["distinct_count_approx"] is not None
     assert det["approx_rel_error"] < 0.05  # rsd=0.01 HLL vs exact
+
+
+def test_metrics_persisted(spark, orders, tmp_path):
+    """Resolved metrics rows (global + per-partition) persist to the metrics
+    table (north rule: per-partition lineage + metrics)."""
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    s = ExpectationSuite(name="m")
+    s.add("expect_column_mean_to_be_between", column="o_totalprice", min_value=0, max_value=1e9)
+    s.add("expect_column_values_to_not_be_null", column="o_custkey")
+    eng = SparkValidationEngine(spark)
+    res = eng.validate(orders, s, partition_by=["o_orderstatus"])
+    assert res.metrics["global"]
+    assert res.metrics["partitions"]
+    store = ResultsStore(spark, str(tmp_path))
+    store.write_metrics(res, "run-1")
+    m = store.read_metrics()
+    assert m.filter("partition_key IS NULL").count() == len(res.metrics["global"])
+    n_parts = len(res.metrics["partitions"])
+    assert m.filter("partition_key IS NOT NULL").count() == n_parts * len(res.metrics["global"])
+    keys = {r[0] for r in m.select("metric_key").distinct().collect()}
+    assert any("column.mean" in k for k in keys)
