@@ -201,7 +201,46 @@ def run_headline(spark) -> dict[str, float]:
     return timings
 
 
+def bench_dedup(spark, n_docs: int) -> dict:
+    """MinHash+LSH near-dup detection throughput over a stored corpus."""
+    from great_expectations_spark.operators.dedup import minhash_dedup_pairs
+
+    path = f"/tmp/ges_bench_docs_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from great_expectations_spark.testing.documents import distributed_documents_df
+
+        distributed_documents_df(spark, n_docs, partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    df = spark.read.parquet(path)
+    t0 = time.time()
+    n_pairs = minhash_dedup_pairs(df, threshold=0.8, bands=8).count()
+    dt = time.time() - t0
+    spark.catalog.clearCache()
+    return {"sec": dt, "rows": n_docs, "rows_per_sec": n_docs / dt, "pairs": n_pairs}
+
+
 def main() -> None:
+    if "--scaling-dedup" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "480000"))
+        out = {}
+        for cores in (8, 32):
+            spark = make_spark(cores)
+            spark.sparkContext.setLogLevel("ERROR")
+            bench_dedup(spark, 20000)  # warm codegen + python workers
+            best = min(bench_dedup(spark, n)["sec"] for _ in range(2))
+            out[f"local[{cores}]"] = {
+                "sec": round(best, 2),
+                "rows_per_sec": round(n / best, 1),
+            }
+            spark.stop()
+        speedup = out["local[32]"]["rows_per_sec"] / out["local[8]"]["rows_per_sec"]
+        out["speedup_8_to_32"] = round(speedup, 3)
+        out["scaling_efficiency"] = round(speedup / 4.0, 3)
+        out["n_docs"] = n
+        print(json.dumps(out))
+        return
+
     if "--scaling" in sys.argv:
         n = max(N_IMAGES, int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "8000000")))
         out = {}
