@@ -116,6 +116,7 @@ class _Ctx:
         self.groupby: dict[tuple, _GroupByResult] = {}
         self.sample_values: dict[str, list[Any]] = {}
         self.sample_counts: dict[str, list[tuple[Any, int]]] = {}
+        self.sample_rows: dict[str, list[dict]] = {}  # include_unexpected_rows
         self.is_partition: bool = False
 
 
@@ -294,6 +295,7 @@ class SuitePlanner:
                 nonnull_count=elem if counts_nulls else considered,
                 unexpected_count=unexpected,
                 unexpected_list=ctx.sample_values.get(eid),
+                unexpected_rows=ctx.sample_rows.get(eid),
             )
             result = out.get("result", {})
             if not ctx.is_partition and eid in ctx.sample_counts:
@@ -359,6 +361,8 @@ class SuitePlanner:
         # phase 3: unexpected-value samples — ONE unioned job
         if self._sample_specs:
             self._run_samples(df, ctx)
+            if self.rf.get("include_unexpected_rows"):
+                self._run_unexpected_rows(df, ctx)
 
         # decisions
         results: list[ExpectationValidationResult] = []
@@ -436,6 +440,30 @@ class SuitePlanner:
                     "exception_traceback": None,
                 },
             )
+
+    def _run_unexpected_rows(self, df: DataFrame, ctx: _Ctx) -> None:
+        """include_unexpected_rows → full violating rows (capped at
+        partial_unexpected_count) per failing expectation, one unioned job
+        (reference: expectation.py:2687-2692). The uncapped path is
+        plans/violations.py → write to a table."""
+        import json as _json
+
+        n = self.rf["partial_unexpected_count"]
+        row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        branches = [
+            df.filter(cond)
+            .select(F.lit(eid).alias("_eid"), row_json.alias("_row"))
+            .limit(n)
+            for eid, cond, _, _, a_unexp in self._sample_specs
+            if a_unexp is None or (ctx.metrics.get(a_unexp) or 0) > 0
+        ]
+        if not branches:
+            return
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionAll(b)
+        for r in unioned.collect():
+            ctx.sample_rows.setdefault(r["_eid"], []).append(_json.loads(r["_row"]))
 
     def _run_groupby(self, df: DataFrame, need: _GroupByNeed) -> _GroupByResult:
         cols = [F.col(c) for c in need.cols]

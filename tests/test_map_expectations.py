@@ -292,3 +292,35 @@ def test_summary_partial_counts(golden):
     counts = evr.result["partial_unexpected_counts"]
     assert counts[0] == {"value": 4, "count": 2}
     assert counts[1] == {"value": 5, "count": 1}
+
+
+def test_include_unexpected_rows(spark, lineitem):
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import validate
+
+    s = ExpectationSuite(name="iur")
+    s.add("expect_column_values_to_be_between", column="l_quantity", min_value=1, max_value=10)
+    res = validate(
+        lineitem,
+        s,
+        result_format={"result_format": "SUMMARY", "include_unexpected_rows": True,
+                       "partial_unexpected_count": 5},
+    )
+    r = res.results[0].result
+    assert len(r["unexpected_rows"]) == 5
+    row = r["unexpected_rows"][0]
+    assert set(lineitem.columns) <= set(row)
+    assert row["l_quantity"] > 10
+
+
+def test_include_unexpected_rows_skipped_when_passing(spark, lineitem):
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import validate
+
+    s = ExpectationSuite(name="iur2")
+    s.add("expect_column_values_to_be_between", column="l_quantity", min_value=0, max_value=100)
+    res = validate(
+        lineitem, s,
+        result_format={"result_format": "BASIC", "include_unexpected_rows": True},
+    )
+    assert "unexpected_rows" not in res.results[0].result
