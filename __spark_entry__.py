@@ -1542,6 +1542,46 @@ def q_images_validate(spark, sf_dir):
     )
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Near-dup images by perceptual-hash Hamming banding (no decode — the
+    bytes column is never read)."""
+    from great_expectations_spark.operators.images import image_near_duplicate_pairs
+    from great_expectations_spark.testing.images import images_df
+
+    df, _, _ = images_df(spark, n=300, seed=11, dup_frac=0.0, corrupt_frac=0.0)
+    copies = df.select(
+        F.concat("image_id", F.lit("-copy")).alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash",
+    )
+    return image_near_duplicate_pairs(df.unionByName(copies), max_hamming=0)
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio payload decode + feature extraction (Arrow kernel over the fake
+    PCM codec — stub per build brief; Spark plumbing real)."""
+    from great_expectations_spark.operators import multimodal as mm
+
+    df = mm.audio_df(spark, n=200, seed=5)
+    e = mm.enrich_audio(df)
+    return e.select(
+        "audio_id",
+        F.col("_audio.ok").alias("ok"),
+        F.col("_audio.n_samples").alias("n_samples"),
+        F.col("_audio.zero_crossings").alias("zero_crossings"),
+        F.round(F.col("_audio.rms"), 3).alias("rms"),
+    )
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling → single-frame image payloads (training-data
+    shape for image models fed from video)."""
+    from great_expectations_spark.operators import multimodal as mm
+
+    df = mm.video_df(spark, n=100, seed=6)
+    frames = mm.sample_frames(df, every_n=2)
+    return frames.select("video_id", "frame_idx", F.length("frame_bytes").alias("frame_size"))
+
+
 def q_images_enrich(spark, sf_dir):
     from great_expectations_spark.testing.images import images_df
 
@@ -1620,9 +1660,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pairs": q_sim_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
     "embed_norm": q_embed_norm,
-    # images
+    # images / multimodal
     "images_validate": q_images_validate,
     "images_enrich": q_images_enrich,
+    "image_phash_dedup": q_image_phash_dedup,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
 }
 
 _ORACLES: dict[str, str] = {

@@ -194,3 +194,29 @@ def validate_images(df: DataFrame, suite, bytes_col: str = "bytes", **validate_k
     if needs_decode:
         df = enrich_images(df, bytes_col=bytes_col)
     return validate(df, suite, **validate_kwargs)
+
+
+# ---- phash near-duplicate detection --------------------------------------
+
+
+def image_near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash Hamming distance — the image
+    counterpart of text SimHash dedup (operators/dedup.py): 64-bit phash →
+    16-bit chunk banding (complete for max_hamming < chunks·1? guaranteed
+    complete when fewer than `chunks` chunks differ, i.e. hamming spread
+    across < chunks chunks; for tighter guarantees raise `chunks`) →
+    same-chunk self-join → exact bit_count verify. No decode needed — works
+    off the stored phash column, so the bytes column is never read."""
+    from great_expectations_spark.operators.dedup import simhash_near_pairs
+
+    sigs = df.select(F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash"))
+    pairs = simhash_near_pairs(sigs, max_hamming=max_hamming, chunks=chunks)
+    return pairs.select(
+        F.col("a").alias("image_a"), F.col("b").alias("image_b"), "hamming"
+    )
