@@ -162,6 +162,8 @@ def validate_metric_value_between(
         isinstance(metric_value, float) and math.isnan(metric_value)
     ):
         return False, {"observed_value": None}
+    min_value = _coerce_bound(metric_value, min_value)
+    max_value = _coerce_bound(metric_value, max_value)
     above = True
     below = True
     if min_value is not None:
@@ -169,6 +171,30 @@ def validate_metric_value_between(
     if max_value is not None:
         below = metric_value < max_value if strict_max else metric_value <= max_value
     return bool(above and below), {"observed_value": metric_value}
+
+
+def _coerce_bound(metric_value: Any, bound: Any) -> Any:
+    """Datetime metrics accept string bounds (reference parses them with
+    dateutil — expectations/expectation.py:1823-1917 path)."""
+    import datetime as _dt
+
+    if bound is None or not isinstance(metric_value, (_dt.date, _dt.datetime)):
+        return bound
+    if isinstance(bound, (_dt.date, _dt.datetime)):
+        return bound
+    if isinstance(bound, str):
+        try:
+            from dateutil import parser as _p
+
+            parsed = _p.parse(bound)
+        except Exception as e:  # pragma: no cover
+            raise ValueError(f"cannot parse datetime bound {bound!r}") from e
+        if isinstance(metric_value, _dt.datetime):
+            return parsed
+        return parsed.date()
+    raise TypeError(
+        f"bound {bound!r} not comparable with datetime metric {metric_value!r}"
+    )
 
 
 @dataclass

@@ -218,30 +218,59 @@ def expon_cdf(x: float, loc: float = 0.0, scale: float = 1.0) -> float:
 
 
 def parameterized_cdf(distribution: str, params) -> "Callable[[float], float]":
-    """CDF factory for the distributions the reference's parameterized KS
-    supports on our sketch path. ``params``: dict (named keys) or sequence
-    (positional loc/scale-style)."""
+    """CDF factory matching the reference's parameterized-KS distributions
+    (norm/uniform/expon/beta/gamma/chi2 — scipy-style loc/scale params, plus
+    the golden corpus's named keys). ``params``: dict or positional
+    sequence."""
     if isinstance(params, dict):
+        g = params.get
         if distribution == "norm":
-            m = float(params.get("mean", params.get("loc", 0.0)))
-            s = float(params.get("std_dev", params.get("scale", 1.0)))
-            return lambda x: norm_cdf(x, m, s)
+            return lambda x, m=float(g("mean", g("loc", 0.0))), s=float(
+                g("std_dev", g("scale", 1.0))
+            ): norm_cdf(x, m, s)
         if distribution == "uniform":
-            lo = float(params.get("min", params.get("loc", 0.0)))
-            sc = float(params.get("range", params.get("scale", 1.0)))
-            return lambda x: uniform_cdf(x, lo, sc)
+            lo = float(g("min", g("loc", 0.0)))
+            # reference maps 'max' POSITIONALLY to scipy's scale
+            # (dataset/util.py:404-405): support is [min, min+max]
+            sc = float(g("max", g("range", g("scale", 1.0))))
+            return lambda x, lo=lo, sc=sc: uniform_cdf(x, lo, sc)
         if distribution in ("expon", "exponential"):
-            lo = float(params.get("loc", 0.0))
-            sc = float(params.get("scale", 1.0))
-            return lambda x: expon_cdf(x, lo, sc)
+            return lambda x, lo=float(g("loc", 0.0)), sc=float(
+                g("scale", 1.0)
+            ): expon_cdf(x, lo, sc)
+        if distribution == "gamma":
+            return lambda x, a=float(g("alpha", g("a", 1.0))), lo=float(
+                g("loc", 0.0)
+            ), sc=float(g("scale", 1.0)): gamma_cdf(x, a, lo, sc)
+        if distribution == "chi2":
+            return lambda x, df=float(g("df", 1.0)), lo=float(g("loc", 0.0)), sc=float(
+                g("scale", 1.0)
+            ): chi2_cdf(x, df, lo, sc)
+        if distribution == "beta":
+            return lambda x, a=float(g("alpha", g("a", 1.0))), b=float(
+                g("beta", g("b", 1.0))
+            ), lo=float(g("loc", 0.0)), sc=float(g("scale", 1.0)): beta_cdf(
+                x, a, b, lo, sc
+            )
     else:
         p = [float(v) for v in (params or [])]
+
+        def at(i, default):
+            return p[i] if len(p) > i else default
+
         if distribution == "norm":
-            return lambda x: norm_cdf(x, p[0] if p else 0.0, p[1] if len(p) > 1 else 1.0)
+            return lambda x: norm_cdf(x, at(0, 0.0), at(1, 1.0))
         if distribution == "uniform":
-            return lambda x: uniform_cdf(x, p[0] if p else 0.0, p[1] if len(p) > 1 else 1.0)
+            # positional (min, max) where max is scipy's scale (util.py:404)
+            return lambda x: uniform_cdf(x, at(0, 0.0), at(1, 1.0))
         if distribution in ("expon", "exponential"):
-            return lambda x: expon_cdf(x, p[0] if p else 0.0, p[1] if len(p) > 1 else 1.0)
+            return lambda x: expon_cdf(x, at(0, 0.0), at(1, 1.0))
+        if distribution == "gamma":
+            return lambda x: gamma_cdf(x, at(0, 1.0), at(1, 0.0), at(2, 1.0))
+        if distribution == "chi2":
+            return lambda x: chi2_cdf(x, at(0, 1.0), at(1, 0.0), at(2, 1.0))
+        if distribution == "beta":
+            return lambda x: beta_cdf(x, at(0, 1.0), at(1, 1.0), at(2, 0.0), at(3, 1.0))
     raise ValueError(f"unsupported distribution: {distribution}")
 
 
@@ -266,3 +295,80 @@ def cramers_phi(contingency: dict, n_rows: int, n_cols: int) -> tuple[float, flo
                 chi2 += (obs - exp) ** 2 / exp
     denom = total * min(len(row_m) - 1, len(col_m) - 1)
     return (math.sqrt(chi2 / denom) if denom > 0 else 0.0), chi2
+
+
+def gammainc_lower_reg(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x) = 1 - Q(a, x)."""
+    return 1.0 - gammainc_upper_reg(a, x)
+
+
+def _betacf(a: float, b: float, x: float, itmax: int = 300, eps: float = 3e-12) -> float:
+    """Continued fraction for the incomplete beta function (Lentz)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, itmax):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def gamma_cdf(x: float, alpha: float, loc: float = 0.0, scale: float = 1.0) -> float:
+    if x <= loc:
+        return 0.0
+    return gammainc_lower_reg(alpha, (x - loc) / scale)
+
+
+def chi2_cdf(x: float, df: float, loc: float = 0.0, scale: float = 1.0) -> float:
+    if x <= loc:
+        return 0.0
+    return 1.0 - chi2_sf((x - loc) / scale, int(df))
+
+
+def beta_cdf(x: float, a: float, b: float, loc: float = 0.0, scale: float = 1.0) -> float:
+    t = (x - loc) / scale
+    return betainc_reg(a, b, min(1.0, max(0.0, t)))

@@ -209,11 +209,29 @@ def _col_map(
 
 
 def _in_set(col: Column, kw: dict) -> Column:
-    vs = kw.get("value_set") or []
-    if len(vs) == 0:
-        # empty set → vacuously true (reference column_values_in_set.py:78-104)
+    vs = kw.get("value_set")
+    if vs is None:
+        # None → vacuously true (reference column_values_in_set.py:99-101)
         return F.lit(True)
+    if len(vs) == 0:
+        # empty set → nothing matches (pandas impl column_values_in_set.py:73-74)
+        return F.lit(False)
     return col.isin(list(vs))
+
+
+def _not_in_set(col: Column, kw: dict) -> Column:
+    vs = kw.get("value_set")
+    if vs is None:
+        # reference raises on Spark (~isin(None)) — surface as a compile error
+        raise ValueError("value_set is required for expect_column_values_to_not_be_in_set")
+    if any(v is None for v in vs):
+        # reference golden corpus: Spark isin cannot express None membership
+        raise ValueError(
+            "expect_column_values_to_not_be_in_set cannot support a None in the value_set in spark"
+        )
+    if len(vs) == 0:
+        return F.lit(True)
+    return ~col.isin(list(vs))
 
 
 def _json_parseable(col: Column, kw: dict) -> Column:
@@ -221,6 +239,29 @@ def _json_parseable(col: Column, kw: dict) -> Column:
     # (column_values_json_parseable.py:28-38); Spark 4 try_parse_json
     # returns NULL for invalid JSON.
     return F.expr(f"try_parse_json(`{kw['column']}`) IS NOT NULL")
+
+
+def _maybe_datetime_bound(v: Any, kw: dict) -> Any:
+    """Legacy ``parse_strings_as_datetimes`` support: string bounds against a
+    timestamp column parse via dateutil (reference column_values_between.py
+    legacy branch) — otherwise Spark's string→timestamp cast rejects
+    non-ISO formats."""
+    if isinstance(v, str) and kw.get("parse_strings_as_datetimes"):
+        from dateutil import parser
+
+        return parser.parse(v)
+    return v
+
+
+# dateutil accepts many formats; cover the common non-ISO ones natively
+_DATEUTIL_PATTERNS = ["M/d/yyyy", "M/d/yy", "MMM d yyyy", "MMMM d, yyyy", "yyyyMMdd"]
+
+
+def _dateutil_parseable(col: Column, kw: dict) -> Column:
+    attempts = [F.try_to_timestamp(col)] + [
+        F.try_to_timestamp(col, F.lit(p)) for p in _DATEUTIL_PATTERNS
+    ]
+    return F.coalesce(*attempts).isNotNull()
 
 
 def _strftime(col: Column, kw: dict) -> Column:
@@ -240,18 +281,14 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     "expect_column_values_to_be_between": _col_map(
         lambda c, kw: between_condition(
             c,
-            kw.get("min_value"),
-            kw.get("max_value"),
+            _maybe_datetime_bound(kw.get("min_value"), kw),
+            _maybe_datetime_bound(kw.get("max_value"), kw),
             bool(kw.get("strict_min", False)),
             bool(kw.get("strict_max", False)),
         )
     ),
     "expect_column_values_to_be_in_set": _col_map(_in_set),
-    "expect_column_values_to_not_be_in_set": _col_map(
-        lambda c, kw: ~c.isin(list(kw.get("value_set") or []))
-        if kw.get("value_set")
-        else F.lit(True)
-    ),
+    "expect_column_values_to_not_be_in_set": _col_map(_not_in_set),
     # --- string lengths ---
     "expect_column_value_lengths_to_equal": _col_map(
         lambda c, kw: F.length(c) == int(kw["value"])
@@ -294,9 +331,7 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     ),
     # --- parse-ability (native, no per-row Python) ---
     "expect_column_values_to_match_strftime_format": _col_map(_strftime),
-    "expect_column_values_to_be_dateutil_parseable": _col_map(
-        lambda c, kw: F.try_to_timestamp(c).isNotNull()
-    ),
+    "expect_column_values_to_be_dateutil_parseable": _col_map(_dateutil_parseable),
     "expect_column_values_to_be_json_parseable": _col_map(_json_parseable),
     # --- column pair ---
     "expect_column_pair_values_to_be_equal": lambda kw: _pair_cond(
@@ -305,6 +340,12 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
         default_ignore="both_values_are_missing",
     ),
     "expect_column_pair_values_a_to_be_greater_than_b": lambda kw: _pair_cond(
+        kw,
+        lambda a, b: (a >= b) if kw.get("or_equal") else (a > b),
+        default_ignore="both_values_are_missing",
+    ),
+    # reference class name keeps capital A/B (expect_column_pair_values_a_to_be_greater_than_b.py)
+    "expect_column_pair_values_A_to_be_greater_than_B": lambda kw: _pair_cond(
         kw,
         lambda a, b: (a >= b) if kw.get("or_equal") else (a > b),
         default_ignore="both_values_are_missing",
@@ -370,7 +411,10 @@ def _pair_cond(
     return MapCondition(
         expected=fn(a, b),
         considered=considered,
-        value_expr=F.to_json(F.struct(a.alias(names[0]), b.alias(names[1]))),
+        value_expr=F.to_json(
+            F.struct(a.alias(names[0]), b.alias(names[1])),
+            {"ignoreNullFields": "false"},
+        ),
         counts_nulls=False,
         columns=names,
     )
@@ -386,7 +430,10 @@ def _multi_cond(
     return MapCondition(
         expected=fn(cols),
         considered=considered,
-        value_expr=F.to_json(F.struct(*[c.alias(n) for c, n in zip(cols, names)])),
+        value_expr=F.to_json(
+            F.struct(*[c.alias(n) for c, n in zip(cols, names)]),
+            {"ignoreNullFields": "false"},
+        ),
         counts_nulls=False,
         columns=names,
     )

@@ -92,54 +92,209 @@ def _categorical_observed(gb, expected_values: list) -> tuple[list[int], int]:
     return aligned, extra
 
 
+def _num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _validate_partition_object(po: dict) -> str:
+    """Reference dataset/util.py is_valid_*_partition_object + the KL
+    _validate precondition block (expect_column_kl_divergence...py:380-409).
+    Returns 'categorical' or 'continuous'; raises ValueError otherwise."""
+    if po is None:
+        raise ValueError("Invalid partition object.")
+    if "weights" in po and "values" in po:
+        if len(po["values"]) == len(po["weights"]) and abs(sum(po["weights"]) - 1.0) < 1e-6:
+            return "categorical"
+        raise ValueError("Invalid partition object.")
+    if "weights" in po and "bins" in po:
+        comb = list(po.get("tail_weights", [])) + list(po["weights"])
+        bins = po["bins"]
+        if "tail_weights" in po and len(po["tail_weights"]) != 2:
+            raise ValueError("Invalid partition object.")
+        ok = (
+            len(bins) == len(po["weights"]) + 1
+            and all(bins[i] < bins[i + 1] for i in range(len(bins) - 1))
+            and abs(sum(comb) - 1.0) < 1e-6
+        )
+        if ok:
+            return "continuous"
+    raise ValueError("Invalid partition object.")
+
+
+def _kl_preconditions(po, threshold, tail_holdout, internal_holdout) -> None:
+    if threshold is not None and (not _num(threshold) or threshold < 0):
+        raise ValueError("Threshold must be specified, greater than or equal to zero.")
+    if not _num(tail_holdout) or tail_holdout < 0 or tail_holdout > 1:
+        raise ValueError("tail_weight_holdout must be between zero and one.")
+    if not _num(internal_holdout) or internal_holdout < 0 or internal_holdout > 1:
+        raise ValueError("internal_weight_holdout must be between zero and one.")
+    if tail_holdout != 0 and "tail_weights" in po:
+        raise ValueError(
+            "tail_weight_holdout must be 0 when using tail_weights in partition object"
+        )
+
+
+def categorical_kl_adjust(
+    observed_counts: dict, nonnull: int, values: list, weights: list, tail_holdout: float
+) -> tuple[list, list, list]:
+    """Reference categorical path (expect_column_kl_divergence...py:416-442):
+    union of expected+observed values (sorted); unseen-in-partition values
+    get tail_holdout split equally, expected scaled by (1-tail_holdout)."""
+    expected = dict(zip(values, weights))
+    union = sorted(set(values) | set(observed_counts), key=lambda v: (str(type(v).__name__), str(v)))
+    pk = [observed_counts.get(v, 0) / nonnull if nonnull else 0.0 for v in union]
+    n_missing = sum(1 for v in union if v not in expected)
+    if n_missing > 0 and tail_holdout > 0:
+        qk = [
+            expected[v] * (1 - tail_holdout) if v in expected else tail_holdout / n_missing
+            for v in union
+        ]
+    else:
+        qk = [expected.get(v, 0.0) for v in union]
+    return union, pk, qk
+
+
+def continuous_kl_weights(
+    bins: list,
+    weights: list,
+    tail_weights,
+    tail_holdout: float,
+    internal_holdout: float,
+    bin_counts: list,
+    below: int,
+    above: int,
+    nonnull: int,
+) -> tuple[list, list]:
+    """Reference continuous path (expect_column_kl_divergence...py:493-655):
+    returns (comb_observed_weights, comb_expected_weights)."""
+    inf = math.inf
+    ew = [w * (1 - tail_holdout - internal_holdout) for w in weights]
+    if internal_holdout > 0:
+        zeros = [i for i, w in enumerate(ew) if w == 0]
+        if zeros:
+            for i in zeros:
+                ew[i] = internal_holdout / len(zeros)
+    ow = [c / nonnull for c in bin_counts]
+    both_inf = bins[0] == -inf and bins[-1] == inf
+    left_inf = bins[0] == -inf
+    right_inf = bins[-1] == inf
+    if both_inf:
+        if tail_holdout > 0:
+            raise ValueError(
+                "tail_weight_holdout cannot be used for partitions with infinite endpoints."
+            )
+        if tail_weights is not None:
+            raise ValueError(
+                "There can be no tail weights for partitions with one or both endpoints at infinity"
+            )
+        return ow, ew
+    if left_inf:
+        if tail_weights is not None:
+            raise ValueError(
+                "There can be no tail weights for partitions with one or both endpoints at infinity"
+            )
+        return ow + [above / nonnull], ew + [tail_holdout]
+    if right_inf:
+        if tail_weights is not None:
+            raise ValueError(
+                "There can be no tail weights for partitions with one or both endpoints at infinity"
+            )
+        return [below / nonnull] + ow, [tail_holdout] + ew
+    if tail_weights is not None:
+        comb_e = [tail_weights[0]] + ew + [tail_weights[1]]
+    else:
+        comb_e = [tail_holdout / 2] + ew + [tail_holdout / 2]
+    comb_o = [below / nonnull] + ow + [above / nonnull]
+    return comb_o, comb_e
+
+
 def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
     from great_expectations_spark.plans.planner import _Item
 
     kw = cfg.kwargs
     column = kw["column"]
-    po = kw["partition_object"]
+    po = kw.get("partition_object")
     threshold = kw.get("threshold")
-    tail_holdout = float(kw.get("tail_weight_holdout", 0.0))
-    internal_holdout = float(kw.get("internal_weight_holdout", 0.0))
+    tail_holdout = kw.get("tail_weight_holdout", 0)
+    internal_holdout = kw.get("internal_weight_holdout", 0)
+    bucketize = kw.get("bucketize_data", True)
     dom, _ = planner._domain(cfg)
 
-    if is_categorical_partition(po):
+    if po is None:
+        # profiling mode (reference resolves column.partition eagerly,
+        # :236-252): derive the expected partition from this batch
+        from great_expectations_spark.operators.partition import (
+            build_categorical_partition_object,
+            build_partition_object,
+        )
+
+        if bucketize:
+            po = build_partition_object(planner.df, column, bins="auto")
+        else:
+            po = build_categorical_partition_object(planner.df, column)
+            if po is None:
+                raise ValueError("cannot profile a partition for this column")
+
+    kind = _validate_partition_object(po)
+    _kl_preconditions(po, threshold, tail_holdout, internal_holdout)
+    tail_holdout = float(tail_holdout)
+    internal_holdout = float(internal_holdout)
+
+    if kind == "categorical":
+        if internal_holdout > 0:
+            raise ValueError("Internal weight holdout cannot be used for discrete data.")
         values = list(po["values"])
+        weights = list(po["weights"])
         key = planner._need_groupby((column,), drop_nulls=True, want_top=True)
-        weights, _, _ = adjust_expected_weights(po["weights"], tail_holdout, internal_holdout)
 
         def decide(ctx) -> tuple[bool, dict]:
-            aligned, extra = _categorical_observed(ctx.groupby[key], values)
-            pk = aligned + ([extra] if extra else [])
-            qk = list(weights) + ([0.0] if extra else [])
+            gb = ctx.groupby[key]
+            observed_counts = {vals[0]: cnt for vals, cnt in gb.top}
+            nonnull = gb.total_count or sum(observed_counts.values())
+            union, pk, qk = categorical_kl_adjust(
+                observed_counts, nonnull, values, weights, tail_holdout
+            )
             kl = kl_divergence(pk, qk)
-            ok = threshold is not None and kl < threshold
-            return bool(ok), {
-                "observed_value": kl if not math.isinf(kl) else None,
+            success = True if threshold is None else kl <= threshold
+            bad = math.isinf(kl) or math.isnan(kl)
+            return bool(success if threshold is None else (not bad and success)), {
+                "observed_value": None if bad else kl,
                 "details": {
-                    "observed_partition": {"values": values, "weights": _fracs(aligned)}
+                    "observed_partition": {"values": union, "weights": pk},
+                    "expected_partition": {"values": union, "weights": qk},
                 },
             }
 
         planner._items.append(_Item(cfg, decide, partition_capable=False))
         return
 
+    if bucketize is False:
+        raise ValueError(
+            "KL Divergence cannot be computed with a continuous partition object and "
+            "the bucketize_data parameter set to false."
+        )
     bins = [float(b) for b in po["bins"]]
+    weights = [float(w) for w in po["weights"]]
+    tail_weights = po.get("tail_weights")
+    # raise endpoint/tail errors at compile time (reference does this in
+    # _validate before any compute)
+    continuous_kl_weights(bins, weights, tail_weights, tail_holdout, internal_holdout,
+                          [0] * len(weights), 0, 0, 1)
     aliases = register_histogram(planner, column, bins, dom)
-    weights, below_w, above_w = adjust_expected_weights(
-        po["weights"], tail_holdout, internal_holdout, po.get("tail_weights")
-    )
 
     def decide(ctx) -> tuple[bool, dict]:
         bin_counts, below, above, nonnull = _observed_histogram(ctx.metrics, aliases)
         if nonnull == 0:
             return True, {"observed_value": None}
-        pk = [below / nonnull] + [c / nonnull for c in bin_counts] + [above / nonnull]
-        qk = [below_w] + list(weights) + [above_w]
-        kl = kl_divergence(pk, qk)
-        ok = threshold is not None and kl < threshold
-        return bool(ok), {
-            "observed_value": kl if not math.isinf(kl) else None,
+        comb_o, comb_e = continuous_kl_weights(
+            bins, weights, tail_weights, tail_holdout, internal_holdout,
+            bin_counts, below, above, nonnull,
+        )
+        kl = kl_divergence(comb_o, comb_e)
+        bad = math.isinf(kl) or math.isnan(kl)
+        success = True if threshold is None else (not bad and kl <= threshold)
+        return bool(success), {
+            "observed_value": None if bad else kl,
             "details": {
                 "observed_partition": {
                     "bins": bins,
@@ -164,14 +319,21 @@ def _compile_chi_square(planner: Any, cfg: ExpectationConfiguration) -> None:
     column = kw["column"]
     po = kw["partition_object"]
     p_threshold = float(kw.get("p", 0.05))
+    tail_holdout = float(kw.get("tail_weight_holdout", 0.0))
     values = list(po["values"])
+    weights = list(po["weights"])
     key = planner._need_groupby((column,), drop_nulls=True, want_top=True)
 
     def decide(ctx) -> tuple[bool, dict]:
-        aligned, extra = _categorical_observed(ctx.groupby[key], values)
-        pk = aligned + ([extra] if extra else [])
-        qk = list(po["weights"]) + ([0.0] if extra else [])
-        stat, pval = chi_square_test(pk, qk)
+        gb = ctx.groupby[key]
+        observed_counts = {vals[0]: cnt for vals, cnt in gb.top}
+        nonnull = gb.total_count or sum(observed_counts.values())
+        union, pk_w, qk = categorical_kl_adjust(
+            observed_counts, nonnull, values, weights, tail_holdout
+        )
+        counts = [observed_counts.get(v, 0) for v in union]
+        stat, pval = chi_square_test(counts, qk)
+        aligned = [observed_counts.get(v, 0) for v in values]
         return bool(pval > p_threshold), {
             "observed_value": pval,
             "details": {"chi_square_statistic": stat, "observed_counts": aligned},

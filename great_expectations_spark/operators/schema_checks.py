@@ -56,6 +56,10 @@ def _col_type(df: DataFrame, column: str) -> T.DataType:
 def check_of_type(df: DataFrame, kwargs: dict) -> tuple[bool, dict]:
     column = kwargs["column"]
     actual = _col_type(df, column)
+    if kwargs.get("type_") is None:
+        # None → vacuous pass (reference expect_column_values_to_be_of_type
+        # placeholder semantics)
+        return True, {"observed_value": type(actual).__name__}
     expected = resolve_type(kwargs["type_"])
     return isinstance(actual, expected), {"observed_value": type(actual).__name__}
 
@@ -63,6 +67,8 @@ def check_of_type(df: DataFrame, kwargs: dict) -> tuple[bool, dict]:
 def check_in_type_list(df: DataFrame, kwargs: dict) -> tuple[bool, dict]:
     column = kwargs["column"]
     actual = _col_type(df, column)
+    if kwargs.get("type_list") is None:
+        return True, {"observed_value": type(actual).__name__}
     types = tuple(resolve_type(t) for t in kwargs["type_list"])
     return isinstance(actual, types), {"observed_value": type(actual).__name__}
 
@@ -77,6 +83,9 @@ def check_column_to_exist(df: DataFrame, kwargs: dict) -> tuple[bool, dict]:
 
 
 def check_columns_match_ordered_list(df: DataFrame, kwargs: dict) -> tuple[bool, dict]:
+    if kwargs.get("column_list") is None:
+        # null list → vacuously true (reference golden corpus)
+        return True, {"observed_value": list(df.columns)}
     expected = list(kwargs["column_list"])
     observed = list(df.columns)
     success = observed == expected
@@ -93,6 +102,16 @@ def check_columns_match_ordered_list(df: DataFrame, kwargs: dict) -> tuple[bool,
 
 
 def check_columns_match_set(df: DataFrame, kwargs: dict) -> tuple[bool, dict]:
+    if kwargs.get("column_set") is None:
+        # null set: vacuous subset-match; with exact_match the observed
+        # columns are all unexpected (reference golden corpus)
+        observed = sorted(df.columns)
+        if kwargs.get("exact_match", True):
+            return False, {
+                "observed_value": observed,
+                "details": {"mismatched": {"unexpected": observed}},
+            }
+        return True, {"observed_value": observed}
     expected = set(kwargs["column_set"])
     observed = set(df.columns)
     exact = kwargs.get("exact_match", True)

@@ -255,7 +255,22 @@ class SuitePlanner:
             _Item(cfg, lambda ctx, d=decide: d(ctx.metrics), partition_capable=True)
         )
 
+    _STRING_INPUT_TYPES = frozenset(
+        {
+            "expect_column_values_to_match_strftime_format",
+            "expect_column_values_to_be_dateutil_parseable",
+        }
+    )
+
     def _compile_map(self, cfg: ExpectationConfiguration) -> None:
+        if cfg.expectation_type in self._STRING_INPUT_TYPES:
+            col = cfg.kwargs.get("column")
+            if col in self.df.columns and (
+                self.df.schema[col].dataType.simpleString() != "string"
+            ):
+                raise TypeError(
+                    f"Values passed to {cfg.expectation_type} must be of type string."
+                )
         mc = compile_map_condition(cfg.expectation_type, cfg.kwargs)
         dom, dom_id = self._domain(cfg)
         mostly = validate_mostly(cfg.kwargs.get("mostly"))
@@ -317,40 +332,29 @@ class SuitePlanner:
             df = df.persist()
 
         # phase 0: prerequisites (z-score etc.)
-        if self._pre_aggs:
-            pre_row = df.agg(*self._pre_aggs.values()).collect()[0]
-            pre_metrics = pre_row.asDict()
-            for fin in self._deferred:
-                fin(pre_metrics)  # type: ignore[call-arg]
+        try:
+            if self._pre_aggs:
+                pre_row = df.agg(*self._pre_aggs.values()).collect()[0]
+                pre_metrics = pre_row.asDict()
+                for fin in self._deferred:
+                    fin(pre_metrics)  # type: ignore[call-arg]
+        except Exception as e:
+            if self.persist:
+                df.unpersist()
+            return self._run_isolated(meta, e)
 
-        # phase 1: the bundled main pass (+ isolated distinct bundle)
-        global_metrics: dict[str, Any] = {}
-        partition_rows: list[tuple[dict, dict]] = []  # (partition_key, metrics)
-        part_index: dict[str, dict] = {}  # json(pkey) -> metrics dict
-        for exprs in (list(self._main_aggs.values()), list(self._distinct_aggs.values())):
-            if not exprs:
-                continue
-            if self.partition_by:
-                gid = (1 << len(self.partition_by)) - 1
-                res = (
-                    df.rollup(*self.partition_by)
-                    .agg(F.grouping_id().alias("_gid"), *exprs)
-                    .collect()
-                )
-                for row in res:
-                    d = row.asDict()
-                    g = d.pop("_gid")
-                    pkey = {c: d.pop(c) for c in self.partition_by}
-                    if g == gid:
-                        global_metrics.update(d)
-                    elif g == 0:
-                        k = json.dumps(pkey, sort_keys=True, default=str)
-                        if k not in part_index:
-                            part_index[k] = {}
-                            partition_rows.append((pkey, part_index[k]))
-                        part_index[k].update(d)
-            else:
-                global_metrics.update(df.agg(*exprs).collect()[0].asDict())
+        # phase 1: the bundled main pass (+ isolated distinct bundle).
+        # A single type-broken expectation would fail the WHOLE bundled job
+        # (e.g. avg() over a string column raises at analysis time) — on
+        # failure fall back to per-expectation isolation so the broken one
+        # gets an exception EVR and the rest still validate (the reference
+        # gets this for free from its one-job-per-metric model).
+        try:
+            global_metrics, partition_rows = self._run_bundles(df)
+        except Exception as e:
+            if self.persist:
+                df.unpersist()
+            return self._run_isolated(meta, e)
 
         # phase 2: groupBy passes (value-counts family)
         ctx = _Ctx()
@@ -419,6 +423,81 @@ class SuitePlanner:
             meta={"suite_name": self.suite.name, **(meta or {})},
             partition_results=partition_results,
             metrics=out_metrics,
+        )
+
+    def _run_bundles(self, df: DataFrame) -> tuple[dict, list[tuple[dict, dict]]]:
+        global_metrics: dict[str, Any] = {}
+        partition_rows: list[tuple[dict, dict]] = []  # (partition_key, metrics)
+        part_index: dict[str, dict] = {}  # json(pkey) -> metrics dict
+        for exprs in (list(self._main_aggs.values()), list(self._distinct_aggs.values())):
+            if not exprs:
+                continue
+            if self.partition_by:
+                gid = (1 << len(self.partition_by)) - 1
+                res = (
+                    df.rollup(*self.partition_by)
+                    .agg(F.grouping_id().alias("_gid"), *exprs)
+                    .collect()
+                )
+                for row in res:
+                    d = row.asDict()
+                    g = d.pop("_gid")
+                    pkey = {c: d.pop(c) for c in self.partition_by}
+                    if g == gid:
+                        global_metrics.update(d)
+                    elif g == 0:
+                        k = json.dumps(pkey, sort_keys=True, default=str)
+                        if k not in part_index:
+                            part_index[k] = {}
+                            partition_rows.append((pkey, part_index[k]))
+                        part_index[k].update(d)
+            else:
+                global_metrics.update(df.agg(*exprs).collect()[0].asDict())
+        return global_metrics, partition_rows
+
+    def _run_isolated(
+        self, meta: Optional[dict], bundle_error: Exception
+    ) -> SuiteValidationResult:
+        """Fallback when a bundled pass fails: validate each expectation in
+        its own single-expectation planner so only the offender carries the
+        exception (reference catch_exceptions semantics)."""
+        results: list[ExpectationValidationResult] = []
+        partition_results: list[ExpectationValidationResult] = []
+        if len(self.suite.expectations) <= 1:
+            for cfg in self.suite.expectations:
+                results.append(
+                    ExpectationValidationResult(
+                        success=False,
+                        expectation_config=cfg.to_dict(),
+                        result={},
+                        exception_info={
+                            "raised_exception": True,
+                            "exception_message": f"{type(bundle_error).__name__}: {bundle_error}",
+                            "exception_traceback": None,
+                        },
+                    )
+                )
+        else:
+            for cfg in self.suite.expectations:
+                sub = SuitePlanner(
+                    self.df,
+                    ExpectationSuite(name=self.suite.name, expectations=[cfg]),
+                    result_format=self.rf,
+                    partition_by=self.partition_by,
+                    spark=self.spark,
+                    complete_cap=self.complete_cap,
+                    evaluation_parameters=self.evaluation_parameters,
+                )
+                out = sub.run()
+                results.extend(out.results)
+                partition_results.extend(out.partition_results)
+        success = all(r.success for r in results)
+        return SuiteValidationResult(
+            success=success,
+            results=results,
+            statistics=suite_statistics(results),
+            meta={"suite_name": self.suite.name, **(meta or {})},
+            partition_results=partition_results,
         )
 
     def _decide(self, item: _Item, ctx: _Ctx) -> ExpectationValidationResult:
@@ -624,7 +703,7 @@ def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, 
 
 def _compile_most_common(planner: SuitePlanner, cfg: ExpectationConfiguration) -> None:
     name = cfg.kwargs["column"]
-    value_set = set(cfg.kwargs["value_set"])
+    value_set = set(cfg.kwargs.get("value_set") or [])
     ties_okay = bool(cfg.kwargs.get("ties_okay", False))
     key = planner._need_groupby((name,), drop_nulls=True, want_top=True)
 
@@ -637,10 +716,13 @@ def _compile_most_common(planner: SuitePlanner, cfg: ExpectationConfiguration) -
             (values[0] for values, cnt in gb.top if cnt == max_cnt),
             key=lambda x: (str(type(x).__name__), str(x)),
         )
+        inter = len(value_set.intersection(modes))
         if ties_okay:
-            success = any(m in value_set for m in modes)
+            success = inter > 0
         else:
-            success = all(m in value_set for m in modes)
+            # reference expect_column_most_common_value_to_be_in_set.py:270-275:
+            # without ties_okay, a TIE is itself a failure
+            success = len(modes) == 1 and inter == 1
         return bool(success), {"observed_value": modes}
 
     planner._items.append(_Item(cfg, decide, partition_capable=False))

@@ -130,8 +130,17 @@ def test_most_common(nums):
     evr = run_one(
         nums, "expect_column_most_common_value_to_be_in_set", column="g", value_set=["a", "b"]
     )
-    # a and b tie at 2 → modes [a, b] ⊆ set
-    assert evr.success and evr.result["observed_value"] == ["a", "b"]
+    # a and b tie at 2 → a tie FAILS without ties_okay (reference
+    # expect_column_most_common_value_to_be_in_set.py:270-275)
+    assert evr.success is False and evr.result["observed_value"] == ["a", "b"]
+    evr2 = run_one(
+        nums,
+        "expect_column_most_common_value_to_be_in_set",
+        column="g",
+        value_set=["a", "b"],
+        ties_okay=True,
+    )
+    assert evr2.success is True
 
 
 def test_zscore(spark):

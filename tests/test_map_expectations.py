@@ -106,12 +106,19 @@ def test_in_set(golden):
     assert evr.result["unexpected_percent"] == 25.0
 
 
-def test_in_set_empty_set_vacuous(golden):
+def test_in_set_empty_set_fails_none_vacuous(golden):
+    # [] → nothing matches (reference column_values_in_set.py:73-74);
+    # None → vacuously true (:99-101)
     evr = run_one(
         golden, "expect_column_values_to_be_in_set", column="z", value_set=[]
     )
-    assert evr.success is True
-    assert evr.result["unexpected_count"] == 0
+    assert evr.success is False
+    assert evr.result["unexpected_count"] == evr.result["element_count"] - evr.result["missing_count"]
+    evr2 = run_one(
+        golden, "expect_column_values_to_be_in_set", column="z", value_set=None
+    )
+    assert evr2.success is True
+    assert evr2.result["unexpected_count"] == 0
 
 
 def test_not_in_set(golden):
