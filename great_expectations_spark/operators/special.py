@@ -64,8 +64,14 @@ def _compile_exist_in(planner: Any, cfg: ExpectationConfiguration) -> None:
         ),
     )
     rf = planner.rf
+    state: dict[str, Any] = {}
 
-    def decide(ctx) -> tuple[bool, dict]:
+    def _compute() -> None:
+        """One anti-join job computes the global violation count, the
+        per-partition counts (groupBy over the violation rows — tiny), and
+        the sample; decisions (global + every partition) read from here."""
+        if state:
+            return
         ref = _resolve_ref(planner, kw)
         keys = ref.select(
             *[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(ref_columns)]
@@ -78,19 +84,36 @@ def _compile_exist_in(planner: Any, cfg: ExpectationConfiguration) -> None:
             cond = eq if cond is None else (cond & eq)
         base = planner.df.filter(dom & _all_not_null([F.col(c) for c in columns]))
         violations = base.join(keys, on=cond, how="left_anti")
-        sample: Optional[list] = None
-        if rf["result_format"] != "BOOLEAN_ONLY":
+        multi = bool(planner.partition_by) or rf["result_format"] != "BOOLEAN_ONLY"
+        if multi:
             violations = violations.persist()
-        unexpected = violations.count()
+        state["global"] = violations.count()
+        if planner.partition_by:
+            rows = violations.groupBy(*planner.partition_by).count().collect()
+            state["parts"] = {
+                json.dumps({c: r[c] for c in planner.partition_by}, sort_keys=True, default=str): int(r["count"])
+                for r in rows
+            }
         if rf["result_format"] != "BOOLEAN_ONLY":
             n = rf["partial_unexpected_count"]
             if len(columns) == 1:
                 rows = violations.select(columns[0]).limit(n).collect()
-                sample = [r[0] for r in rows]
+                state["sample"] = [r[0] for r in rows]
             else:
                 rows = violations.select(*columns).limit(n).collect()
-                sample = [json.dumps(list(r), default=str) for r in rows]
+                state["sample"] = [json.dumps(list(r), default=str) for r in rows]
+        if multi:
             violations.unpersist()
+
+    def decide(ctx) -> tuple[bool, dict]:
+        _compute()
+        if ctx.is_partition and ctx.partition_key is not None:
+            pk = json.dumps(ctx.partition_key, sort_keys=True, default=str)
+            unexpected = state.get("parts", {}).get(pk, 0)
+            sample = None
+        else:
+            unexpected = state["global"]
+            sample = state.get("sample")
         elem = ctx.metrics[a_elem] or 0
         nonnull = ctx.metrics[a_nonnull] or 0
         if elem == 0 or nonnull == 0:
@@ -102,7 +125,7 @@ def _compile_exist_in(planner: Any, cfg: ExpectationConfiguration) -> None:
         )
         return bool(success), out.get("result", {"success": success})
 
-    planner._items.append(_Item(cfg, decide, partition_capable=False))
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
 def _all_not_null(cols: list[Column]) -> Column:

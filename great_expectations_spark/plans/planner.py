@@ -118,6 +118,7 @@ class _Ctx:
         self.sample_counts: dict[str, list[tuple[Any, int]]] = {}
         self.sample_rows: dict[str, list[dict]] = {}  # include_unexpected_rows
         self.is_partition: bool = False
+        self.partition_key: Optional[dict] = None  # set for partition decisions
 
 
 @dataclass
@@ -379,6 +380,7 @@ class SuitePlanner:
                     pctx.metrics = pmetrics
                     pctx.groupby = ctx.groupby
                     pctx.is_partition = True
+                    pctx.partition_key = pkey
                     evr = self._decide(item, pctx)
                     evr.partition = pkey
                     partition_results.append(evr)

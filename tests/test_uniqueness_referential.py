@@ -136,3 +136,42 @@ def test_partition_rollup_verdicts(spark):
     assert png_map["element_count"] == 3
     assert png_map["missing_count"] == 1
     assert parts[("jpeg", "expect_column_mean_to_be_between")].result["observed_value"] == -1.0
+
+
+def test_referential_per_partition_verdicts(spark, orders):
+    """Referential integrity emits per-partition pass/fail + violation counts
+    (north rule) from ONE anti-join job."""
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from pyspark.sql import functions as F
+
+    cust_subset = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .filter(F.col("c_custkey") <= 75)
+    )
+    s = ExpectationSuite(name="refp")
+    s.add(
+        "expect_column_values_to_exist_in",
+        column="o_custkey",
+        ref=cust_subset,
+        ref_column="c_custkey",
+        broadcast=True,
+    )
+    res = SparkValidationEngine(spark).validate(
+        orders, s, partition_by=["o_orderstatus"]
+    )
+    assert res.partition_results, "no per-partition verdicts"
+    for evr in res.partition_results:
+        status = evr.partition["o_orderstatus"]
+        want = (
+            orders.filter(F.col("o_orderstatus") == status)
+            .join(
+                cust_subset.select(F.col("c_custkey").alias("k")),
+                on=F.col("o_custkey") == F.col("k"),
+                how="left_anti",
+            )
+            .count()
+        )
+        assert evr.result["unexpected_count"] == want, status
+    total = sum(e.result["unexpected_count"] for e in res.partition_results)
+    assert res.results[0].result["unexpected_count"] == total > 0
