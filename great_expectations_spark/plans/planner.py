@@ -106,6 +106,10 @@ class _GroupByResult:
     top: list[tuple[tuple, int]] = field(default_factory=list)  # (values, count)
     dup_sample: list[tuple[tuple, int]] = field(default_factory=list)
     top_truncated: bool = False
+    # json(partition_key) -> rows in that partition whose value is a
+    # (global) duplicate; populated when the suite has partition_by
+    part_dup_rows: dict = field(default_factory=dict)
+    part_considered: dict = field(default_factory=dict)
 
 
 class _Ctx:
@@ -597,6 +601,27 @@ class SuitePlanner:
                 out.dup_sample = [
                     (tuple(r[c] for c in need.cols), int(r["_cnt"])) for r in dup_rows
                 ]
+            if need.want_dup_stats and self.partition_by:
+                # attribute globally-duplicated rows to their partitions:
+                # semi-join the (usually small) duplicate-value set back to
+                # the rows, then count per partition (one bounded shuffle;
+                # AQE skew-join covers a pathological dup set)
+                dup_vals = grouped.filter(F.col("_cnt") > 1).select(*need.cols)
+                prows = (
+                    base.join(dup_vals, on=list(need.cols), how="left_semi")
+                    .groupBy(*self.partition_by)
+                    .count()
+                    .collect()
+                )
+                out.part_dup_rows = {
+                    json.dumps({c: r[c] for c in self.partition_by}, sort_keys=True, default=str): int(r["count"])
+                    for r in prows
+                }
+                crows = base.groupBy(*self.partition_by).count().collect()
+                out.part_considered = {
+                    json.dumps({c: r[c] for c in self.partition_by}, sort_keys=True, default=str): int(r["count"])
+                    for r in crows
+                }
         finally:
             if n_products > 1:
                 grouped.unpersist()
@@ -765,8 +790,15 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
     def decide(ctx: _Ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
         elem = ctx.metrics.get(a_elem, 0) or 0
-        considered = gb.total_count
-        unexpected = gb.dup_row_count
+        if ctx.is_partition and ctx.partition_key is not None:
+            # per-partition verdict: rows of THIS partition whose value is a
+            # global duplicate
+            pk = json.dumps(ctx.partition_key, sort_keys=True, default=str)
+            considered = gb.part_considered.get(pk, 0)
+            unexpected = gb.part_dup_rows.get(pk, 0)
+        else:
+            considered = gb.total_count
+            unexpected = gb.dup_row_count
         if elem == 0 or considered == 0:
             success = True
         else:
@@ -787,21 +819,22 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
             unexpected_list=sample if not ctx.is_partition else None,
         )
         result = out.get("result", {})
-        approx = ctx.metrics.get(a_approx)
-        exact = gb.distinct_count
-        result["details"] = {
-            "duplicate_value_count": gb.dup_value_count,
-            "distinct_count_exact": exact,
-            "distinct_count_approx": int(approx) if approx is not None else None,
-            "approx_rel_error": (
-                round(abs(int(approx) - exact) / exact, 6)
-                if approx is not None and exact
-                else None
-            ),
-        }
+        if not ctx.is_partition:
+            approx = ctx.metrics.get(a_approx)
+            exact = gb.distinct_count
+            result["details"] = {
+                "duplicate_value_count": gb.dup_value_count,
+                "distinct_count_exact": exact,
+                "distinct_count_approx": int(approx) if approx is not None else None,
+                "approx_rel_error": (
+                    round(abs(int(approx) - exact) / exact, 6)
+                    if approx is not None and exact
+                    else None
+                ),
+            }
         return bool(success), result
 
-    planner._items.append(_Item(cfg, decide, partition_capable=False))
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
 _GROUPBY_COMPILERS: dict[str, Callable[[SuitePlanner, ExpectationConfiguration], None]] = {

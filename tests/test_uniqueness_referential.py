@@ -175,3 +175,31 @@ def test_referential_per_partition_verdicts(spark, orders):
         assert evr.result["unexpected_count"] == want, status
     total = sum(e.result["unexpected_count"] for e in res.partition_results)
     assert res.results[0].result["unexpected_count"] == total > 0
+
+
+def test_uniqueness_per_partition_verdicts(spark, orders):
+    """Globally-duplicated values are attributed to the partitions of their
+    rows (north rule: per-partition pass/fail for uniqueness)."""
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from pyspark.sql import functions as F
+
+    s = ExpectationSuite(name="uniqp")
+    s.add("expect_column_values_to_be_unique", column="o_custkey")
+    res = SparkValidationEngine(spark).validate(
+        orders, s, partition_by=["o_orderstatus"]
+    )
+    assert res.partition_results
+    dup_vals = (
+        orders.groupBy("o_custkey").count().filter("count > 1").select("o_custkey")
+    )
+    for evr in res.partition_results:
+        status = evr.partition["o_orderstatus"]
+        want = (
+            orders.filter(F.col("o_orderstatus") == status)
+            .join(dup_vals, "o_custkey", "left_semi")
+            .count()
+        )
+        assert evr.result["unexpected_count"] == want, status
+    total = sum(e.result["unexpected_count"] for e in res.partition_results)
+    assert res.results[0].result["unexpected_count"] == total > 0
