@@ -293,27 +293,41 @@ def simhash_near_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
-    """Pairs within Hamming distance ≤ max_hamming via chunk-banding:
-    signatures agreeing on ≥1 of `chunks` 16-bit chunks are candidates
-    (guaranteed complete when max_hamming < chunks); verify with
-    bit_count(xor)."""
-    width = 64 // chunks
-    mask = (1 << width) - 1
+    """Pairs within Hamming distance ≤ max_hamming via chunk-banding, then
+    exact bit_count(xor) verify.
+
+    Completeness (pigeonhole): a pair with ≤ max_hamming differing bits has
+    at least one untouched chunk iff chunks > max_hamming — so `chunks`
+    defaults to max_hamming + 1 and passing chunks <= max_hamming raises
+    (it would silently miss pairs whose differing bits spread across every
+    chunk). The 64 bits are split into `chunks` contiguous near-equal-width
+    slices covering all bits; more chunks = narrower bands = more candidate
+    join keys but still complete.
+    """
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"chunk banding is complete only for chunks > max_hamming "
+            f"(pigeonhole); got chunks={chunks}, max_hamming={max_hamming}"
+        )
+    chunks = min(int(chunks), 64)
+    bounds = [i * 64 // chunks for i in range(chunks + 1)]
+    chunk_exprs = []
+    for i in range(chunks):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        shifted = (
+            F.col("simhash") if lo == 0 else F.shiftrightunsigned(F.col("simhash"), lo)
+        )
+        if width < 64:
+            shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
+        chunk_exprs.append(shifted.cast("long"))
     banded = signatures.select(
         F.col(id_col),
         F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), i * width)
-                    .bitwiseAND(F.lit(mask))
-                    .cast("long")
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
     )
     left = banded.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk_val"
@@ -341,11 +355,28 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard ≥ τ via explode + equi-self-join on token.
 
     |∩| from the join, |A|,|B| from a pre-agg; jaccard = c/(na+nb-c).
-    SQL-expressible — the DuckDB oracle reproduces it exactly."""
+    With max_df=None this is fully exact and SQL-expressible — the DuckDB
+    oracle reproduces it bit-for-bit.
+
+    Scale path (``max_df``): the self-join key cardinality is Σ df(tok)² —
+    stop-word-grade tokens ("the", boilerplate) appearing in ~every doc make
+    that quadratic in corpus size, which no amount of AQE skew-splitting
+    fixes (it splits tasks, not the O(n²) candidate count). Setting
+    ``max_df=D`` drops tokens whose document frequency exceeds D from
+    CANDIDATE GENERATION only; the reported jaccard for surviving pairs
+    stays EXACT because |∩| is computed in two parts — rare-token matches
+    from the join plus hot-token overlap via per-doc hot-token arrays (the
+    hot vocabulary has at most total_token_occurrences / D members, so the
+    arrays are tiny). The only approximation is recall: a pair sharing NO
+    rare token is missed, and such a pair has |∩| ≤ min hot-set size — with
+    bounded per-doc hot tokens h, its jaccard ≤ h / (na + nb − h), so pick
+    D to make that bound < τ for your corpus. Bounds the join to
+    Σ_{df≤D} df² ≤ D · Σ df — linear in corpus size."""
     tok = _ensure_parallelism(
         df.select(
             F.col(id_col),
@@ -354,14 +385,48 @@ def token_jaccard_pairs(
         id_col,
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col(id_col).alias("a"), "tok")
-    tb = tok.select(F.col(id_col).alias("b"), "tok")
+    if max_df is not None:
+        docfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        tok = tok.join(docfreq, "tok")
+        rare = tok.filter(F.col("_df") <= max_df).select(id_col, "tok")
+        # per-doc sorted hot-token arrays: small (≤ vocab of hot tokens) and
+        # joined only onto candidate pairs, never self-joined
+        hot_sets = (
+            tok.filter(F.col("_df") > max_df)
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("tok")).alias("_hot"))
+        )
+    else:
+        rare = tok
+        hot_sets = None
+    ta = rare.select(F.col(id_col).alias("a"), "tok")
+    tb = rare.select(F.col(id_col).alias("b"), "tok")
     inter = (
         ta.join(tb, "tok")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if hot_sets is not None:
+        ha = hot_sets.select(F.col(id_col).alias("a"), F.col("_hot").alias("_hot_a"))
+        hb = hot_sets.select(F.col(id_col).alias("b"), F.col("_hot").alias("_hot_b"))
+        inter = (
+            inter.join(ha, "a", "left")
+            .join(hb, "b", "left")
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("c")
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce(F.col("_hot_a"), F.array()),
+                            F.coalesce(F.col("_hot_b"), F.array()),
+                        )
+                    )
+                ).alias("c"),
+            )
+        )
     na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
     return (

@@ -204,15 +204,16 @@ def image_near_duplicate_pairs(
     id_col: str = "image_id",
     phash_col: str = "phash",
     max_hamming: int = 8,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs by perceptual-hash Hamming distance — the image
     counterpart of text SimHash dedup (operators/dedup.py): 64-bit phash →
-    16-bit chunk banding (complete for max_hamming < chunks·1? guaranteed
-    complete when fewer than `chunks` chunks differ, i.e. hamming spread
-    across < chunks chunks; for tighter guarantees raise `chunks`) →
-    same-chunk self-join → exact bit_count verify. No decode needed — works
-    off the stored phash column, so the bytes column is never read."""
+    chunk banding with chunks > max_hamming slices (pigeonhole-complete:
+    every pair within max_hamming shares at least one untouched chunk) →
+    same-chunk self-join → exact bit_count verify. `chunks` defaults to
+    max_hamming + 1; passing fewer raises rather than silently losing
+    recall. No decode needed — works off the stored phash column, so the
+    bytes column is never read."""
     from great_expectations_spark.operators.dedup import simhash_near_pairs
 
     sigs = df.select(F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash"))

@@ -139,6 +139,37 @@ def test_simhash(docs_small):
     assert (1, 5) not in got
 
 
+def test_simhash_banding_recall_spread_bits(spark):
+    """Pigeonhole completeness at default chunks: a pair whose 8 differing
+    bits land in every 16-bit quarter (the old chunks=4 default silently
+    missed it) must be found at max_hamming=8."""
+    spread = 0
+    for bit in (0, 8, 16, 24, 32, 40, 48, 56):
+        spread |= 1 << bit
+    sigs = spark.createDataFrame(
+        [(1, 0), (2, spread)], "doc_id long, simhash long"
+    )
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=8).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 8
+
+
+def test_simhash_banding_rejects_incomplete_chunks(spark):
+    sigs = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(sigs, max_hamming=8, chunks=4)
+
+
+def test_simhash_banding_negative_signature(spark):
+    """Top-bit-set (negative long) signatures band correctly — the top chunk
+    must use a logical, not arithmetic, shift."""
+    a = -(1 << 63)  # only bit 63 set
+    sigs = spark.createDataFrame(
+        [(1, a), (2, a ^ 1)], "doc_id long, simhash long"
+    )
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=1).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 1
+
+
 def test_token_jaccard(docs_small):
     pairs = dedup.token_jaccard_pairs(docs_small, threshold=0.5)
     got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
@@ -146,6 +177,41 @@ def test_token_jaccard(docs_small):
     # docs 1 vs 4: 8 distinct tokens each ("the" dedups), |∩|=7, |∪|=9
     assert got[(1, 4)] == pytest.approx(7 / 9)
     assert (1, 5) not in got
+
+
+def test_token_jaccard_max_df_exact_on_surviving_pairs(spark):
+    """Stop-word-heavy corpus: df-pruning keeps the join linear (hot tokens
+    never self-join) while reported jaccard stays exact — the pruned run
+    must equal the exact run whenever every qualifying pair shares at least
+    one rare token."""
+    stop = "the a of and to"
+    rows = []
+    for i in range(0, 40, 2):
+        rows.append((i, f"{stop} uniq{i}a uniq{i}b uniq{i}c"))
+        rows.append((i + 1, f"{stop} uniq{i}a uniq{i}b uniq{i}d"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.token_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    pruned = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.token_jaccard_pairs(df, threshold=0.5, max_df=10).collect()
+    }
+    assert exact == pruned
+    assert len(exact) == 20  # the (i, i+1) pairs, each 7/9
+    assert all(v == pytest.approx(7 / 9) for v in exact.values())
+
+
+def test_token_jaccard_max_df_recall_contract(spark):
+    """Documented recall gap: a pair sharing ONLY hot tokens is not a
+    candidate under max_df (its jaccard is bounded by the hot overlap)."""
+    stop = "the a of and to"
+    rows = [(i, stop) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = dedup.token_jaccard_pairs(df, threshold=0.9).collect()
+    pruned = dedup.token_jaccard_pairs(df, threshold=0.9, max_df=5).collect()
+    assert len(exact) == 190 and len(pruned) == 0
 
 
 def test_minhash_on_testdata_documents(documents):
