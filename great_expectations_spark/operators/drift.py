@@ -17,7 +17,7 @@ drift practice for production pipelines; not in the reference).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, functions as F
 
@@ -84,12 +84,67 @@ def _observed_histogram(metrics: dict, aliases: dict) -> tuple[list[int], int, i
     return bin_counts, below, above, nonnull
 
 
-def _categorical_observed(gb, expected_values: list) -> tuple[list[int], int]:
-    """Observed counts aligned to expected_values + count of unseen values."""
-    counts = {values[0]: cnt for values, cnt in gb.top}
-    aligned = [int(counts.get(v, 0)) for v in expected_values]
-    extra = sum(c for v, c in counts.items() if v not in set(expected_values))
-    return aligned, extra
+def _exact_categorical_counts(
+    df, column: str, values: list
+) -> tuple[dict, int, int, int]:
+    """Exact per-expected-value counts for arbitrarily-high-cardinality
+    columns — one bounded aggregate (len(values)+3 counters), no driver
+    materialization of the observed value set. Fallback for deciders whose
+    shared groupBy `top` was truncated at DISTINCT_CAP: the expected
+    partition's values stay exact; everything outside it is lumped into
+    (extra_rows, extra_distinct_count).
+
+    Returns (aligned_counts, extra_rows, extra_distinct, nonnull)."""
+    col = F.col(column)
+    nn = col.isNotNull()
+    aggs = [
+        F.count(F.when(nn & (col == F.lit(v)), F.lit(1))).alias(f"v{i}")
+        for i, v in enumerate(values)
+    ]
+    extra_cond = nn & ~col.isin(list(values))
+    aggs.append(F.count(F.when(extra_cond, F.lit(1))).alias("_extra_rows"))
+    aggs.append(
+        F.count_distinct(F.when(extra_cond, col)).alias("_extra_distinct")
+    )
+    aggs.append(F.count(F.when(nn, F.lit(1))).alias("_nonnull"))
+    row = df.agg(*aggs).collect()[0]
+    aligned = {v: int(row[f"v{i}"] or 0) for i, v in enumerate(values)}
+    return (
+        aligned,
+        int(row["_extra_rows"] or 0),
+        int(row["_extra_distinct"] or 0),
+        int(row["_nonnull"] or 0),
+    )
+
+
+# sentinel label for the lumped not-in-expected-partition mass in truncated
+# fallbacks; real column values are never rewritten to it
+_LUMPED_TAIL = "__tail_not_in_partition__"
+
+
+def _observed_counts_or_exact(
+    planner, gb, column: str, values: list
+) -> tuple[dict, int, Optional[dict]]:
+    """(observed_counts, nonnull, truncation_details|None) for categorical
+    deciders. Uses the shared groupBy top when complete; when truncated
+    (cardinality > DISTINCT_CAP) falls back to the exact bounded aggregate,
+    lumping the out-of-partition tail under _LUMPED_TAIL and reporting the
+    lump in details instead of silently computing on a clipped table."""
+    if not gb.top_truncated:
+        counts = {vals[0]: cnt for vals, cnt in gb.top}
+        return counts, gb.total_count or sum(counts.values()), None
+    aligned, extra_rows, extra_distinct, nonnull = _exact_categorical_counts(
+        planner.df, column, values
+    )
+    counts = dict(aligned)
+    if extra_rows:
+        counts[_LUMPED_TAIL] = extra_rows
+    details = {
+        "observed_truncated": True,
+        "tail_lumped_rows": extra_rows,
+        "tail_lumped_distinct_values": extra_distinct,
+    }
+    return counts, nonnull, details
 
 
 def _num(v) -> bool:
@@ -249,20 +304,27 @@ def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
 
         def decide(ctx) -> tuple[bool, dict]:
             gb = ctx.groupby[key]
-            observed_counts = {vals[0]: cnt for vals, cnt in gb.top}
-            nonnull = gb.total_count or sum(observed_counts.values())
+            observed_counts, nonnull, trunc = _observed_counts_or_exact(
+                planner, gb, column, values
+            )
             union, pk, qk = categorical_kl_adjust(
                 observed_counts, nonnull, values, weights, tail_holdout
             )
             kl = kl_divergence(pk, qk)
             success = True if threshold is None else kl <= threshold
             bad = math.isinf(kl) or math.isnan(kl)
+            details = {
+                "observed_partition": {"values": union, "weights": pk},
+                "expected_partition": {"values": union, "weights": qk},
+            }
+            if trunc:
+                # expected-value weights are exact; the out-of-partition tail
+                # is one lumped mass (with tail_holdout > 0 the per-unseen-
+                # value KL terms are approximated by the lump)
+                details.update(trunc)
             return bool(success if threshold is None else (not bad and success)), {
                 "observed_value": None if bad else kl,
-                "details": {
-                    "observed_partition": {"values": union, "weights": pk},
-                    "expected_partition": {"values": union, "weights": qk},
-                },
+                "details": details,
             }
 
         planner._items.append(_Item(cfg, decide, partition_capable=False))
@@ -326,17 +388,21 @@ def _compile_chi_square(planner: Any, cfg: ExpectationConfiguration) -> None:
 
     def decide(ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
-        observed_counts = {vals[0]: cnt for vals, cnt in gb.top}
-        nonnull = gb.total_count or sum(observed_counts.values())
+        observed_counts, nonnull, trunc = _observed_counts_or_exact(
+            planner, gb, column, values
+        )
         union, pk_w, qk = categorical_kl_adjust(
             observed_counts, nonnull, values, weights, tail_holdout
         )
         counts = [observed_counts.get(v, 0) for v in union]
         stat, pval = chi_square_test(counts, qk)
         aligned = [observed_counts.get(v, 0) for v in values]
+        details = {"chi_square_statistic": stat, "observed_counts": aligned}
+        if trunc:
+            details.update(trunc)
         return bool(pval > p_threshold), {
             "observed_value": pval,
-            "details": {"chi_square_statistic": stat, "observed_counts": aligned},
+            "details": details,
         }
 
     planner._items.append(_Item(cfg, decide, partition_capable=False))
@@ -384,11 +450,23 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
         key = planner._need_groupby((column,), drop_nulls=True, want_top=True)
 
         def decide(ctx) -> tuple[bool, dict]:
-            aligned, extra = _categorical_observed(ctx.groupby[key], values)
+            gb = ctx.groupby[key]
+            observed_counts, _, trunc = _observed_counts_or_exact(
+                planner, gb, column, values
+            )
+            aligned = [int(observed_counts.get(v, 0)) for v in values]
+            vset = set(values)
+            extra = sum(c for v, c in observed_counts.items() if v not in vset)
             pk = aligned + ([extra] if extra else [])
             qk = list(po["weights"]) + ([0.0] if extra else [])
             v = psi(pk, qk)
-            return bool(v < threshold), {"observed_value": v}
+            result: dict[str, Any] = {"observed_value": v}
+            if trunc:
+                # PSI already lumps unseen values into one bucket, so the
+                # truncated fallback is EXACT — details only record that the
+                # exact path ran
+                result["details"] = trunc
+            return bool(v < threshold), result
 
         planner._items.append(_Item(cfg, decide, partition_capable=False))
         return
@@ -409,6 +487,46 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
     planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
+def _distributed_cramers_phi(df, a: str, b: str) -> tuple[float, float, int, int]:
+    """Exact Cramér's phi with NO driver-side contingency table — the
+    fallback when |A×B| exceeds DISTINCT_CAP. χ² = N·(Σ o²/(r_a·c_b) − 1)
+    via cells ⨝ row-margins ⨝ col-margins (three bounded shuffles on the
+    cell keys); only four scalars reach the driver."""
+    nn = F.col(a).isNotNull() & F.col(b).isNotNull()
+    cells = (
+        df.filter(nn)
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .persist()
+    )
+    try:
+        ra = cells.groupBy(a).agg(F.sum("_o").alias("_ra"))
+        cb = cells.groupBy(b).agg(F.sum("_o").alias("_cb"))
+        row = (
+            cells.join(ra, a)
+            .join(cb, b)
+            .agg(
+                F.sum("_o").alias("_n"),
+                F.sum(
+                    F.col("_o").cast("double") * F.col("_o")
+                    / (F.col("_ra").cast("double") * F.col("_cb"))
+                ).alias("_s"),
+                F.count_distinct(F.col(a)).alias("_r"),
+                F.count_distinct(F.col(b)).alias("_c"),
+            )
+            .collect()[0]
+        )
+    finally:
+        cells.unpersist()
+    n = int(row["_n"] or 0)
+    r, c = int(row["_r"] or 0), int(row["_c"] or 0)
+    if n == 0 or min(r, c) < 2:
+        return 0.0, 0.0, r, c
+    chi2 = n * (float(row["_s"]) - 1.0)
+    phi = math.sqrt(max(chi2, 0.0) / (n * min(r - 1, c - 1)))
+    return phi, chi2, r, c
+
+
 def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
     """expect_column_pair_cramers_phi_value_to_be_less_than — categorical
     association between two columns. Pandas-only in the reference
@@ -425,6 +543,18 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
 
     def decide(ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
+        if gb.top_truncated:
+            phi, chi2, rows, cols = _distributed_cramers_phi(planner.df, a, b)
+            return bool(phi < threshold), {
+                "observed_value": phi,
+                "details": {
+                    "chi_squared": chi2,
+                    "n_rows": rows,
+                    "n_cols": cols,
+                    "observed_truncated": True,
+                    "method": "distributed_exact",
+                },
+            }
         contingency = {values: cnt for values, cnt in gb.top}
         rows = len({v[0] for v in contingency})
         cols = len({v[1] for v in contingency})

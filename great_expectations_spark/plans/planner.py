@@ -589,8 +589,19 @@ class SuitePlanner:
                     for r in top_rows[:DISTINCT_CAP]
                 ]
                 if not need.want_dup_stats:
-                    out.distinct_count = len(out.top)
-                    out.total_count = sum(c for _, c in out.top)
+                    if out.top_truncated:
+                        # the collected top is a prefix — totals from it would
+                        # be silently low; one tiny agg over the (already
+                        # shuffled) grouped frame keeps them exact
+                        row = grouped.agg(
+                            F.count(F.lit(1)).alias("distinct"),
+                            F.sum("_cnt").alias("total"),
+                        ).collect()[0]
+                        out.distinct_count = int(row["distinct"] or 0)
+                        out.total_count = int(row["total"] or 0)
+                    else:
+                        out.distinct_count = len(out.top)
+                        out.total_count = sum(c for _, c in out.top)
             if need.want_dup_sample:
                 dup_rows = (
                     grouped.filter(F.col("_cnt") > 1)

@@ -119,3 +119,80 @@ def test_match_json_schema(spark, events):
     res2 = validate(events, s2)
     assert res2.results[0].success is False
     assert res2.results[0].result["unexpected_count"] == events.count()
+
+
+# ---- DISTINCT_CAP truncation fallbacks ----------------------------------
+
+
+def _high_card_df(spark, n_vals=40, rows_per=5):
+    """n_vals distinct categories, mostly 'A'/'B'/'C' plus a long tail."""
+    rows = [("A",)] * 100 + [("B",)] * 80 + [("C",)] * 60
+    rows += [(f"tail{i}",) for i in range(n_vals) for _ in range(rows_per)]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_categorical_deciders_exact_under_truncation(spark, monkeypatch):
+    """With DISTINCT_CAP forced below the column cardinality, the categorical
+    KL / chi² / PSI deciders must fall back to the exact bounded aggregate —
+    same verdicts/values as the untruncated run, truncation surfaced in
+    details — instead of silently computing on a clipped value table."""
+    import great_expectations_spark.plans.planner as planner_mod
+
+    df = _high_card_df(spark)
+    po = {"values": ["A", "B", "C"], "weights": [0.5, 0.3, 0.2]}
+
+    def run():
+        s = ExpectationSuite(name="trunc")
+        s.add(
+            "expect_column_kl_divergence_to_be_less_than",
+            column="v", partition_object=po, threshold=5.0,
+            tail_weight_holdout=0.2,
+        )
+        s.add(
+            "expect_column_chi_square_test_p_value_to_be_greater_than",
+            column="v", partition_object=po, p=0.05,
+        )
+        s.add(
+            "expect_column_psi_to_be_less_than",
+            column="v", partition_object=po, threshold=10.0,
+        )
+        return validate(df, s)
+
+    full = run()
+    monkeypatch.setattr(planner_mod, "DISTINCT_CAP", 8)
+    trunc = run()
+
+    for f, t in zip(full.results, trunc.results):
+        assert t.success == f.success, t.expectation_config["expectation_type"]
+        d = (t.result or {}).get("details") or {}
+        assert d.get("observed_truncated") is True
+        assert d.get("tail_lumped_distinct_values") == 40
+    # PSI lumps the tail in BOTH paths → observed value must be identical
+    assert trunc.results[2].result["observed_value"] == (
+        full.results[2].result["observed_value"]
+    )
+
+
+def test_cramers_phi_distributed_fallback_matches(spark, monkeypatch):
+    import great_expectations_spark.plans.planner as planner_mod
+
+    rows = [(f"a{i % 13}", f"b{(i * 7) % 11}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "x string, y string")
+
+    def run():
+        s = ExpectationSuite(name="phi-trunc")
+        s.add(
+            "expect_column_pair_cramers_phi_value_to_be_less_than",
+            column_A="x", column_B="y", threshold=0.5,
+        )
+        return validate(df, s)
+
+    full = run()
+    monkeypatch.setattr(planner_mod, "DISTINCT_CAP", 16)
+    trunc = run()
+    d_full = full.results[0].result
+    d_trunc = trunc.results[0].result
+    assert d_trunc["details"].get("method") == "distributed_exact"
+    assert abs(d_trunc["observed_value"] - d_full["observed_value"]) < 1e-9
+    assert abs(d_trunc["details"]["chi_squared"] - d_full["details"]["chi_squared"]) < 1e-6
+    assert trunc.results[0].success == full.results[0].success
