@@ -144,23 +144,29 @@ class EvaluationParameterError(KeyError):
 
 
 def substitute_evaluation_parameters(
-    cfg: "ExpectationConfiguration", params: dict[str, Any]
+    cfg: "ExpectationConfiguration",
+    params: dict[str, Any],
+    urn_resolver: Any = None,
 ) -> "ExpectationConfiguration":
-    """Resolve ``{"$PARAMETER": "name"}`` kwarg values against bound
-    evaluation parameters — the reference's evaluation-parameter substitution
-    (validator/validator.py:356-361, core/evaluation_parameters.py:307-421),
-    minus the URN mini-language: parameters are plain names bound at validate
-    time (explicit arg > suite.evaluation_parameters)."""
+    """Resolve ``{"$PARAMETER": <expr>}`` kwarg values — the reference's
+    evaluation-parameter substitution (validator/validator.py:356-361,
+    core/evaluation_parameters.py:307-421). A bare bound name substitutes
+    verbatim (complex types allowed); anything else goes through the
+    expression language in core/eval_params.py (arithmetic, now()/datetime()/
+    timedelta() etc., and urn:great_expectations: lookups via
+    ``urn_resolver``)."""
 
     def sub(v: Any) -> Any:
         if isinstance(v, dict):
             if "$PARAMETER" in v:
                 name = v["$PARAMETER"]
-                if name not in params:
-                    raise EvaluationParameterError(
-                        f"unbound evaluation parameter: {name}"
-                    )
-                return params[name]
+                if name in params:
+                    return params[name]
+                from great_expectations_spark.core.eval_params import (
+                    parse_evaluation_parameter,
+                )
+
+                return parse_evaluation_parameter(name, params, urn_resolver)
             return {k: sub(x) for k, x in v.items()}
         if isinstance(v, list):
             return [sub(x) for x in v]

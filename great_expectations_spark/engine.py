@@ -33,7 +33,12 @@ class SparkValidationEngine:
         persist: bool = False,
         meta: Optional[dict] = None,
         evaluation_parameters: Optional[dict] = None,
+        urn_resolver: Any = None,
     ) -> SuiteValidationResult:
+        """``urn_resolver``: callable (urn string → value) used by
+        ``{"$PARAMETER": "urn:great_expectations:validations:..."}`` kwargs —
+        pass ``ResultsStoreUrnResolver(store)`` (core/eval_params.py) to
+        chain suites against a results store."""
         planner = SuitePlanner(
             df,
             suite,
@@ -42,6 +47,7 @@ class SparkValidationEngine:
             spark=self.spark or df.sparkSession,
             persist=persist,
             evaluation_parameters=evaluation_parameters,
+            urn_resolver=urn_resolver,
         )
         return planner.run(meta=meta)
 

@@ -30,10 +30,45 @@ def with_salt(df: DataFrame, buckets: int = 16, id_expr: Column | None = None) -
     return df.withColumn(SALT_COL, salt)
 
 
+def _combiner_for(df: DataFrame, keys: Sequence[str], expr: Column):
+    """Infer the merge combiner for a first-phase aggregate, or None when it
+    is not safely mergeable by alias. Inference reads the ANALYZED plan of a
+    single-agg groupBy (analysis only — no job): Column.toString() hides the
+    DISTINCT flag, so count_distinct prints as count(x) and sum_distinct as
+    sum(x) — exactly the silent-wrong-merge hazard (a distinct value can
+    land in several salt buckets, so summing per-salt distinct partials
+    over-counts). min/max merge regardless of distinct; sum/count merge by
+    sum only when non-distinct; everything else refuses."""
+    import re
+
+    try:
+        plan = (
+            df.groupBy(*[F.col(k) for k in keys])
+            .agg(expr.alias("__probe"))
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+    except Exception:
+        return None  # cannot introspect → refuse rather than guess
+    line = next((ln for ln in plan.splitlines() if "Aggregate" in ln), "")
+    seg = line.split(" AS __probe#")[0]
+    calls = re.findall(r"(\w+)\((distinct\b)?", seg)
+    if not calls:
+        return None
+    fn, distinct = calls[-1]
+    fn = fn.lower()
+    if fn in ("min", "max"):
+        return F.min if fn == "min" else F.max  # distinct-insensitive
+    if fn in ("sum", "count") and not distinct:
+        return F.sum
+    return None
+
+
 def salted_group_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, Column]],
     buckets: int = 16,
     id_expr: Column | None = None,
 ) -> DataFrame:
@@ -41,23 +76,34 @@ def salted_group_agg(
     groupBy(keys + salt) partial → groupBy(keys) merge. A key with 10^9 rows
     becomes `buckets` partial states instead of one reducer's full stream.
 
-    ``aggs``: alias -> first-phase aggregate expression; the merge phase
-    re-aggregates by alias with the matching combiner (sum→sum, count→sum,
-    min→min, max→max) inferred from the expression name.
+    ``aggs``: alias -> first-phase aggregate expression, or alias ->
+    (partial_expr, merge_expr) for anything whose combiner can't be inferred.
+    Inference covers exactly min/max/sum/count (count merges by sum); any
+    other aggregate (avg, count_distinct, collect_*, ...) raises ValueError
+    instead of silently summing per-salt partials — e.g. a sum of per-salt
+    averages is NOT the average. Non-decomposable aggregates should be
+    rewritten (avg = sum/count across two aliases) or use
+    ``salted_distinct_count`` for exact distincts.
     """
     first = df if SALT_COL in df.columns else with_salt(df, buckets, id_expr)
-    phase1 = first.groupBy(*keys, SALT_COL).agg(
-        *[e.alias(a) for a, e in aggs.items()]
-    )
-    mergers = []
+    partials: list[Column] = []
+    mergers: list[Column] = []
     for a, e in aggs.items():
-        name = e._jc.toString().lower() if hasattr(e, "_jc") else ""
-        if name.startswith("min"):
-            mergers.append(F.min(a).alias(a))
-        elif name.startswith("max"):
-            mergers.append(F.max(a).alias(a))
-        else:  # count/sum both merge by sum
-            mergers.append(F.sum(a).alias(a))
+        if isinstance(e, tuple):
+            partial, merge = e
+            partials.append(partial.alias(a))
+            mergers.append(merge.alias(a))
+            continue
+        comb = _combiner_for(df, keys, e)
+        if comb is None:
+            raise ValueError(
+                f"salted_group_agg cannot infer a merge combiner for alias "
+                f"{a!r}; only min/max/sum/count are inferable — pass an "
+                f"explicit (partial, merge) pair for this aggregate"
+            )
+        partials.append(e.alias(a))
+        mergers.append(comb(a).alias(a))
+    phase1 = first.groupBy(*keys, SALT_COL).agg(*partials)
     return phase1.groupBy(*keys).agg(*mergers)
 
 

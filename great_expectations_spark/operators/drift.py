@@ -419,6 +419,16 @@ def _compile_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
     bins = [float(b) for b in po["bins"]]
     aliases = register_histogram(planner, column, bins, dom)
     weights = list(po["weights"])
+    # the bootstrapped variant is answered by the same histogram sketch —
+    # users must see which p-value basis they got (the reference bootstraps
+    # pandas samples; our D is evaluated at bin granularity with the full-n
+    # asymptotic p-value, which is stricter — the 2 documented divergences in
+    # tests/test_reference_golden.py)
+    method = (
+        "binned_ks_sketch"
+        if "bootstrapped" in cfg.expectation_type
+        else "binned_ks"
+    )
 
     def decide(ctx) -> tuple[bool, dict]:
         bin_counts, below, above, nonnull = _observed_histogram(ctx.metrics, aliases)
@@ -430,7 +440,7 @@ def _compile_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
         pval = ks_pvalue(d, nonnull)
         return bool(pval > p_threshold), {
             "observed_value": pval,
-            "details": {"ks_statistic": d},
+            "details": {"ks_statistic": d, "method": method},
         }
 
     planner._items.append(_Item(cfg, decide, partition_capable=True))

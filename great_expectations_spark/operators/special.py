@@ -135,15 +135,123 @@ def _all_not_null(cols: list[Column]) -> Column:
     return cond
 
 
+def _monotonic_scan(
+    df: DataFrame,
+    column: str,
+    order_by: Optional[str],
+    increasing: bool,
+    strictly: bool,
+    sample_cap: int,
+) -> tuple[int, int, list]:
+    """Distributed monotonicity check — NO single-task global window.
+
+    With ``order_by``: range-repartition on it (contiguous global ranges per
+    partition) + sortWithinPartitions, then ONE vectorized Arrow pass
+    (mapInPandas) computes per-partition violation counts and first/last
+    boundary values; the driver checks the #partitions−1 boundary pairs.
+    Without ``order_by``: same kernel over the existing partitions in scan
+    order (zero shuffle — strictly better than the old
+    monotonically_increasing_id + Window.orderBy single-task plan).
+
+    Returns (nonnull_count, unexpected_count, sample_values). Equivalent to
+    lag(col) over the global ordering: a row violates iff it breaks the
+    ordering vs its immediate predecessor; the first global row never does.
+    """
+    import pandas as pd  # noqa: F401 (Arrow path)
+
+    dt = df.schema[column].dataType.simpleString()
+    has_ord = order_by is not None
+    cols = [column] + ([order_by] if has_ord and order_by != column else [])
+    base = df.select(*cols)
+    if has_ord:
+        nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+        base = base.repartitionByRange(nparts, F.col(order_by)).sortWithinPartitions(
+            order_by
+        )
+        odt = df.schema[order_by].dataType.simpleString()
+        rank_field = f"first_o {odt}"
+    else:
+        base = base.withColumn("_pid", F.spark_partition_id())
+        rank_field = "first_o long"
+    out_schema = (
+        f"n long, viol long, first_v {dt}, last_v {dt}, {rank_field}, "
+        f"sample array<{dt}>"
+    )
+
+    def kernel(batches):
+        n = viol = 0
+        first_v = last_v = first_o = prev = None
+        seen = False
+        sample: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = pdf[column]
+            prev_s = s.shift(1)
+            if seen:
+                prev_s.iloc[0] = prev  # carry the boundary across Arrow batches
+            # compare only where a predecessor exists (object-dtype None
+            # comparisons would raise; numeric NaN would mis-cast)
+            mask = prev_s.notna()
+            sm, pm = s[mask], prev_s[mask]
+            if increasing:
+                ok = (sm > pm) if strictly else (sm >= pm)
+            else:
+                ok = (sm < pm) if strictly else (sm <= pm)
+            bad = ok[~ok.astype(bool)].index
+            viol += len(bad)
+            if len(sample) < sample_cap:
+                sample.extend(s.loc[bad].head(sample_cap - len(sample)).tolist())
+            n += len(s)
+            if not seen:
+                first_v = s.iloc[0]
+                first_o = (
+                    pdf[order_by].iloc[0] if has_ord else int(pdf["_pid"].iloc[0])
+                )
+                seen = True
+            prev = last_v = s.iloc[-1]
+        if seen:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "viol": [viol],
+                    "first_v": [first_v],
+                    "last_v": [last_v],
+                    "first_o": [first_o],
+                    "sample": [sample],
+                }
+            )
+
+    parts = [r.asDict() for r in base.mapInPandas(kernel, out_schema).collect()]
+    parts.sort(key=lambda p: (p["first_o"] is None, p["first_o"]))
+    nonnull = sum(p["n"] for p in parts)
+    unexpected = sum(p["viol"] for p in parts)
+    sample: list = []
+    prev_last = None
+    for p in parts:
+        if prev_last is not None:
+            a, b = prev_last, p["first_v"]
+            if increasing:
+                ok = (b > a) if strictly else (b >= a)
+            else:
+                ok = (b < a) if strictly else (b <= a)
+            if not ok:
+                unexpected += 1
+                sample.append(b)
+        sample.extend(p["sample"] or [])
+        prev_last = p["last_v"]
+    return nonnull, unexpected, sample[:sample_cap]
+
+
 def _compile_monotonic(planner: Any, cfg: ExpectationConfiguration, increasing: bool) -> None:
     """expect_column_values_to_be_increasing / _decreasing.
 
     Reference uses a WINDOW_CONDITION_FN over a global ordering
-    (column_values_increasing.py:84-140). Here: lag() over an explicit
-    ``order_by`` column (or stable scan order via
-    monotonically_increasing_id). NOTE: a global Window.orderBy collapses to
-    one task — fine for validation-sized slices; at 10^12 rows pass
-    ``order_by`` on a partitioned prefix or pre-sort upstream.
+    (column_values_increasing.py:84-140) — a single-task plan. Here the check
+    is distributed: see ``_monotonic_scan`` (range partitioning + vectorized
+    per-partition lag + driver-side boundary exchange).
     """
     from great_expectations_spark.plans.planner import _Item
 
@@ -159,33 +267,14 @@ def _compile_monotonic(planner: Any, cfg: ExpectationConfiguration, increasing: 
     def decide(ctx) -> tuple[bool, dict]:
         col = F.col(column)
         base = planner.df.filter(dom & col.isNotNull())
-        if order_by:
-            base = base.withColumn("_ord", F.col(order_by))
-        else:
-            base = base.withColumn("_ord", F.monotonically_increasing_id())
-        w = Window.orderBy("_ord")
-        prev = F.lag(col).over(w)
-        if increasing:
-            ok = (col > prev) if strictly else (col >= prev)
-        else:
-            ok = (col < prev) if strictly else (col <= prev)
-        flagged = base.withColumn(
-            "_viol", F.when(prev.isNull(), F.lit(False)).otherwise(~ok)
+        cap = (
+            rf["partial_unexpected_count"]
+            if rf["result_format"] != "BOOLEAN_ONLY"
+            else 0
         )
-        agg = flagged.agg(
-            F.count(F.lit(1)).alias("nonnull"),
-            F.count(F.when(F.col("_viol"), F.lit(1))).alias("unexp"),
-        ).collect()[0]
-        nonnull, unexpected = int(agg["nonnull"]), int(agg["unexp"])
-        sample = None
-        if rf["result_format"] != "BOOLEAN_ONLY" and unexpected:
-            rows = (
-                flagged.filter(F.col("_viol"))
-                .select(col)
-                .limit(rf["partial_unexpected_count"])
-                .collect()
-            )
-            sample = [r[0] for r in rows]
+        nonnull, unexpected, sample = _monotonic_scan(
+            base, column, order_by, increasing, strictly, cap
+        )
         elem = ctx.metrics[a_elem] or 0
         success = (
             True
@@ -193,7 +282,12 @@ def _compile_monotonic(planner: Any, cfg: ExpectationConfiguration, increasing: 
             else ((nonnull - unexpected) / nonnull) >= mostly
         )
         out = format_map_output(
-            rf, bool(success), elem, nonnull, unexpected, unexpected_list=sample
+            rf,
+            bool(success),
+            elem,
+            nonnull,
+            unexpected,
+            unexpected_list=sample if cap else None,
         )
         return bool(success), out.get("result", {"success": success})
 
@@ -273,11 +367,20 @@ def _compile_z_scores(planner: Any, cfg: ExpectationConfiguration) -> None:
 _QUERY_VIEW = "ge_spark_active_batch"
 
 
-def _run_user_query(planner: Any, query: str) -> DataFrame:
-    """User SQL with {batch}/{active_batch} placeholder — the escape hatch for
-    arbitrary relational ops (reference: query_table.py:68-91)."""
+def _run_user_query(planner: Any, query: str, kwargs: Optional[dict] = None) -> DataFrame:
+    """User SQL with placeholders — the escape hatch for arbitrary relational
+    ops. {batch}/{active_batch} bind the active batch view (reference:
+    query_table.py:68-91); {col}/{col_A}/{col_B} bind the column kwargs the
+    same way the reference's query.column / query.column_pair metrics do
+    (query_column.py:91-93, query_column_pair.py's col_A/col_B format)."""
     planner.df.createOrReplaceTempView(_QUERY_VIEW)
     q = query.replace("{active_batch}", _QUERY_VIEW).replace("{batch}", _QUERY_VIEW)
+    kw = kwargs or {}
+    for ph, key in (("col_A", "column_A"), ("col_B", "column_B"), ("col", "column")):
+        if "{%s}" % ph in q:
+            if key not in kw:
+                raise ValueError(f"query uses {{{ph}}} but no {key!r} kwarg given")
+            q = q.replace("{%s}" % ph, f"`{kw[key]}`")
     return planner.spark.sql(q)
 
 
@@ -285,10 +388,11 @@ def _compile_query_no_rows(planner: Any, cfg: ExpectationConfiguration) -> None:
     from great_expectations_spark.plans.planner import _Item
 
     query = cfg.kwargs["query"]
+    qkw = dict(cfg.kwargs)
     rf = planner.rf
 
     def decide(ctx) -> tuple[bool, dict]:
-        res = _run_user_query(planner, query)
+        res = _run_user_query(planner, query, qkw)
         res = res.persist()
         n = res.count()
         result: dict[str, Any] = {"observed_value": n}
@@ -310,7 +414,7 @@ def _compile_query_row_count(planner: Any, cfg: ExpectationConfiguration) -> Non
     query = kw["query"]
 
     def decide(ctx) -> tuple[bool, dict]:
-        n = _run_user_query(planner, query).count()
+        n = _run_user_query(planner, query, kw).count()
         return validate_metric_value_between(
             n,
             kw.get("min_value"),

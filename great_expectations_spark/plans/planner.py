@@ -143,6 +143,7 @@ class SuitePlanner:
         complete_cap: int = COMPLETE_CAP,
         persist: bool = False,
         evaluation_parameters: Optional[dict[str, Any]] = None,
+        urn_resolver: Optional[Callable[[str], Any]] = None,
     ) -> None:
         self.df = df
         self.suite = suite
@@ -152,6 +153,7 @@ class SuitePlanner:
             **getattr(suite, "evaluation_parameters", {}),
             **(evaluation_parameters or {}),
         }
+        self.urn_resolver = urn_resolver
         self.rf = parse_result_format(result_format)
         self.partition_by = list(partition_by or [])
         self.spark = spark or df.sparkSession
@@ -223,10 +225,11 @@ class SuitePlanner:
         for cfg in self.suite.expectations:
             t = cfg.expectation_type
             try:
-                if self.evaluation_parameters:
-                    cfg = substitute_evaluation_parameters(
-                        cfg, self.evaluation_parameters
-                    )
+                # expression-language kwargs ({"$PARAMETER": "now()"}) need
+                # substitution even with no bound parameters
+                cfg = substitute_evaluation_parameters(
+                    cfg, self.evaluation_parameters, self.urn_resolver
+                )
                 if t in schema_checks.SCHEMA_EXPECTATION_TYPES:
                     self._compile_schema(cfg)
                 elif is_map_expectation(t):
@@ -493,6 +496,7 @@ class SuitePlanner:
                     spark=self.spark,
                     complete_cap=self.complete_cap,
                     evaluation_parameters=self.evaluation_parameters,
+                    urn_resolver=self.urn_resolver,
                 )
                 out = sub.run()
                 results.extend(out.results)

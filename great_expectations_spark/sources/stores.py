@@ -45,6 +45,9 @@ RESULTS_SCHEMA = T.StructType(
         T.StructField("observed_value", T.StringType()),
         T.StructField("sample_violations", T.ArrayType(T.StringType())),
         T.StructField("exception_message", T.StringType()),
+        # write-time stamp: run_ids are uuids, so cross-run recency (URN
+        # resolution "latest run wins") needs an explicit ordering column
+        T.StructField("created_at", T.DoubleType()),
     ]
 )
 
@@ -65,13 +68,19 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("input_fingerprint", T.StringType()),
         T.StructField("partition_key", T.StringType()),
         T.StructField("status", T.StringType()),
+        # pass/fail of the suite on this partition: a partition that RAN but
+        # failed expectations is 'completed' (resume skips it — the data
+        # wouldn't change) yet must still fail the overall exit code
+        T.StructField("suite_success", T.BooleanType()),
         T.StructField("started_at", T.DoubleType()),
         T.StructField("finished_at", T.DoubleType()),
     ]
 )
 
 
-def _evr_row(run_id: str, suite_name: str, evr: ExpectationValidationResult) -> tuple:
+def _evr_row(
+    run_id: str, suite_name: str, evr: ExpectationValidationResult, created_at: float
+) -> tuple:
     res = evr.result or {}
     obs = res.get("observed_value")
     sample = res.get("partial_unexpected_list")
@@ -88,14 +97,16 @@ def _evr_row(run_id: str, suite_name: str, evr: ExpectationValidationResult) -> 
         json.dumps(obs, default=str) if obs is not None else None,
         [json.dumps(v, default=str) for v in sample] if sample else None,
         evr.exception_info.get("exception_message"),
+        created_at,
     )
 
 
 def results_to_rows(result: SuiteValidationResult, run_id: Optional[str] = None) -> list[tuple]:
     run_id = run_id or str(uuid.uuid4())
     suite_name = result.meta.get("suite_name", "unnamed")
-    rows = [_evr_row(run_id, suite_name, e) for e in result.results]
-    rows += [_evr_row(run_id, suite_name, e) for e in result.partition_results]
+    created_at = time.time()
+    rows = [_evr_row(run_id, suite_name, e, created_at) for e in result.results]
+    rows += [_evr_row(run_id, suite_name, e, created_at) for e in result.partition_results]
     return rows
 
 
@@ -146,6 +157,7 @@ class ResultsStore:
         partition_key: Optional[dict],
         status: str,
         started_at: float,
+        suite_success: Optional[bool] = None,
     ) -> None:
         row = (
             run_id,
@@ -153,6 +165,7 @@ class ResultsStore:
             input_fingerprint,
             json.dumps(partition_key, default=str) if partition_key else "__global__",
             status,
+            suite_success,
             started_at,
             time.time(),
         )
@@ -177,8 +190,71 @@ class ResultsStore:
         )
         return {r[0] for r in rows}
 
+    def failed_partitions(self, suite_id: str, input_fingerprint: str) -> set[str]:
+        """Completed partitions whose LATEST lineage row (by finished_at)
+        recorded a failing suite — these are skipped on resume but must still
+        fail the run's exit code."""
+        try:
+            df = self.spark.read.parquet(self._path("lineage"))
+        except Exception:
+            return set()
+        if "suite_success" not in df.columns:
+            return set()
+        scoped = df.filter(
+            (F.col("suite_id") == suite_id)
+            & (F.col("input_fingerprint") == input_fingerprint)
+            & (F.col("status") == "completed")
+        )
+        latest = (
+            scoped.groupBy("partition_key")
+            .agg(F.max(F.struct("finished_at", "suite_success")).alias("_last"))
+            .select("partition_key", F.col("_last.suite_success").alias("ok"))
+        )
+        return {r["partition_key"] for r in latest.collect() if r["ok"] is False}
+
     def read_results(self) -> DataFrame:
         return self.spark.read.parquet(self._path("validation_results"))
+
+
+class WebhookNotificationAction:
+    """Checkpoint notification action — webhook-shaped, covering the
+    reference's Slack/PagerDuty/Opsgenie/email action semantics
+    (checkpoint/actions.py:40-1192): after each validation event, POST a
+    JSON payload, gated by ``notify_on`` ('all' | 'success' | 'failure').
+
+    ``transport(url, payload_dict)`` is injectable (tests, custom auth,
+    non-HTTP sinks); the default uses urllib with a short timeout and never
+    raises into the validation run (notification failure must not fail the
+    checkpoint — reference actions catch and log the same way)."""
+
+    def __init__(self, url: str, notify_on: str = "all", transport=None) -> None:
+        if notify_on not in ("all", "success", "failure"):
+            raise ValueError("notify_on must be 'all', 'success', or 'failure'")
+        self.url = url
+        self.notify_on = notify_on
+        self.transport = transport or self._http_post
+
+    @staticmethod
+    def _http_post(url: str, payload: dict) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload, default=str).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req, timeout=10).read()
+
+    def run(self, event: dict) -> None:
+        success = event.get("success")
+        if self.notify_on == "success" and success is not True:
+            return
+        if self.notify_on == "failure" and success is not False:
+            return
+        try:
+            self.transport(self.url, event)
+        except Exception:
+            pass  # notification failure must not fail the run
 
 
 class CheckpointRunner:
@@ -190,11 +266,26 @@ class CheckpointRunner:
     partitions already completed for the same (suite, input_fingerprint).
     Mirrors the reference's Checkpoint (checkpoint/checkpoint.py:94-221) with
     snapshot bookkeeping instead of an in-process store.
+
+    ``actions``: objects with ``run(event: dict)`` (e.g.
+    WebhookNotificationAction) invoked once per validated partition
+    (event_type='partition_validated') and once at the end
+    (event_type='run_completed') — the reference's checkpoint action_list.
     """
 
-    def __init__(self, spark: SparkSession, store: ResultsStore) -> None:
+    def __init__(
+        self, spark: SparkSession, store: ResultsStore, actions: Optional[list] = None
+    ) -> None:
         self.spark = spark
         self.store = store
+        self.actions = list(actions or [])
+
+    def _notify(self, event: dict) -> None:
+        for a in self.actions:
+            try:
+                a.run(event)
+            except Exception:
+                pass  # action errors never fail the checkpoint
 
     def run(
         self,
@@ -215,7 +306,7 @@ class CheckpointRunner:
             r.asDict()
             for r in df.select(*partition_by).distinct().orderBy(*partition_by).collect()
         ]
-        ran, skipped = [], []
+        ran, skipped, failed = [], [], []
         for i, pkey in enumerate(parts):
             key_json = json.dumps(pkey, default=str)
             if key_json in done:
@@ -238,11 +329,37 @@ class CheckpointRunner:
             self.store.write_results(result, run_id)
             self.store.write_metrics(result, run_id)
             self.store.write_lineage(
-                run_id, suite.id, input_fingerprint, pkey, "completed", started
+                run_id, suite.id, input_fingerprint, pkey, "completed", started,
+                suite_success=bool(result.success),
             )
             ran.append(pkey)
-        return {
+            if not result.success:
+                failed.append(pkey)
+            self._notify(
+                {
+                    "event_type": "partition_validated",
+                    "run_id": run_id,
+                    "suite_name": suite.name,
+                    "partition": pkey,
+                    "success": bool(result.success),
+                    "statistics": result.statistics,
+                }
+            )
+        out = {
             "run_id": run_id,
             "partitions_run": ran,
             "partitions_skipped": skipped,
+            "partitions_failed": failed,
         }
+        self._notify(
+            {
+                "event_type": "run_completed",
+                "run_id": run_id,
+                "suite_name": suite.name,
+                "partitions_run": len(ran),
+                "partitions_skipped": len(skipped),
+                "partitions_failed": len(failed),
+                "success": not failed,
+            }
+        )
+        return out

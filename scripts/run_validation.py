@@ -80,6 +80,14 @@ def main(argv=None) -> int:
         failed = results.filter(
             (results.run_id == run_id) & (~results.success)
         ).count()
+        # resume contract: 'exit 0 iff suite passed' includes partitions
+        # SKIPPED this run whose stored (latest) verdict was a failure —
+        # otherwise a re-run after a failed run would exit 0
+        skipped_failed = (
+            store.failed_partitions(suite.id, fingerprint)
+            if out["partitions_skipped"]
+            else set()
+        )
         print(
             json.dumps(
                 {
@@ -87,10 +95,11 @@ def main(argv=None) -> int:
                     "partitions_run": len(out["partitions_run"]),
                     "partitions_skipped": len(out["partitions_skipped"]),
                     "failed_expectations": failed,
+                    "skipped_partitions_with_failures": len(skipped_failed),
                 }
             )
         )
-        return 1 if failed else 0
+        return 1 if failed or skipped_failed else 0
 
     engine = SparkValidationEngine(spark)
     result = engine.validate(

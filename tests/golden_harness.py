@@ -239,18 +239,6 @@ def compare_observed(got, want) -> bool:
     return _close(got, want)
 
 
-def _has_param_expr(v) -> bool:
-    """Unsupported $PARAMETER *expression language* (now(), URNs — reference
-    core/evaluation_parameters.py grammar); plain-name params are supported."""
-    if isinstance(v, dict):
-        if "$PARAMETER" in v:
-            return True
-        return any(_has_param_expr(x) for x in v.values())
-    if isinstance(v, list):
-        return any(_has_param_expr(x) for x in v)
-    return False
-
-
 class SkipCase(Exception):
     pass
 
@@ -267,9 +255,6 @@ def run_case(spark, engine, etype: str, ds: dict, case: dict) -> tuple[bool, str
     out = case.get("out") or {}
     if "result" in out and isinstance(out["result"], dict):
         out = {**out, **out.pop("result")}
-    if _has_param_expr(kwargs):
-        raise SkipCase("$PARAMETER expression language not supported")
-
     try:
         df = build_df(spark, ds)
     except Exception as e:

@@ -71,3 +71,25 @@ def test_cli_checkpoint_resume(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     p2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert p2["partitions_run"] == 0 and p2["partitions_skipped"] == 3
+
+
+def test_cli_resume_exit_code_counts_skipped_failures(tmp_path):
+    """A failing run's re-run skips completed partitions but must still
+    exit 1 — the stored verdicts count (documented contract: exit 0 iff
+    suite passed)."""
+    store = str(tmp_path / "store2")
+    args = [
+        "--input", "/root/testdata/sf0.001/lineitem.parquet",
+        "--suite", _suite_file(tmp_path, False),
+        "--partition-by", "l_returnflag",
+        "--store", store,
+        "--run-id", "fail-run-1",
+    ]
+    out = _run(args)
+    assert out.returncode == 1, out.stderr[-2000:]
+
+    out2 = _run([*args[:-2], "--run-id", "fail-run-2"])
+    p2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert p2["partitions_run"] == 0 and p2["partitions_skipped"] == 3
+    assert p2["skipped_partitions_with_failures"] == 3
+    assert out2.returncode == 1, "re-run must not mask stored failures"

@@ -58,3 +58,144 @@ def test_unbound_parameter_becomes_failed_evr(spark, lineitem):
     res = SparkValidationEngine(spark).validate(lineitem, suite)
     assert res.results[0].success is False
     assert res.results[0].exception_info["raised_exception"] is True
+
+
+# ---- expression language (reference core/evaluation_parameters.py) -------
+
+
+def test_expression_arithmetic_and_functions():
+    from great_expectations_spark.core.eval_params import parse_evaluation_parameter as p
+    import datetime
+    import math
+
+    assert p("1 + 2 * 3") == 7
+    assert p("2^3^2") == 512  # right-associative exponent
+    assert abs(p("cos(0) + sin(PI/2)") - 2.0) < 1e-12
+    assert p("trunc(x / 3)", {"x": 10}) == 3
+    assert p("x * 0.9", {"x": 20}) == 18.0
+    assert isinstance(p("now()"), datetime.datetime)
+    assert p("datetime(2003, 1, 1)") == datetime.datetime(2003, 1, 1)
+    old = p("now() - timedelta(weeks=52*100)")
+    assert old.year <= datetime.datetime.now().year - 99
+
+
+def test_expression_in_suite_no_bound_params(spark, lineitem):
+    """now()-style expressions substitute even with zero bound parameters."""
+    suite = ExpectationSuite(name="exp")
+    suite.add(
+        "expect_column_max_to_be_between",
+        column="l_quantity",
+        max_value={"$PARAMETER": "trunc(25 * 2)"},
+    )
+    res = SparkValidationEngine(spark).validate(lineitem, suite)
+    assert res.results[0].success is True
+
+
+def test_urn_resolution_against_results_store(spark, lineitem, tmp_path):
+    """Chained suites: run 1 stores observed row_count; run 2's expectation
+    references it through a validations URN with ±10% arithmetic."""
+    from great_expectations_spark.core.eval_params import ResultsStoreUrnResolver
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "store"))
+    eng = SparkValidationEngine(spark)
+
+    s1 = ExpectationSuite(name="daily")
+    s1.add("expect_table_row_count_to_be_between", min_value=1, max_value=10**12)
+    r1 = eng.validate(lineitem, s1)
+    store.write_results(r1, run_id="run-1")
+
+    urn = (
+        "urn:great_expectations:validations:daily:"
+        "expect_table_row_count_to_be_between.result.observed_value"
+    )
+    s2 = ExpectationSuite(name="tomorrow")
+    s2.add(
+        "expect_table_row_count_to_be_between",
+        min_value={"$PARAMETER": f"trunc({urn} * 0.9)"},
+        max_value={"$PARAMETER": f"trunc({urn} * 1.1)"},
+    )
+    res = eng.validate(lineitem, s2, urn_resolver=ResultsStoreUrnResolver(store))
+    assert res.results[0].success is True
+    n = lineitem.count()
+    assert res.results[0].result["observed_value"] == n
+
+    # bare URN substitutes the stored value verbatim
+    s3 = ExpectationSuite(name="exact")
+    s3.add(
+        "expect_table_row_count_to_be_between",
+        min_value={"$PARAMETER": urn},
+        max_value={"$PARAMETER": urn},
+    )
+    res3 = eng.validate(lineitem, s3, urn_resolver=ResultsStoreUrnResolver(store))
+    assert res3.results[0].success is True
+
+
+def test_urn_latest_run_wins(spark, lineitem, tmp_path):
+    from great_expectations_spark.core.eval_params import ResultsStoreUrnResolver
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "store2"))
+    eng = SparkValidationEngine(spark)
+    s = ExpectationSuite(name="d2")
+    s.add("expect_column_max_to_be_between", column="l_quantity", min_value=0)
+    store.write_results(eng.validate(lineitem, s), run_id="a")
+    store.write_results(eng.validate(lineitem.limit(10), s), run_id="b")
+    urn = (
+        "urn:great_expectations:validations:d2:"
+        "expect_column_max_to_be_between.result.observed_value:column=l_quantity"
+    )
+    v = ResultsStoreUrnResolver(store)(urn)
+    small_max = lineitem.limit(10).agg({"l_quantity": "max"}).collect()[0][0]
+    assert v == small_max  # second (latest) run's observed value
+
+
+def test_checkpoint_actions_and_failed_partitions(spark, lineitem, tmp_path):
+    """WebhookNotificationAction fires per partition + per run; lineage
+    records suite_success; failed_partitions reflects the latest verdict."""
+    from great_expectations_spark.sources.stores import (
+        CheckpointRunner,
+        ResultsStore,
+        WebhookNotificationAction,
+    )
+
+    events = []
+    action = WebhookNotificationAction(
+        "https://example.invalid/webhook",
+        notify_on="all",
+        transport=lambda url, payload: events.append(payload),
+    )
+    fail_only = []
+    fail_action = WebhookNotificationAction(
+        "https://example.invalid/failures",
+        notify_on="failure",
+        transport=lambda url, payload: fail_only.append(payload),
+    )
+
+    store = ResultsStore(spark, str(tmp_path / "ck"))
+    suite = ExpectationSuite(name="ck")
+    suite.add(
+        "expect_column_values_to_be_between",
+        column="l_quantity", min_value=1, max_value=10,  # fails on every partition
+    )
+    out = CheckpointRunner(spark, store, actions=[action, fail_action]).run(
+        lineitem, suite, partition_by=["l_returnflag"], input_fingerprint="fp-1"
+    )
+    assert len(out["partitions_failed"]) == 3
+    kinds = [e["event_type"] for e in events]
+    assert kinds.count("partition_validated") == 3
+    assert kinds.count("run_completed") == 1
+    assert all(e["success"] is False for e in fail_only if e["event_type"] == "partition_validated")
+    assert len(store.failed_partitions(suite.id, "fp-1")) == 3
+
+    # a later PASSING verdict for the same partitions supersedes the failure
+    suite2 = ExpectationSuite(name="ck")
+    suite2.add(
+        "expect_column_values_to_be_between",
+        column="l_quantity", min_value=1, max_value=50,
+    )
+    assert suite2.id != suite.id  # different suite → different scope
+    CheckpointRunner(spark, store).run(
+        lineitem, suite2, partition_by=["l_returnflag"], input_fingerprint="fp-2"
+    )
+    assert store.failed_partitions(suite2.id, "fp-2") == set()

@@ -59,3 +59,51 @@ def test_salted_top_values(spark, orders):
             .collect()[0][0]
         )
         assert cnts[0] == true_max
+
+
+def test_salted_group_agg_rejects_non_algebraic(spark, lineitem):
+    import pytest
+
+    with pytest.raises(ValueError, match="merge combiner"):
+        skew.salted_group_agg(
+            lineitem, ["l_returnflag"], {"m": F.avg("l_quantity")}, buckets=4
+        )
+    with pytest.raises(ValueError, match="merge combiner"):
+        skew.salted_group_agg(
+            lineitem,
+            ["l_returnflag"],
+            {"d": F.count_distinct("l_partkey")},
+            buckets=4,
+        )
+
+
+def test_salted_group_agg_explicit_pair(spark, lineitem):
+    """avg decomposes as an explicit (partial, merge) pair via sum+count."""
+    out = skew.salted_group_agg(
+        lineitem,
+        ["l_returnflag"],
+        {
+            "s": F.sum("l_quantity"),
+            "n": F.count("l_quantity"),
+        },
+        buckets=8,
+        id_expr=F.col("l_orderkey"),
+    ).selectExpr("l_returnflag", "s / n AS mean_qty")
+    plain = lineitem.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("mean_qty"))
+    a = {(r[0], round(r[1], 9)) for r in out.collect()}
+    b = {(r[0], round(r[1], 9)) for r in plain.collect()}
+    assert a == b
+    # explicit (partial, merge) form for a holistic-looking merge
+    out2 = skew.salted_group_agg(
+        lineitem,
+        ["l_returnflag"],
+        {"flags": (F.collect_set("l_linestatus"), F.array_distinct(F.flatten(F.collect_list("flags"))))},
+        buckets=4,
+        id_expr=F.col("l_orderkey"),
+    )
+    got = {r["l_returnflag"]: sorted(r["flags"]) for r in out2.collect()}
+    want = {
+        r["l_returnflag"]: sorted(r["s"])
+        for r in lineitem.groupBy("l_returnflag").agg(F.collect_set("l_linestatus").alias("s")).collect()
+    }
+    assert got == want

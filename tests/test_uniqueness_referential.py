@@ -86,6 +86,34 @@ def test_increasing(spark):
     assert evr.result["unexpected_count"] == 2
 
 
+def test_monotonic_distributed_across_partitions(spark):
+    """The scale-safe path: violations spanning Arrow-batch / partition
+    boundaries are counted exactly, with no global Window (single-task
+    stage) anywhere in the plan."""
+    n = 50_000
+    df = (
+        spark.range(0, n, 1, 16)
+        .withColumnRenamed("id", "seq")
+        .selectExpr("seq", "CASE WHEN seq % 1000 = 500 THEN -seq ELSE seq END AS v")
+    )
+    evr = run_one(
+        df, "expect_column_values_to_be_increasing", column="v", order_by="seq"
+    )
+    # each dip row violates (v drops), and the row after it violates too
+    # (-seq -> seq+1 recovers but compares against the dipped predecessor ok)
+    # exact oracle via a driver-side replay:
+    rows = [r["v"] for r in df.orderBy("seq").select("v").collect()]
+    expected_viol = sum(1 for a, b in zip(rows, rows[1:]) if not b >= a)
+    assert evr.result["unexpected_count"] == expected_viol
+    assert evr.result["element_count"] == n
+
+    # scan-order path (no order_by): multi-partition range in partition order
+    df2 = spark.range(0, 10_000, 1, 8).selectExpr("id AS v")
+    evr2 = run_one(df2, "expect_column_values_to_be_increasing", column="v")
+    assert evr2.success is True
+    assert evr2.result["unexpected_count"] == 0
+
+
 def test_query_expectations(spark, lineitem):
     evr = run_one(
         lineitem,
@@ -101,6 +129,36 @@ def test_query_expectations(spark, lineitem):
         max_value=3,
     )
     assert evr.success is True
+
+
+def test_query_column_placeholders(spark, lineitem):
+    """{col}/{col_A}/{col_B} substitution — reference query.column /
+    query.column_pair metric semantics (query_column.py:91-93)."""
+    evr = run_one(
+        lineitem,
+        "expect_query_to_return_no_rows",
+        query="SELECT {col} FROM {batch} WHERE {col} IS NULL",
+        column="l_quantity",
+    )
+    assert evr.success is True
+    evr = run_one(
+        lineitem,
+        "expect_query_row_count_to_be_between",
+        query="SELECT {col_A}, {col_B} FROM {batch} GROUP BY {col_A}, {col_B}",
+        column_A="l_returnflag",
+        column_B="l_linestatus",
+        min_value=1,
+        max_value=10,
+    )
+    assert evr.success is True
+    # {col} without a column kwarg → failed EVR, not a crash
+    evr = run_one(
+        lineitem,
+        "expect_query_to_return_no_rows",
+        query="SELECT {col} FROM {batch}",
+    )
+    assert evr.success is False
+    assert evr.exception_info.get("raised_exception") is True
 
 
 def test_row_count_equal_other_table(lineitem, orders):
