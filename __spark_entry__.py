@@ -69,9 +69,9 @@ def _map_metrics_df(spark, df, specs) -> DataFrame:
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
 
-def _obs_df(spark, df, specs, digits: int = 4) -> DataFrame:
+def _obs_df(spark, df, specs, digits: int = 4, **kw) -> DataFrame:
     """Run aggregate expectations; emit (expectation, observed, success)."""
-    res = _run_suite(spark, df, specs)
+    res = _run_suite(spark, df, specs, **kw)
     rows = []
     for evr in res.results:
         label = evr.expectation_config["meta"]["label"]
@@ -1600,6 +1600,202 @@ def q_images_enrich(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# merged bundles — the driver records at most 50 queries (r01 silently
+# dropped the last 5), so same-shaped single-purpose queries are unioned
+# into bundles; every original metric row is preserved under its label
+# ---------------------------------------------------------------------------
+
+
+def q_set_membership(spark, sf_dir):
+    """in_set + mostly (lineitem) + not_in_set (orders), one METRICS frame."""
+    li = _load(spark, sf_dir, "lineitem")
+    a = _map_metrics_df(
+        spark,
+        li,
+        [
+            (
+                "in_set",
+                "expect_column_values_to_be_in_set",
+                {"column": "l_returnflag", "value_set": ["A", "N"]},
+            ),
+            (
+                "mostly",
+                "expect_column_values_to_be_in_set",
+                {"column": "l_returnflag", "value_set": ["N", "A"], "mostly": 0.6},
+            ),
+        ],
+    )
+    return a.unionByName(q_not_in_set(spark, sf_dir))
+
+
+SQL_SET_MEMBERSHIP = (
+    SQL_IN_SET + " UNION ALL " + SQL_MOSTLY + " UNION ALL " + SQL_NOT_IN_SET
+)
+
+
+def q_patterns(spark, sf_dir):
+    """regex (customer) + regex_list/like (part) bundles."""
+    return q_regex(spark, sf_dir).unionByName(
+        q_regex_list(spark, sf_dir)
+    ).unionByName(q_like(spark, sf_dir))
+
+
+SQL_PATTERNS = SQL_REGEX + " UNION ALL " + SQL_REGEX_LIST + " UNION ALL " + SQL_LIKE
+
+
+def q_json_checks(spark, sf_dir):
+    """json_parseable/regex + json_schema over events."""
+    return q_json(spark, sf_dir).unionByName(q_json_schema(spark, sf_dir))
+
+
+SQL_JSON_CHECKS = SQL_JSON + " UNION ALL " + SQL_JSON_SCHEMA
+
+
+def q_formats(spark, sf_dir):
+    """value lengths (part) + strftime (events)."""
+    return q_value_lengths(spark, sf_dir).unionByName(q_strftime(spark, sf_dir))
+
+
+SQL_FORMATS = SQL_VALUE_LENGTHS + " UNION ALL " + SQL_STRFTIME
+
+
+def q_drift_stats(spark, sf_dir):
+    """KL + PSI + Cramér's-phi observed values (lineitem) — OBS frame."""
+    return (
+        q_drift_kl(spark, sf_dir)
+        .unionByName(q_drift_psi(spark, sf_dir))
+        .unionByName(q_cramers_phi(spark, sf_dir))
+    )
+
+
+# the per-query SQLs select the same columns in different positions; UNION
+# ALL is positional, so re-project each
+SQL_DRIFT_STATS = " UNION ALL ".join(
+    f"SELECT expectation, observed, success FROM ({s}) d{i}"
+    for i, s in enumerate([SQL_DRIFT_KL, SQL_DRIFT_PSI, SQL_CRAMERS_PHI])
+)
+
+
+def q_drift_tests(spark, sf_dir):
+    """chi-square + KS test statistics (lineitem) → (expectation, statistic)."""
+    a = q_drift_chi2(spark, sf_dir).select(
+        F.lit("chi2").alias("expectation"),
+        F.col("chi_square_statistic").alias("statistic"),
+    )
+    b = q_drift_ks(spark, sf_dir).select(
+        F.lit("ks").alias("expectation"), F.col("ks_statistic").alias("statistic")
+    )
+    return a.unionByName(b)
+
+
+SQL_DRIFT_TESTS = (
+    f"SELECT 'chi2' AS expectation, chi_square_statistic AS statistic FROM ({SQL_DRIFT_CHI2}) c"
+    " UNION ALL "
+    f"SELECT 'ks' AS expectation, ks_statistic AS statistic FROM ({SQL_DRIFT_KS}) k"
+)
+
+
+# ---------------------------------------------------------------------------
+# query.column placeholders + evaluation-parameter expressions
+# ---------------------------------------------------------------------------
+
+
+def q_query_column(spark, sf_dir):
+    """{col}/{col_A}/{col_B} placeholder substitution in query expectations
+    (reference query.column / query.column_pair metric semantics)."""
+    li = _load(spark, sf_dir, "lineitem")
+    res = _run_suite(
+        spark,
+        li,
+        [
+            (
+                "query_col_nulls",
+                "expect_query_to_return_no_rows",
+                {
+                    "query": "SELECT {col} FROM {batch} WHERE {col} IS NULL",
+                    "column": "l_shipdate",
+                },
+            ),
+            (
+                "query_col_pair_groups",
+                "expect_query_row_count_to_be_between",
+                {
+                    "query": (
+                        "SELECT {col_A}, {col_B} FROM {batch} "
+                        "GROUP BY {col_A}, {col_B}"
+                    ),
+                    "column_A": "l_returnflag",
+                    "column_B": "l_linestatus",
+                    "min_value": 1,
+                    "max_value": 100,
+                },
+            ),
+        ],
+    )
+    rows = []
+    for evr in res.results:
+        label = evr.expectation_config["meta"]["label"]
+        obs = (evr.result or {}).get("observed_value")
+        rows.append((label, int(obs), 1 if evr.success else 0))
+    return spark.createDataFrame(
+        rows, "expectation string, observed long, success long"
+    )
+
+
+SQL_QUERY_COLUMN = """
+SELECT 'query_col_nulls' AS expectation,
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS observed,
+       CAST(CASE WHEN sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM lineitem
+UNION ALL
+SELECT 'query_col_pair_groups',
+       CAST(count(*) AS BIGINT),
+       CAST(CASE WHEN count(*) BETWEEN 1 AND 100 THEN 1 ELSE 0 END AS BIGINT)
+FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+"""
+
+
+def q_eval_params(spark, sf_dir):
+    """$PARAMETER expression-language bounds resolved at validate time."""
+    li = _load(spark, sf_dir, "lineitem")
+    return _obs_df(
+        spark,
+        li,
+        [
+            (
+                "expr_max",
+                "expect_column_max_to_be_between",
+                {
+                    "column": "l_quantity",
+                    "min_value": {"$PARAMETER": "trunc(5 * 2)"},
+                    "max_value": {"$PARAMETER": "25 * 2 + exp(0)"},
+                },
+            ),
+            (
+                "expr_bound_param",
+                "expect_column_min_to_be_between",
+                {
+                    "column": "l_quantity",
+                    "max_value": {"$PARAMETER": "lo + 1"},
+                },
+            ),
+        ],
+        evaluation_parameters={"lo": 1},
+    )
+
+
+SQL_EVAL_PARAMS = """
+SELECT 'expr_max' AS expectation, round(max(l_quantity), 4) AS observed,
+       CAST(CASE WHEN max(l_quantity) >= 10 AND max(l_quantity) <= 51 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM lineitem
+UNION ALL
+SELECT 'expr_bound_param', round(min(l_quantity), 4),
+       CAST(CASE WHEN min(l_quantity) <= 2 THEN 1 ELSE 0 END AS BIGINT)
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1607,19 +1803,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # map expectations
     "nullness": q_nullness,
     "between": q_between,
-    "in_set": q_in_set,
-    "not_in_set": q_not_in_set,
-    "value_lengths": q_value_lengths,
-    "regex": q_regex,
-    "regex_list": q_regex_list,
-    "like": q_like,
-    "json": q_json,
+    "set_membership": q_set_membership,
+    "formats": q_formats,
+    "patterns": q_patterns,
+    "json_checks": q_json_checks,
     "pair": q_pair,
     "multicolumn": q_multicolumn,
     "zscore": q_zscore,
     "row_condition": q_row_condition,
-    "mostly": q_mostly,
-    "strftime": q_strftime,
     # aggregates
     "agg_stats": q_agg_stats,
     "agg_quantiles": q_agg_quantiles,
@@ -1633,21 +1824,26 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_compound": q_unique_compound,
     "referential": q_referential,
     # drift
-    "drift_kl": q_drift_kl,
-    "drift_chi2": q_drift_chi2,
-    "drift_ks": q_drift_ks,
-    "drift_psi": q_drift_psi,
-    "cramers_phi": q_cramers_phi,
+    "drift_stats": q_drift_stats,
+    "drift_tests": q_drift_tests,
     "param_ks": q_param_ks,
-    "json_schema": q_json_schema,
     # special
     "monotonic": q_monotonic,
     "query_no_rows": q_query_no_rows,
+    "query_column": q_query_column,
+    "eval_params": q_eval_params,
     "schema_checks": q_schema_checks,
     "violations": q_violations,
     "partition_builder": q_partition_builder,
     "sampler_splitter": q_sampler_splitter,
     "streaming_metrics": q_streaming_metrics,
+    # images / multimodal (the graft cell payload — never dropped by the
+    # driver's 50-query cap again)
+    "images_validate": q_images_validate,
+    "images_enrich": q_images_enrich,
+    "image_phash_dedup": q_image_phash_dedup,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     # text / dedup / similarity
     "text_stats": q_text_stats,
     "text_lang": q_text_lang,
@@ -1660,30 +1856,34 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pairs": q_sim_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
     "embed_norm": q_embed_norm,
-    # images / multimodal
-    "images_validate": q_images_validate,
-    "images_enrich": q_images_enrich,
-    "image_phash_dedup": q_image_phash_dedup,
-    "audio_features": q_audio_features,
-    "video_frames": q_video_frames,
 }
+
+def _multimodal_oracles() -> dict[str, str]:
+    """VALUES-based DuckDB oracles recomputed pure-Python (single-node, no
+    Spark, no engine code) over the same deterministic fixtures — see
+    great_expectations_spark/testing/oracles.py."""
+    from great_expectations_spark.testing import oracles as mo
+
+    return {
+        "images_validate": mo.images_validate_sql(n=500, seed=7),
+        "images_enrich": mo.images_enrich_sql(n=500, seed=7),
+        "image_phash_dedup": mo.image_phash_dedup_sql(n=300, seed=11),
+        "audio_features": mo.audio_features_sql(n=200, seed=5),
+        "video_frames": mo.video_frames_sql(n=100, seed=6),
+    }
+
 
 _ORACLES: dict[str, str] = {
     "nullness": SQL_NULLNESS,
     "between": SQL_BETWEEN,
-    "in_set": SQL_IN_SET,
-    "not_in_set": SQL_NOT_IN_SET,
-    "value_lengths": SQL_VALUE_LENGTHS,
-    "regex": SQL_REGEX,
-    "regex_list": SQL_REGEX_LIST,
-    "like": SQL_LIKE,
-    "json": SQL_JSON,
+    "set_membership": SQL_SET_MEMBERSHIP,
+    "formats": SQL_FORMATS,
+    "patterns": SQL_PATTERNS,
+    "json_checks": SQL_JSON_CHECKS,
     "pair": SQL_PAIR,
     "multicolumn": SQL_MULTICOLUMN,
     "zscore": SQL_ZSCORE,
     "row_condition": SQL_ROW_CONDITION,
-    "mostly": SQL_MOSTLY,
-    "strftime": SQL_STRFTIME,
     "agg_stats": SQL_AGG_STATS,
     "agg_quantiles": SQL_AGG_QUANTILES,
     "agg_distinct": SQL_AGG_DISTINCT,
@@ -1694,14 +1894,12 @@ _ORACLES: dict[str, str] = {
     "unique_column": SQL_UNIQUE_COLUMN,
     "unique_compound": SQL_UNIQUE_COMPOUND,
     "referential": SQL_REFERENTIAL,
-    "drift_kl": SQL_DRIFT_KL,
-    "drift_chi2": SQL_DRIFT_CHI2,
-    "drift_ks": SQL_DRIFT_KS,
-    "drift_psi": SQL_DRIFT_PSI,
-    "cramers_phi": SQL_CRAMERS_PHI,
-    "json_schema": SQL_JSON_SCHEMA,
+    "drift_stats": SQL_DRIFT_STATS,
+    "drift_tests": SQL_DRIFT_TESTS,
     "monotonic": SQL_MONOTONIC,
     "query_no_rows": SQL_QUERY_NO_ROWS,
+    "query_column": SQL_QUERY_COLUMN,
+    "eval_params": SQL_EVAL_PARAMS,
     "schema_checks": SQL_SCHEMA_CHECKS,
     "violations": SQL_VIOLATIONS,
     "partition_builder": SQL_PARTITION_BUILDER,
@@ -1715,8 +1913,9 @@ _ORACLES: dict[str, str] = {
     "sim_topk": SQL_SIM_TOPK,
     "sim_pairs": SQL_SIM_PAIRS,
     "embed_norm": SQL_EMBED_NORM,
-    # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-    # sim_lsh_topk (seeded-hash / approximate), images_* (binary payloads)
+    **_multimodal_oracles(),
+    # rows-only (non-SQL-expressible): param_ks, dedup_minhash,
+    # dedup_simhash, sim_lsh_topk (seeded-hash / approximate)
 }
 
 
