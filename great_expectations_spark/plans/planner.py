@@ -671,23 +671,42 @@ class SuitePlanner:
             for r in unioned.collect():
                 v = None if r["_val"] is None else casters[r["_eid"]](r["_val"])
                 ctx.sample_values.setdefault(r["_eid"], []).append(v)
-        else:  # SUMMARY / COMPLETE — exact value counts per expectation
+        else:  # SUMMARY / COMPLETE — exact value counts per expectation.
+            # ONE labeled scan (the violations_df plan shape): every failing
+            # expectation's (condition, value) pair rides a single projection
+            # → posexplode → groupBy(expectation, value) — instead of one
+            # full re-scan of the base df per failing expectation. The
+            # per-expectation top-cap is a row_number over the (much smaller)
+            # post-aggregation counts relation.
             cap = partial_n if level == "SUMMARY" else self.complete_cap
-            branches = [
-                df.filter(cond)
-                .groupBy(value.cast("string").alias("_val"))
-                .agg(F.count(F.lit(1)).alias("_cnt"))
-                .orderBy(F.desc("_cnt"), F.asc("_val"))
-                .limit(cap)
-                .select(F.lit(eid).alias("_eid"), "_val", "_cnt")
-                for eid, cond, value, _, _ in specs
-            ]
-            unioned = branches[0]
-            for b in branches[1:]:
-                unioned = unioned.unionAll(b)
-            for r in unioned.collect():
-                v = None if r["_val"] is None else casters[r["_eid"]](r["_val"])
-                ctx.sample_counts.setdefault(r["_eid"], []).append((v, int(r["_cnt"])))
+            eids = [eid for eid, *_ in specs]
+            entries = F.array(
+                *[
+                    F.struct(
+                        cond.alias("v"), value.cast("string").alias("s")
+                    )
+                    for _, cond, value, _, _ in specs
+                ]
+            )
+            exploded = (
+                df.select(F.posexplode(entries).alias("_i", "_e"))
+                .filter(F.col("_e")["v"])
+                .select(F.col("_i"), F.col("_e")["s"].alias("_val"))
+            )
+            counts = exploded.groupBy("_i", "_val").agg(
+                F.count(F.lit(1)).alias("_cnt")
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_i").orderBy(F.desc("_cnt"), F.asc("_val"))
+            top = (
+                counts.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= cap)
+            )
+            for r in top.collect():
+                eid = eids[r["_i"]]
+                v = None if r["_val"] is None else casters[eid](r["_val"])
+                ctx.sample_counts.setdefault(eid, []).append((v, int(r["_cnt"])))
             for eid, counts in ctx.sample_counts.items():
                 counts.sort(key=lambda vc: (-vc[1], str(type(vc[0]).__name__), str(vc[0])))
                 expanded: list[Any] = []

@@ -61,3 +61,48 @@ def test_no_map_expectations_empty(spark, lineitem):
     v = violations_df(lineitem, s)
     assert v.count() == 0
     assert VIOLATIONS_COL in v.columns
+
+
+def test_summary_sampling_single_scan(spark, lineitem):
+    """SUMMARY/COMPLETE sampling must evaluate ALL failing expectations in
+    ONE labeled pass over the base df (violations_df plan shape) — not one
+    re-scan per failing expectation."""
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuitePlanner, _Ctx
+
+    suite = ExpectationSuite(name="scan")
+    # three failing map expectations → three sample branches
+    suite.add("expect_column_values_to_be_between", column="l_quantity", min_value=1, max_value=10)
+    suite.add("expect_column_values_to_be_in_set", column="l_returnflag", value_set=["A"])
+    suite.add("expect_column_values_to_match_regex", column="l_linestatus", regex="^F$")
+
+    planner = SuitePlanner(lineitem, suite, result_format="SUMMARY")
+    planner.compile()
+    global_metrics, _ = planner._run_bundles(lineitem)
+    ctx = _Ctx()
+    ctx.metrics = global_metrics
+
+    class CountingDF:
+        def __init__(self, df):
+            self._df = df
+            self.base_touches = 0
+
+        def filter(self, *a, **k):
+            self.base_touches += 1
+            return self._df.filter(*a, **k)
+
+        def select(self, *a, **k):
+            self.base_touches += 1
+            return self._df.select(*a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    counting = CountingDF(lineitem)
+    planner._run_samples(counting, ctx)
+    assert counting.base_touches == 1, "sample phase re-scanned the base df"
+    # all three expectations produced counts from that single scan
+    assert len(ctx.sample_counts) == 3
+    # value counts are exact: between-violations count == metric count
+    for eid, counts in ctx.sample_counts.items():
+        assert all(c >= 1 for _, c in counts)
