@@ -1796,6 +1796,83 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# profiler (suite bootstrapping) — emission decisions vs a DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def q_profiler(spark, sf_dir):
+    """profile() emission rules on two tables; each emitted expectation is a
+    row — the oracle recomputes the same decisions from the data in SQL."""
+    from great_expectations_spark.profiler import profile
+
+    rows = []
+    for tbl in ("lineitem", "events"):
+        suite = profile(_load(spark, sf_dir, tbl), name=tbl)
+        for cfg in suite.expectations:
+            rows.append((tbl, cfg.kwargs.get("column", ""), cfg.expectation_type))
+    return spark.createDataFrame(rows, "tbl string, entity string, expectation string")
+
+
+def _profiler_oracle_sql() -> str:
+    tables = {
+        "lineitem": {
+            "cols": [
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            ],
+            "numeric": {
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            },
+            "temporal": {"l_shipdate"},
+        },
+        "events": {
+            "cols": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+            "numeric": {"event_id", "user_id", "value"},
+            "temporal": {"ts"},
+        },
+    }
+    parts = []
+    for tbl, spec in tables.items():
+        parts.append(
+            f"SELECT '{tbl}' AS tbl, '' AS entity, "
+            f"'expect_table_columns_to_match_ordered_list' AS expectation"
+        )
+        parts.append(f"SELECT '{tbl}', '', 'expect_table_row_count_to_be_between'")
+        for c in spec["cols"]:
+            nn = f"(SELECT count({c}) FROM {tbl})"
+            dc = f"(SELECT count(DISTINCT {c}) FROM {tbl})"
+            parts.append(f"SELECT '{tbl}', '{c}', 'expect_column_values_to_be_of_type'")
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'expect_column_values_to_not_be_null' "
+                f"WHERE (SELECT (count(*) - count({c})) * 1.0 / count(*) FROM {tbl}) <= 0.5"
+            )
+            kinds = (
+                ["min", "max", "mean"]
+                if c in spec["numeric"]
+                else (["min", "max"] if c in spec["temporal"] else [])
+            )
+            for k in kinds:
+                parts.append(
+                    f"SELECT '{tbl}', '{c}', 'expect_column_{k}_to_be_between' "
+                    f"WHERE {nn} > 0"
+                )
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'expect_column_values_to_be_in_set' "
+                f"WHERE {nn} > 0 AND {dc} <= 20"
+            )
+            parts.append(
+                f"SELECT '{tbl}', '{c}', 'expect_column_values_to_be_unique' "
+                f"WHERE {nn} > 0 AND {dc} = {nn}"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PROFILER = _profiler_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1833,6 +1910,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_column": q_query_column,
     "eval_params": q_eval_params,
     "schema_checks": q_schema_checks,
+    "profiler": q_profiler,
     "violations": q_violations,
     "partition_builder": q_partition_builder,
     "sampler_splitter": q_sampler_splitter,
@@ -1901,6 +1979,7 @@ _ORACLES: dict[str, str] = {
     "query_column": SQL_QUERY_COLUMN,
     "eval_params": SQL_EVAL_PARAMS,
     "schema_checks": SQL_SCHEMA_CHECKS,
+    "profiler": SQL_PROFILER,
     "violations": SQL_VIOLATIONS,
     "partition_builder": SQL_PARTITION_BUILDER,
     "sampler_splitter": SQL_SAMPLER_SPLITTER,

@@ -34,6 +34,8 @@ _TYPE_ALIASES: dict[str, type] = {
     "bool": T.BooleanType,
     "date": T.DateType,
     "timestamp": T.TimestampType,
+    "timestamp_ltz": T.TimestampType,
+    "timestamp_ntz": T.TimestampNTZType,
     "binary": T.BinaryType,
     "decimal": T.DecimalType,
 }

@@ -1,0 +1,146 @@
+"""Data-driven suite bootstrapping — the Spark-first answer to the
+reference's profilers (``UserConfigurableProfiler``,
+profile/user_configurable_profiler.py, and the ``rule_based_profiler/``
+machinery behind ``auto=True``, validator/validator.py:300-523).
+
+WHAT is reproduced: profile a batch once, emit an ExpectationSuite covering
+table shape, nullity, types, value domains, numeric/datetime ranges, and
+uniqueness — the same expectation families the reference's profiler emits.
+HOW is Spark-native: ONE bundled ``df.agg`` pass computes every per-column
+statistic (count/nulls/min/max/mean/distinct) for every column — not one job
+per metric per column like the reference's metric graph — plus one tiny
+``distinct().limit(k+1)`` probe per low-cardinality candidate to make the
+value-set decision exact.
+
+Emission rules (deterministic given the data — the driver contract's
+``profiler`` query cross-checks them against a DuckDB oracle):
+
+- table: columns_to_match_ordered_list; row_count_to_be_between
+  (±``row_count_tolerance``, floor/ceil).
+- every column: values_to_be_of_type(spark simpleString).
+- null fraction == 0 → values_to_not_be_null; 0 < frac <= ``mostly_floor``
+  → values_to_not_be_null with mostly = floor((1-frac)*100)/100.
+- numeric: min/max_to_be_between at the observed value, mean_to_be_between
+  at the observed mean (reference profiler pins observed as both bounds).
+- date/timestamp: min/max_to_be_between at the observed bounds.
+- exact distinct count <= ``cardinality_limit`` → values_to_be_in_set
+  (sorted observed set).
+- nonnull > 0 and distinct == nonnull → values_to_be_unique.
+
+``exact=True`` computes distinct counts exactly (multiple count_distincts in
+one agg — Spark rewrites via expand, cost ~ cols x rows; right for
+profiling-sized batches and required for oracle determinism).
+``exact=False`` gates on approx_count_distinct(rsd=0.01) + an exact
+``distinct().limit()`` probe only for in-set candidates — the 10^12-row
+path, same decisions w.h.p. without the expand.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.config import ExpectationSuite
+
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+_TEMPORAL = ("date", "timestamp", "timestamp_ntz")
+
+
+def _is_numeric(dt: str) -> bool:
+    return dt in _NUMERIC or dt.startswith("decimal")
+
+
+def profile(
+    df: DataFrame,
+    name: str = "profiled",
+    columns: Optional[list[str]] = None,
+    cardinality_limit: int = 20,
+    row_count_tolerance: float = 0.1,
+    mostly_floor: float = 0.5,
+    exact: bool = True,
+) -> ExpectationSuite:
+    cols = columns or df.columns
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"nn__{c}"))
+        if exact:
+            aggs.append(F.count_distinct(col).alias(f"dc__{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd=0.01).alias(f"dc__{c}"))
+        if _is_numeric(dtypes[c]) or dtypes[c] in _TEMPORAL:
+            aggs.append(F.min(col).alias(f"mn__{c}"))
+            aggs.append(F.max(col).alias(f"mx__{c}"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(F.avg(col).alias(f"av__{c}"))
+    stats = df.agg(*aggs).collect()[0].asDict()
+    n = int(stats["__n"])
+
+    suite = ExpectationSuite(name=name)
+    suite.add("expect_table_columns_to_match_ordered_list", column_list=list(df.columns))
+    suite.add(
+        "expect_table_row_count_to_be_between",
+        min_value=int(math.floor(n * (1 - row_count_tolerance))),
+        max_value=int(math.ceil(n * (1 + row_count_tolerance))),
+    )
+
+    for c in cols:
+        dt = dtypes[c]
+        nonnull = int(stats[f"nn__{c}"] or 0)
+        distinct = int(stats[f"dc__{c}"] or 0)
+        suite.add("expect_column_values_to_be_of_type", column=c, type_=dt)
+        null_frac = (n - nonnull) / n if n else 0.0
+        if null_frac == 0.0:
+            suite.add("expect_column_values_to_not_be_null", column=c)
+        elif null_frac <= mostly_floor:
+            suite.add(
+                "expect_column_values_to_not_be_null",
+                column=c,
+                mostly=math.floor((1 - null_frac) * 100) / 100,
+            )
+        if _is_numeric(dt) and nonnull:
+            mn, mx, av = stats[f"mn__{c}"], stats[f"mx__{c}"], stats[f"av__{c}"]
+            suite.add(
+                "expect_column_min_to_be_between", column=c, min_value=mn, max_value=mn
+            )
+            suite.add(
+                "expect_column_max_to_be_between", column=c, min_value=mx, max_value=mx
+            )
+            suite.add(
+                "expect_column_mean_to_be_between", column=c, min_value=av, max_value=av
+            )
+        elif dt in _TEMPORAL and nonnull:
+            mn, mx = stats[f"mn__{c}"], stats[f"mx__{c}"]
+            suite.add(
+                "expect_column_min_to_be_between", column=c, min_value=mn, max_value=mn
+            )
+            suite.add(
+                "expect_column_max_to_be_between", column=c, min_value=mx, max_value=mx
+            )
+        # value-set: gate on the (possibly approx) distinct count, decide
+        # exactly with a bounded probe — never collects an unbounded set
+        if nonnull and distinct <= cardinality_limit * (1 if exact else 2):
+            probe = (
+                df.select(c)
+                .filter(F.col(c).isNotNull())
+                .distinct()
+                .limit(cardinality_limit + 1)
+                .collect()
+            )
+            if len(probe) <= cardinality_limit:
+                values = sorted(
+                    (r[0] for r in probe), key=lambda v: (str(type(v).__name__), str(v))
+                )
+                suite.add(
+                    "expect_column_values_to_be_in_set", column=c, value_set=values
+                )
+                if exact:
+                    distinct = len(probe)
+        if nonnull and distinct == nonnull:
+            suite.add("expect_column_values_to_be_unique", column=c)
+    return suite

@@ -1,0 +1,70 @@
+"""Data-driven suite bootstrapping (profiler.py) — emission rules +
+self-validation (a profiled suite must pass on the batch that produced it)."""
+
+import pytest
+
+from great_expectations_spark.engine import SparkValidationEngine
+from great_expectations_spark.profiler import profile
+
+
+def _by_type(suite):
+    out = {}
+    for cfg in suite.expectations:
+        key = (cfg.kwargs.get("column", ""), cfg.expectation_type)
+        out.setdefault(key, []).append(cfg.kwargs)
+    return out
+
+
+def test_profile_lineitem_rules(spark, lineitem):
+    suite = profile(lineitem, name="li")
+    got = _by_type(suite)
+    assert ("", "expect_table_columns_to_match_ordered_list") in got
+    assert ("", "expect_table_row_count_to_be_between") in got
+    # no nulls anywhere in lineitem → plain not_null for every column
+    for c in lineitem.columns:
+        assert (c, "expect_column_values_to_not_be_null") in got
+        assert (c, "expect_column_values_to_be_of_type") in got
+    # low-cardinality domains detected
+    assert ("l_returnflag", "expect_column_values_to_be_in_set") in got
+    assert got[("l_returnflag", "expect_column_values_to_be_in_set")][0][
+        "value_set"
+    ] == ["A", "N", "R"]
+    # wide numeric has range pins but no value set
+    assert ("l_quantity", "expect_column_min_to_be_between") in got
+    assert ("l_quantity", "expect_column_values_to_be_in_set") not in got
+    # temporal min/max
+    assert ("l_shipdate", "expect_column_max_to_be_between") in got
+    # no single column is unique in lineitem
+    assert not any(t == "expect_column_values_to_be_unique" for _, t in got)
+
+
+def test_profile_events_nullity_and_uniqueness(spark, events):
+    suite = profile(events, name="ev")
+    got = _by_type(suite)
+    # event_id is a key
+    assert ("event_id", "expect_column_values_to_be_unique") in got
+    # props has nulls → mostly-form not_null (if frac <= 0.5)
+    kw = got.get(("props", "expect_column_values_to_not_be_null"))
+    if kw is not None:
+        assert 0 < kw[0].get("mostly", 1.0) <= 1.0
+
+
+def test_profiled_suite_self_validates(spark, lineitem, events):
+    eng = SparkValidationEngine(spark)
+    for df in (lineitem, events):
+        suite = profile(df)
+        res = eng.validate(df, suite)
+        bad = [
+            (r.expectation_config["expectation_type"], r.expectation_config["kwargs"], r.result)
+            for r in res.results
+            if not r.success
+        ]
+        assert not bad, bad
+
+
+def test_profile_approx_path_matches_exact(spark, lineitem):
+    """exact=False (HLL gating, the 10^12-row path) emits the same suite on
+    this data."""
+    a = {(c.expectation_type, c.kwargs.get("column")) for c in profile(lineitem, exact=True).expectations}
+    b = {(c.expectation_type, c.kwargs.get("column")) for c in profile(lineitem, exact=False).expectations}
+    assert a == b
