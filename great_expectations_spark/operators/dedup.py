@@ -289,34 +289,36 @@ def simhash_signatures(
     return perbit.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    chunks: int | None = None,
-) -> DataFrame:
-    """Pairs within Hamming distance ≤ max_hamming via chunk-banding, then
-    exact bit_count(xor) verify.
+def _hamming_band_exprs(max_hamming: int, chunks: int | None) -> list[Column]:
+    """Pigeonhole-complete Hamming-LSH band keys over a 64-bit ``simhash``
+    column: split into c contiguous chunks, join on every k-chunk
+    combination. A pair within Hamming distance h has ≥ c − h untouched
+    chunks, so an all-untouched k-subset exists whenever c ≥ k + h — that
+    subset's band collides. k is chosen so band keys stay ≥ ~12 bits
+    (single-chunk banding at h=8 would mean 7-bit keys → 128 buckets → a
+    near-quadratic candidate join on a large corpus):
 
-    Completeness (pigeonhole): a pair with ≤ max_hamming differing bits has
-    at least one untouched chunk iff chunks > max_hamming — so `chunks`
-    defaults to max_hamming + 1 and passing chunks <= max_hamming raises
-    (it would silently miss pairs whose differing bits spread across every
-    chunk). The 64 bits are split into `chunks` contiguous near-equal-width
-    slices covering all bits; more chunks = narrower bands = more candidate
-    join keys but still complete.
+      h ≤ 4 → k=1, c=h+1   (chunk width ≥ 12 bits, classic banding)
+      h ≥ 5 → k=2, c=h+2   (C(c,2) bands of 2 chunks, e.g. h=8 → 45
+                            bands of ~12 bits)
     """
-    if chunks is None:
-        chunks = max_hamming + 1
-    if chunks <= max_hamming:
-        raise ValueError(
-            f"chunk banding is complete only for chunks > max_hamming "
-            f"(pigeonhole); got chunks={chunks}, max_hamming={max_hamming}"
-        )
-    chunks = min(int(chunks), 64)
-    bounds = [i * 64 // chunks for i in range(chunks + 1)]
+    from itertools import combinations
+
+    if chunks is not None:
+        # explicit chunk count → classic 1-chunk bands; still must be complete
+        if chunks <= max_hamming:
+            raise ValueError(
+                f"chunk banding is complete only for chunks > max_hamming "
+                f"(pigeonhole); got chunks={chunks}, max_hamming={max_hamming}"
+            )
+        k, c = 1, min(int(chunks), 64)
+    elif max_hamming <= 4:
+        k, c = 1, max_hamming + 1
+    else:
+        k, c = 2, min(max_hamming + 2, 64)
+    bounds = [i * 64 // c for i in range(c + 1)]
     chunk_exprs = []
-    for i in range(chunks):
+    for i in range(c):
         lo, width = bounds[i], bounds[i + 1] - bounds[i]
         shifted = (
             F.col("simhash") if lo == 0 else F.shiftrightunsigned(F.col("simhash"), lo)
@@ -324,19 +326,39 @@ def simhash_near_pairs(
         if width < 64:
             shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
         chunk_exprs.append(shifted.cast("long"))
+    if k == 1:
+        return chunk_exprs
+    return [
+        F.xxhash64(F.lit(i), *(chunk_exprs[j] for j in combo))
+        for i, combo in enumerate(combinations(range(c), k))
+    ]
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int | None = None,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming via pigeonhole-complete
+    combination banding (see ``_hamming_band_exprs``), then exact
+    bit_count(xor) verify. ``chunks`` forces classic single-chunk banding
+    with that many chunks (must exceed max_hamming, else raises — narrower
+    guarantees silently lose recall)."""
+    band_exprs = _hamming_band_exprs(max_hamming, chunks)
     banded = signatures.select(
         F.col(id_col),
         F.col("simhash"),
-        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
     )
     left = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "band_idx", "band_val"
     )
     right = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "band_idx", "band_val"
     )
     pairs = (
-        left.join(right, on=["chunk_idx", "chunk_val"])
+        left.join(right, on=["band_idx", "band_val"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "sig_a", "sig_b")
         .dropDuplicates(["a", "b"])
