@@ -230,6 +230,16 @@ class SuitePlanner:
                 cfg = substitute_evaluation_parameters(
                     cfg, self.evaluation_parameters, self.urn_resolver
                 )
+                if cfg.kwargs.get("auto"):
+                    # reference validator.py:300-523: auto=True estimates the
+                    # missing success parameters from the batch itself
+                    from great_expectations_spark.profiler import resolve_auto
+
+                    cfg = ExpectationConfiguration(
+                        expectation_type=t,
+                        kwargs=resolve_auto(self.df, t, cfg.kwargs),
+                        meta=dict(cfg.meta),
+                    )
                 if t in schema_checks.SCHEMA_EXPECTATION_TYPES:
                     self._compile_schema(cfg)
                 elif is_map_expectation(t):

@@ -48,6 +48,87 @@ from great_expectations_spark.core.config import ExpectationSuite
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 _TEMPORAL = ("date", "timestamp", "timestamp_ntz")
 
+# expectation_type -> (aggregate builder, kwargs filler) for auto=True
+# parameter estimation (reference: validator.py:300-523 dispatches auto=True
+# through the rule-based profiler; here the estimate is the observed batch
+# statistic, resolved in ONE agg job per auto expectation)
+
+
+def resolve_auto(df: DataFrame, expectation_type: str, kwargs: dict) -> dict:
+    """Fill missing success parameters of an ``auto=True`` expectation from
+    the batch (observed-value estimator). Returns new kwargs with ``auto``
+    removed and bounds filled; raises for types without an auto rule."""
+    kw = {k: v for k, v in kwargs.items() if k != "auto"}
+    c = kw.get("column")
+    col = F.col(c) if c else None
+
+    def fill_bounds(min_expr, max_expr):
+        need_min = kw.get("min_value") is None
+        need_max = kw.get("max_value") is None
+        if not (need_min or need_max):
+            return
+        row = df.agg(min_expr.alias("_mn"), max_expr.alias("_mx")).collect()[0]
+        if need_min:
+            kw["min_value"] = row["_mn"]
+        if need_max:
+            kw["max_value"] = row["_mx"]
+
+    t = expectation_type
+    if t == "expect_table_row_count_to_be_between":
+        fill_bounds(F.count(F.lit(1)), F.count(F.lit(1)))
+    elif t in (
+        "expect_column_values_to_be_between",
+        "expect_column_min_to_be_between",
+        "expect_column_max_to_be_between",
+    ):
+        fill_bounds(F.min(col), F.max(col))
+    elif t == "expect_column_mean_to_be_between":
+        fill_bounds(F.avg(col), F.avg(col))
+    elif t == "expect_column_median_to_be_between":
+        m = F.expr(f"percentile(`{c}`, 0.5)")
+        fill_bounds(m, m)
+    elif t == "expect_column_stdev_to_be_between":
+        fill_bounds(F.stddev_samp(col), F.stddev_samp(col))
+    elif t == "expect_column_sum_to_be_between":
+        fill_bounds(F.sum(col), F.sum(col))
+    elif t == "expect_column_unique_value_count_to_be_between":
+        fill_bounds(F.count_distinct(col), F.count_distinct(col))
+    elif t == "expect_column_proportion_of_unique_values_to_be_between":
+        p = F.count_distinct(col) / F.count(col)
+        fill_bounds(p, p)
+    elif t == "expect_column_value_lengths_to_be_between":
+        fill_bounds(F.min(F.length(col)), F.max(F.length(col)))
+    elif t in (
+        "expect_column_values_to_be_in_set",
+        "expect_column_distinct_values_to_be_in_set",
+        "expect_column_distinct_values_to_contain_set",
+        "expect_column_distinct_values_to_equal_set",
+    ):
+        if kw.get("value_set") is None:
+            rows = df.select(c).filter(col.isNotNull()).distinct().limit(10_001).collect()
+            if len(rows) > 10_000:
+                raise ValueError(
+                    f"auto value_set for {c!r}: cardinality exceeds 10000"
+                )
+            kw["value_set"] = sorted(
+                (r[0] for r in rows), key=lambda v: (str(type(v).__name__), str(v))
+            )
+    elif t == "expect_column_quantile_values_to_be_between":
+        ranges = kw.get("quantile_ranges") or {}
+        quantiles = ranges.get("quantiles") or [0.25, 0.5, 0.75]
+        if ranges.get("value_ranges") is None:
+            qs = ", ".join(str(q) for q in quantiles)
+            row = df.agg(
+                F.expr(f"percentile(`{c}`, array({qs}))").alias("_q")
+            ).collect()[0]
+            kw["quantile_ranges"] = {
+                "quantiles": quantiles,
+                "value_ranges": [[v, v] for v in row["_q"]],
+            }
+    else:
+        raise ValueError(f"auto=True is not supported for {t}")
+    return kw
+
 
 def _is_numeric(dt: str) -> bool:
     return dt in _NUMERIC or dt.startswith("decimal")

@@ -68,3 +68,41 @@ def test_profile_approx_path_matches_exact(spark, lineitem):
     a = {(c.expectation_type, c.kwargs.get("column")) for c in profile(lineitem, exact=True).expectations}
     b = {(c.expectation_type, c.kwargs.get("column")) for c in profile(lineitem, exact=False).expectations}
     assert a == b
+
+
+def test_auto_parameter_resolution(spark, lineitem):
+    """auto=True fills missing bounds from the batch (reference rule-based
+    profiler dispatch) and the resolved expectation validates."""
+    from great_expectations_spark.core.config import ExpectationSuite
+
+    suite = ExpectationSuite(name="auto")
+    suite.add("expect_column_values_to_be_between", column="l_quantity", auto=True)
+    suite.add("expect_column_mean_to_be_between", column="l_extendedprice", auto=True)
+    suite.add("expect_column_values_to_be_in_set", column="l_returnflag", auto=True)
+    suite.add("expect_table_row_count_to_be_between", auto=True)
+    suite.add(
+        "expect_column_quantile_values_to_be_between", column="l_quantity", auto=True
+    )
+    eng = SparkValidationEngine(spark)
+    res = eng.validate(lineitem, suite)
+    assert res.success, [
+        (r.expectation_config, r.result, r.exception_info)
+        for r in res.results
+        if not r.success
+    ]
+    # the resolved config carries concrete bounds (auto stripped)
+    cfg0 = res.results[0].expectation_config
+    assert "auto" not in cfg0["kwargs"]
+    assert cfg0["kwargs"]["min_value"] is not None
+    in_set_cfg = res.results[2].expectation_config
+    assert in_set_cfg["kwargs"]["value_set"] == ["A", "N", "R"]
+
+
+def test_auto_unsupported_type_is_failed_evr(spark, lineitem):
+    from great_expectations_spark.core.config import ExpectationSuite
+
+    suite = ExpectationSuite(name="auto2")
+    suite.add("expect_column_values_to_match_regex", column="l_returnflag", auto=True)
+    res = SparkValidationEngine(spark).validate(lineitem, suite)
+    assert res.results[0].success is False
+    assert res.results[0].exception_info.get("raised_exception") is True
