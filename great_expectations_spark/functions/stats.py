@@ -120,6 +120,117 @@ def ks_pvalue(d: float, n_obs: float, n_exp: Optional[float] = None) -> float:
     return kolmogorov_sf(lam)
 
 
+def ks_cdf_exact(d: float, n: int) -> float:
+    """Exact P(D_n < d) for the one-sample KS statistic at sample size n —
+    Marsaglia–Tsang–Wang matrix method (J. Statistical Software 8(18), 2003;
+    public textbook numerics, same algorithm scipy uses for small n). The
+    asymptotic Kolmogorov distribution is badly biased at the tiny bootstrap
+    sample sizes (~2×n_bins) the bootstrapped-KS expectation draws."""
+    if n <= 0 or d <= 0.0:
+        return 0.0
+    if d >= 1.0:
+        return 1.0
+    k = int(math.ceil(n * d))
+    h = k - n * d
+    m = 2 * k - 1
+    H = [[0.0] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(m):
+            H[i][j] = 0.0 if i - j + 1 < 0 else 1.0
+    for i in range(m):
+        H[i][0] -= h ** (i + 1)
+        H[m - 1][i] -= h ** (m - i)
+    if 2 * h - 1 > 0:
+        H[m - 1][0] += (2 * h - 1) ** m
+    for i in range(m):
+        for j in range(m):
+            if i - j + 1 > 0:
+                for g in range(1, i - j + 2):
+                    H[i][j] /= g
+    # Q = H^n with overflow rescaling; track the power-of-1e140 exponent
+    eH = 0
+    Q = [row[:] for row in H]
+    eQ = 0
+    # binary exponentiation keeps this O(log n) matrix products
+    def matmul(A, B):
+        size = len(A)
+        out = [[0.0] * size for _ in range(size)]
+        for i in range(size):
+            Ai = A[i]
+            for g in range(size):
+                a = Ai[g]
+                if a == 0.0:
+                    continue
+                Bg = B[g]
+                Oi = out[i]
+                for j in range(size):
+                    Oi[j] += a * Bg[j]
+        return out
+
+    power = n - 1
+    base, eBase = H, eH
+    while power > 0:
+        if power & 1:
+            Q = matmul(Q, base)
+            eQ += eBase
+            if Q[k - 1][k - 1] > 1e140:
+                Q = [[v * 1e-140 for v in row] for row in Q]
+                eQ += 140
+        base = matmul(base, base)
+        eBase *= 2
+        if base[k - 1][k - 1] > 1e140:
+            base = [[v * 1e-140 for v in row] for row in base]
+            eBase += 140
+        power >>= 1
+    s = Q[k - 1][k - 1]
+    for i in range(1, n + 1):
+        s = s * i / n
+        if s < 1e-140:
+            s *= 1e140
+            eQ -= 140
+    out = s if eQ == 0 else s * math.pow(10.0, eQ)
+    return max(0.0, min(1.0, out))
+
+
+def ks_critical_value(n: int, alpha: float, exact_max_n: int = 140) -> float:
+    """d_crit with P(D_n ≥ d_crit) = alpha — bisection over the exact (or
+    asymptotic for large n) distribution. p-value(D) is strictly decreasing
+    in D, so ``p-value ≥ alpha ⇔ D ≤ d_crit``: one solve replaces a
+    per-draw distribution evaluation in bootstrap loops."""
+    def sf(d: float) -> float:
+        if n <= exact_max_n:
+            return 1.0 - ks_cdf_exact(d, n)
+        return ks_pvalue(d, n)
+
+    lo, hi = 0.0, 1.0
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        if sf(mid) >= alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def ks_test_sample(values, cdf, exact_max_n: int = 140) -> tuple[float, float]:
+    """One-sample two-sided KS test of ``values`` against ``cdf`` (callable
+    over a numpy array). Returns (D, p_value); exact small-n distribution,
+    asymptotic beyond ``exact_max_n`` (scipy's auto-mode split)."""
+    import numpy as np
+
+    xs = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(xs)
+    if n == 0:
+        return 0.0, 1.0
+    F = np.asarray(cdf(xs), dtype=np.float64)
+    d_plus = float((np.arange(1, n + 1) / n - F).max())
+    d_minus = float((F - np.arange(0, n) / n).max())
+    d = max(d_plus, d_minus, 0.0)
+    if n <= exact_max_n:
+        return d, 1.0 - ks_cdf_exact(d, n)
+    return d, ks_pvalue(d, n)
+
+
 # ---- regularized incomplete gamma (for chi-square p-value; no scipy) ----
 
 

@@ -419,16 +419,7 @@ def _compile_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
     bins = [float(b) for b in po["bins"]]
     aliases = register_histogram(planner, column, bins, dom)
     weights = list(po["weights"])
-    # the bootstrapped variant is answered by the same histogram sketch —
-    # users must see which p-value basis they got (the reference bootstraps
-    # pandas samples; our D is evaluated at bin granularity with the full-n
-    # asymptotic p-value, which is stricter — the 2 documented divergences in
-    # tests/test_reference_golden.py)
-    method = (
-        "binned_ks_sketch"
-        if "bootstrapped" in cfg.expectation_type
-        else "binned_ks"
-    )
+    method = "binned_ks"
 
     def decide(ctx) -> tuple[bool, dict]:
         bin_counts, below, above, nonnull = _observed_histogram(ctx.metrics, aliases)
@@ -444,6 +435,116 @@ def _compile_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
         }
 
     planner._items.append(_Item(cfg, decide, partition_capable=True))
+
+
+def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
+    """expect_column_bootstrapped_ks_test_p_value_to_be_greater_than —
+    faithful to the reference's pandas implementation
+    (pandas_dataset.py:1627-1736): ``bootstrap_samples`` (1000) seeded draws
+    of ``bootstrap_sample_size`` (2×n_bins) elements from the column, each
+    KS-tested against the interpolated partition CDF;
+    observed_value = (1 + #{p_i ≥ p}) / (samples + 1); success ⇔ > p.
+
+    Scale split: the exact observed-partition details ride the bundled
+    histogram aggregates; only the bootstrap draws come from a bounded
+    seeded sample (``sample_cap``, default 100k — statistically equivalent
+    for ~10-element draws at any corpus size, and the whole column on
+    test-sized data). Per-draw p-values use the EXACT small-n KS
+    distribution (functions/stats.ks_test_sample) — the asymptotic
+    approximation is badly biased at n≈10, which is what made the previous
+    sketch alias diverge from the reference's golden cases."""
+    import numpy as np
+
+    from great_expectations_spark.plans.planner import _Item
+
+    kw = cfg.kwargs
+    column = kw["column"]
+    po = kw.get("partition_object")
+    _validate_partition_object(po)
+    if not ("bins" in po and "weights" in po):
+        raise ValueError("Invalid continuous partition object.")
+    bins = [float(b) for b in po["bins"]]
+    if math.isinf(bins[0]) or math.isinf(bins[-1]):
+        raise ValueError("Partition endpoints must be finite.")
+    if "tail_weights" in po and sum(po["tail_weights"]) > 0:
+        raise ValueError(
+            "Partition cannot have tail weights -- endpoints must be finite."
+        )
+    weights = [float(w) for w in po["weights"]]
+    p_threshold = float(kw.get("p", 0.05))
+    n_boot = int(kw.get("bootstrap_samples") or 1000)
+    boot_size = int(kw.get("bootstrap_sample_size") or 2 * len(weights))
+    sample_cap = int(kw.get("sample_cap", 100_000))
+    seed = int(kw.get("seed", 8675309))
+    dom, dom_id = planner._domain(cfg)
+    aliases = register_histogram(planner, column, bins, dom)
+    col = F.col(column)
+    a_min = planner._reg(("column.min", dom_id, column), F.min(F.when(dom, col)))
+    a_max = planner._reg(("column.max", dom_id, column), F.max(F.when(dom, col)))
+
+    def decide(ctx) -> tuple[bool, dict]:
+        from great_expectations_spark.functions.stats import ks_critical_value
+
+        bin_counts, below, above, nonnull = _observed_histogram(ctx.metrics, aliases)
+        if nonnull == 0:
+            return True, {"observed_value": None}
+        base = planner.df.filter(dom & col.isNotNull()).select(col)
+        if nonnull > sample_cap:
+            base = base.sample(
+                fraction=min(1.0, 1.2 * sample_cap / nonnull), seed=seed
+            ).limit(sample_cap)
+        values = np.array([r[0] for r in base.collect()], dtype=np.float64)
+        test_cdf = np.append(np.array([0.0]), np.cumsum(weights))
+
+        # p-value(D) is monotone decreasing, so "p_i >= p" == "D_i <= d_crit"
+        # — one exact-distribution solve, then fully vectorized bootstrap
+        d_crit = ks_critical_value(boot_size, p_threshold)
+        rng = np.random.default_rng(seed)
+        draws = rng.choice(values, size=(n_boot, boot_size))
+        draws.sort(axis=1)
+        Fm = np.interp(draws, bins, test_cdf)
+        i = np.arange(1, boot_size + 1, dtype=np.float64)
+        d_plus = (i / boot_size - Fm).max(axis=1)
+        d_minus = (Fm - (i - 1) / boot_size).max(axis=1)
+        D = np.maximum(d_plus, d_minus)
+        hits = int((D <= d_crit).sum())
+        test_result = (1 + hits) / (n_boot + 1)
+
+        # observed-partition expansion (reference :1689-1706), from the
+        # EXACT bundled aggregates, not the sample
+        mn, mx = ctx.metrics[a_min], ctx.metrics[a_max]
+        hist = list(bin_counts)
+        if below > 0 and above > 0:
+            obs_bins = [float(mn)] + bins + [float(mx)]
+            obs_w = [below] + hist + [above]
+        elif below > 0:
+            obs_bins = [float(mn)] + bins
+            obs_w = [below] + hist
+        elif above > 0:
+            obs_bins = bins + [float(mx)]
+            obs_w = hist + [above]
+        else:
+            obs_bins = bins
+            obs_w = hist
+        obs_weights = [c / nonnull for c in obs_w]
+        cdf_vals = [0.0]
+        for w in obs_weights:
+            cdf_vals.append(cdf_vals[-1] + w)
+        return bool(test_result > p_threshold), {
+            "observed_value": test_result,
+            "details": {
+                "bootstrap_samples": n_boot,
+                "bootstrap_sample_size": boot_size,
+                "method": "bootstrap_exact_small_n_ks",
+                "bootstrap_population": int(len(values)),
+                "observed_partition": {"bins": obs_bins, "weights": obs_weights},
+                "expected_partition": {"bins": bins, "weights": weights},
+                "observed_cdf": {"x": obs_bins, "cdf_values": cdf_vals},
+                "expected_cdf": {"x": bins, "cdf_values": list(test_cdf)},
+            },
+        }
+
+    planner._items.append(_Item(cfg, decide, partition_capable=False))
 
 
 def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
@@ -623,9 +724,9 @@ DRIFT_COMPILERS: dict[str, Callable[[Any, ExpectationConfiguration], None]] = {
     # reference spelling (expect_column_chisquare_test_p_value_to_be_greater_than.py)
     "expect_column_chisquare_test_p_value_to_be_greater_than": _compile_chi_square,
     "expect_column_kstest_p_value_to_be_greater_than": _compile_ks,
-    # histogram-sketch stand-in for the reference's bootstrapped sample KS
-    # (pandas-only there — expect_column_bootstrapped_ks_test_p_value_...)
-    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than": _compile_ks,
+    # faithful seeded bootstrap + exact small-n KS (pandas-only in the
+    # reference — pandas_dataset.py:1627-1736)
+    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than": _compile_bootstrapped_ks,
     "expect_column_psi_to_be_less_than": _compile_psi,
     "expect_column_pair_cramers_phi_value_to_be_less_than": _compile_cramers_phi,
     "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than": _compile_parameterized_ks,

@@ -11,18 +11,12 @@ import pytest
 
 from golden_harness import SkipCase, iter_cases, run_case
 
-# (expectation_type, title) -> reason we intentionally diverge
-DIVERGENT_CASES = {
-    (
-        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
-        "positive_bimodal_kde_partition",
-    ): "sketch KS evaluates D at bin granularity with full-n p-value; the "
-    "reference bootstraps samples — binned p-values are stricter (scale path)",
-    (
-        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
-        "observed_above_and_below_partition",
-    ): "same sketch-vs-bootstrap p-value difference",
-}
+# (expectation_type, title) -> reason we intentionally diverge.
+# EMPTY since round 2: the bootstrapped-KS expectation now runs the
+# reference's own seeded-bootstrap algorithm with an exact small-n KS
+# distribution (operators/drift.py _compile_bootstrapped_ks), which closed
+# the last two divergences.
+DIVERGENT_CASES: dict = {}
 
 
 @pytest.mark.golden
