@@ -1346,6 +1346,21 @@ HAVING sum(xa*xb) / (sqrt(sum(xa*xa)) * sqrt(sum(xb*xb))) >= 0.3
 """
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: FULL-probe search must equal the exact brute-force top-k —
+    an exactness invariant of the index (the kmeans quantizer partitions
+    the data, it never drops rows), so the brute-force SQL oracle applies
+    verbatim; partial probes are the approximate path (recall-tested in
+    pytest)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cents = sim.train_ivf_centroids(emb, n_centroids=16, sample_size=5000, seed=7)
+    indexed = sim.ivf_assign(emb.filter(F.col("vec_id") != 0), cents)
+    return sim.ivf_topk(indexed, cents, qv, k=10, n_probe=16).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (random-hyperplane buckets; approximate — rows-only)."""
     e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
@@ -1933,6 +1948,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk": q_sim_topk,
     "sim_pairs": q_sim_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "embed_norm": q_embed_norm,
 }
 
@@ -1991,6 +2007,7 @@ _ORACLES: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "sim_topk": SQL_SIM_TOPK,
     "sim_pairs": SQL_SIM_PAIRS,
+    "sim_ivf_topk": SQL_SIM_TOPK,
     "embed_norm": SQL_EMBED_NORM,
     **_multimodal_oracles(),
     # rows-only (non-SQL-expressible): param_ks, dedup_minhash,

@@ -2,8 +2,12 @@
 
 - brute-force cosine top-k: the exactness baseline — one scan, JVM-side
   zip_with/aggregate dot products, no UDF
-- LSH-bucketed (random hyperplane signs) top-k: the scale path — candidates
-  from matching sign-bucket, exact re-rank inside the bucket
+- LSH-bucketed (random hyperplane signs) top-k: candidates from matching
+  sign-bucket, exact re-rank inside the bucket
+- IVF (inverted-file) top-k: spherical-kmeans coarse quantizer trained on a
+  bounded sample, vectors assigned to centroid lists in one Arrow pass,
+  queries scan only the n_probe nearest lists — the scale path when the
+  assigned table is clustered by centroid_id (probe → partition/file prune)
 - near-duplicate pairs by cosine ≥ τ: LSH-bucketed self-join
 
 Scale notes: the query vector folds into the plan as a literal array
@@ -14,9 +18,10 @@ TakeOrderedAndProject — per-partition heaps, no global sort.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -187,4 +192,92 @@ def brute_force_pairs(
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select("a", "b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
+    )
+
+
+# ---- IVF (inverted-file) ANN ---------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded seeded sample — the IVF
+    coarse quantizer. The sample is the only driver-side data (≤ sample_size
+    vectors); training is numpy matrix math. Returns (n_centroids, dim)
+    L2-normalized centroids, deterministic given (data, seed)."""
+    n = df.count()
+    sample = df.select(vec_col)
+    if n > sample_size:
+        sample = sample.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed).limit(
+            sample_size
+        )
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        # spherical k-means: assign by max dot, re-estimate, re-normalize
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``centroid_id`` = argmax cosine(vector, centroid) — one Arrow
+    pass (batch matrix multiply per Arrow batch; centroids ride the closure
+    as a broadcast-by-value constant). At scale the assigned table is
+    written partitioned/clustered BY centroid_id so probes prune files."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            M = np.array(series.tolist(), dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
+
+    return _ensure_parallelism(df, id_col).withColumn(
+        "centroid_id", assign_udf(F.col(vec_col))
+    )
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan only the
+    ``n_probe`` nearest inverted lists (``centroid_id IN probes`` — a
+    partition-pruning filter on a table clustered by centroid_id), exact
+    cosine re-rank inside via TakeOrderedAndProject."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    order = (centroids @ (q / max(qn, 1e-12))).argsort()[::-1]
+    probes = [int(c) for c in order[: n_probe]]
+    ql = _lit_array(query_vec)
+    sim = dot(F.col(vec_col), ql) / (norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        indexed.filter(F.col("centroid_id").isin(probes))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
     )

@@ -308,3 +308,29 @@ def test_distributed_documents_deterministic(spark):
     a = distributed_documents_df(spark, 500, partitions=4)
     b = distributed_documents_df(spark, 500, partitions=8)
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF (kmeans-bucketed) ANN: recall@10 vs brute force with a modest
+    probe budget, and perfect recall when probing every list."""
+    q = embeddings.select("embedding").first()[0]
+    C = similarity.train_ivf_centroids(
+        embeddings, n_centroids=16, sample_size=5000, seed=7
+    )
+    assert C.shape[0] == 16
+    indexed = similarity.ivf_assign(embeddings, C).persist()
+    try:
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(indexed, C, q, k=10, n_probe=4).collect()
+        ]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.6, (recall, exact, approx)
+        full = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(indexed, C, q, k=10, n_probe=16).collect()
+        ]
+        assert full == exact  # probing every list == exact search
+    finally:
+        indexed.unpersist()
