@@ -116,3 +116,72 @@ def streaming_metrics(
         .groupBy(win.alias("window"))
         .agg(*aggs)
     )
+
+
+def _duration_ms(s: str) -> int:
+    """'1 hour' / '30 minutes' / '10 seconds' / '500 milliseconds' → ms."""
+    value, unit = s.split()
+    factor = {
+        "millisecond": 1, "milliseconds": 1, "ms": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.lower()]
+    return int(float(value) * factor)
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_col: str,
+    state_ttl: str = "24 hours",
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup with bounded state — the custom
+    stateful operator of a streaming training-data pipeline (drop documents
+    whose fingerprint was already ingested), built on
+    ``applyInPandasWithState``.
+
+    State: one empty marker per seen key, partitioned by the shuffle on
+    ``key_col`` (hash-distributed across executors, never driver-side).
+    Rows whose key has live state are suppressed; within one micro-batch
+    only the first row of a key is emitted. A processing-time timeout of
+    ``state_ttl`` expires idle keys so state size is bounded by the
+    distinct-key arrival rate × TTL, not the stream's lifetime. Use upstream
+    ``F.md5(normalize_text(...))`` (operators/text.py) to build the
+    fingerprint key column.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    ttl_ms = _duration_ms(state_ttl)
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        first = None
+        if not seen:
+            for pdf in pdf_iter:
+                if len(pdf):
+                    first = pdf.iloc[[0]]
+                    break
+        else:
+            for _ in pdf_iter:  # drain (required by the contract)
+                pass
+        state.update((1,))
+        state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield first
+
+    return (
+        stream_df.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType="seen int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -129,3 +129,41 @@ def test_categorical_partition_object(spark, lineitem):
     assert po["values"] == ["A", "N", "R"]
     assert abs(sum(po["weights"]) - 1.0) < 1e-9
     assert build_categorical_partition_object(lineitem, "l_orderkey", max_values=10) is None
+
+
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: a key seen in batch 1 is suppressed in
+    batch 2; within a batch only the first row of a key is emitted."""
+    from great_expectations_spark.streaming.validate_stream import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch files written separately; maxFilesPerTrigger=1 → 2 micro-batches
+    spark.createDataFrame(
+        [("fp1", "doc a"), ("fp2", "doc b"), ("fp1", "doc a dup-in-batch")],
+        "fp string, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [("fp1", "doc a again"), ("fp3", "doc c")],
+        "fp string, text string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = "fp string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = streaming_dedup(stream, key_col="fp", state_ttl="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT fp FROM dedup_out").collect()
+    fps = sorted(r["fp"] for r in rows)
+    assert fps == ["fp1", "fp2", "fp3"], fps
