@@ -1,0 +1,177 @@
+"""Physical-plan audit — asserts the plans the engine SHOULD produce, so
+plan regressions (lost pushdown, surprise cartesian, global sorts) fail
+loudly instead of silently costing 10-100x at scale.
+
+Usage: python tools/plan_audit.py   (exit 0 iff every audit passes)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+FAILURES: list[str] = []
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def check(name: str, df, must: list[str] = (), must_not: list[str] = ()) -> None:
+    plan = _plan(df)
+    problems = []
+    for token in must:
+        if token not in plan:
+            problems.append(f"missing {token!r}")
+    for token in must_not:
+        if token in plan:
+            problems.append(f"contains {token!r}")
+    if problems:
+        FAILURES.append(name)
+        print(f"FAIL {name}: " + "; ".join(problems))
+        print(plan[:1500])
+    else:
+        print(f"ok   {name}")
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "false")  # stable plan text
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.operators import dedup, similarity, text
+    from great_expectations_spark.plans.planner import SuitePlanner
+    from great_expectations_spark.plans.violations import violations_df
+
+    # 1. Column pruning: an aggregate-only suite's bundled pass must read
+    #    ONLY the referenced column from the parquet scan.
+    s = ExpectationSuite(name="prune")
+    s.add("expect_column_mean_to_be_between", column="l_quantity", min_value=0, max_value=100)
+    s.add("expect_table_row_count_to_be_between", min_value=1, max_value=10**12)
+    p = SuitePlanner(li, s)
+    p.compile()
+    bundled = li.agg(*p._main_aggs.values())
+    plan = _plan(bundled)
+    if "ReadSchema: struct<l_quantity" not in plan:
+        FAILURES.append("bundle_column_pruning")
+        print("FAIL bundle_column_pruning: scan reads more than l_quantity")
+        print([ln for ln in plan.splitlines() if "ReadSchema" in ln])
+    else:
+        print("ok   bundle_column_pruning (scan reads only l_quantity)")
+
+    # 2. Map suite: whole-stage codegen covers the condition evaluation; no
+    #    shuffle in the map phase (single partial+final agg pair).
+    s2 = ExpectationSuite(name="map")
+    s2.add("expect_column_values_to_be_between", column="l_quantity", min_value=1, max_value=50)
+    s2.add("expect_column_values_to_be_in_set", column="l_returnflag", value_set=["A", "N", "R"])
+    p2 = SuitePlanner(li, s2)
+    p2.compile()
+    check(
+        "map_bundle_codegen",
+        li.agg(*p2._main_aggs.values()),
+        must=["*(1) HashAggregate"],  # *(n) = whole-stage-codegen stage id
+        must_not=["CartesianProduct"],
+    )
+
+    # 3. Predicate pushdown: a filtered scan pushes the predicate to parquet.
+    check(
+        "filter_pushdown",
+        li.filter(F.col("l_quantity") > 40).select("l_orderkey"),
+        must=["PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"],
+    )
+
+    # 4. Top-k compiles to TakeOrderedAndProject (per-partition heaps), never
+    #    a global Sort + Limit.
+    q = emb.select("embedding").first()[0]
+    check(
+        "topk_take_ordered",
+        similarity.brute_force_topk(emb, q, k=10),
+        must=["TakeOrderedAndProject"],
+    )
+
+    # 5. Dedup joins are equi-joins (hash/sort-merge), never cartesian.
+    sigs = dedup.simhash_signatures(docs.limit(500))
+    check(
+        "simhash_no_cartesian",
+        dedup.simhash_near_pairs(sigs, max_hamming=8),
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    check(
+        "token_jaccard_no_cartesian",
+        dedup.token_jaccard_pairs(docs.limit(500), threshold=0.8, max_df=100),
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    check(
+        "exact_dedup_semi_join",
+        dedup.exact_dedup(docs.limit(500)),
+        must=["LeftSemi"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 6. violations_df with a column projection prunes the scan and keeps
+    #    everything in one codegen'd stage (no shuffle, no join).
+    s3 = ExpectationSuite(name="viol")
+    s3.add("expect_column_values_to_be_between", column="l_quantity", min_value=1, max_value=10)
+    v = violations_df(li, s3, columns=["l_orderkey", "l_quantity"])
+    plan = _plan(v)
+    if "Exchange" in plan:
+        FAILURES.append("violations_no_shuffle")
+        print("FAIL violations_no_shuffle: unexpected Exchange")
+    elif "ReadSchema: struct<l_orderkey" not in plan:
+        FAILURES.append("violations_pruned_scan")
+        print("FAIL violations_pruned_scan:",
+              [ln for ln in plan.splitlines() if "ReadSchema" in ln])
+    else:
+        print("ok   violations_single_stage (no shuffle, pruned scan)")
+
+    # 7. Text analysis is map-only: zero shuffles.
+    check(
+        "text_analysis_map_only",
+        text.analyze_documents(docs.limit(500)),
+        must_not=["Exchange"],
+    )
+
+    # 8. Monotonic scan plan contains no Window (the old single-task global
+    #    sort) — the distributed path is mapInPandas.
+    s4 = ExpectationSuite(name="mono")
+    s4.add("expect_column_values_to_be_increasing", column="l_orderkey", order_by="l_orderkey")
+    from great_expectations_spark.operators.special import _monotonic_scan  # audit hook
+    import inspect
+
+    import ast
+    tree = ast.parse(inspect.getsource(_monotonic_scan))
+    calls = {
+        n.func.attr
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+    }
+    if "over" in calls or "orderBy" in calls and "Window" in str(calls):
+        FAILURES.append("monotonic_no_window")
+        print("FAIL monotonic_no_window: Window usage crept back in")
+    else:
+        print("ok   monotonic_no_window (range partition + Arrow kernel)")
+
+    spark.stop()
+    print(f"\n{len(FAILURES)} failures: {FAILURES}" if FAILURES else "\nALL PLANS OK")
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
