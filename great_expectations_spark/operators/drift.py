@@ -122,19 +122,41 @@ def _exact_categorical_counts(
 _LUMPED_TAIL = "__tail_not_in_partition__"
 
 
+def _partition_filtered(planner, ctx):
+    """planner.df restricted to the rows of ctx.partition_key (null-safe)."""
+    pdf = planner.df
+    for c, v in ctx.partition_key.items():
+        pdf = pdf.filter(F.col(c).eqNullSafe(F.lit(v)))
+    return pdf
+
+
 def _observed_counts_or_exact(
-    planner, gb, column: str, values: list
+    planner, ctx, gb, column: str, values: list
 ) -> tuple[dict, int, Optional[dict]]:
     """(observed_counts, nonnull, truncation_details|None) for categorical
-    deciders. Uses the shared groupBy top when complete; when truncated
-    (cardinality > DISTINCT_CAP) falls back to the exact bounded aggregate,
-    lumping the out-of-partition tail under _LUMPED_TAIL and reporting the
-    lump in details instead of silently computing on a clipped table."""
-    if not gb.top_truncated:
-        counts = {vals[0]: cnt for vals, cnt in gb.top}
-        return counts, gb.total_count or sum(counts.values()), None
+    deciders — global or, when ``ctx.is_partition``, restricted to one
+    data partition (north rule: drift tests per partition). Uses the shared
+    groupBy top when complete; when truncated (cardinality > DISTINCT_CAP)
+    falls back to the exact bounded aggregate, lumping the out-of-partition
+    tail under _LUMPED_TAIL and reporting the lump in details instead of
+    silently computing on a clipped table."""
+    import json as _json
+
+    if ctx.is_partition and ctx.partition_key is not None:
+        pk = _json.dumps(ctx.partition_key, sort_keys=True, default=str)
+        if not gb.part_top_truncated.get(pk, False):
+            counts = {vals[0]: cnt for vals, cnt in gb.part_top.get(pk, [])}
+            return counts, gb.part_nonnull.get(pk, sum(counts.values())), None
+        base, trunc_note = _partition_filtered(planner, ctx), {
+            "partition": dict(ctx.partition_key)
+        }
+    else:
+        if not gb.top_truncated:
+            counts = {vals[0]: cnt for vals, cnt in gb.top}
+            return counts, gb.total_count or sum(counts.values()), None
+        base, trunc_note = planner.df, {}
     aligned, extra_rows, extra_distinct, nonnull = _exact_categorical_counts(
-        planner.df, column, values
+        base, column, values
     )
     counts = dict(aligned)
     if extra_rows:
@@ -143,6 +165,7 @@ def _observed_counts_or_exact(
         "observed_truncated": True,
         "tail_lumped_rows": extra_rows,
         "tail_lumped_distinct_values": extra_distinct,
+        **trunc_note,
     }
     return counts, nonnull, details
 
@@ -300,13 +323,17 @@ def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
             raise ValueError("Internal weight holdout cannot be used for discrete data.")
         values = list(po["values"])
         weights = list(po["weights"])
-        key = planner._need_groupby((column,), drop_nulls=True, want_top=True)
+        key = planner._need_groupby(
+            (column,), drop_nulls=True, want_top=True, want_partition_top=True
+        )
 
         def decide(ctx) -> tuple[bool, dict]:
             gb = ctx.groupby[key]
             observed_counts, nonnull, trunc = _observed_counts_or_exact(
-                planner, gb, column, values
+                planner, ctx, gb, column, values
             )
+            if ctx.is_partition and not observed_counts and nonnull == 0:
+                return True, {"observed_value": None}
             union, pk, qk = categorical_kl_adjust(
                 observed_counts, nonnull, values, weights, tail_holdout
             )
@@ -327,7 +354,7 @@ def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
                 "details": details,
             }
 
-        planner._items.append(_Item(cfg, decide, partition_capable=False))
+        planner._items.append(_Item(cfg, decide, partition_capable=True))
         return
 
     if bucketize is False:
@@ -384,13 +411,17 @@ def _compile_chi_square(planner: Any, cfg: ExpectationConfiguration) -> None:
     tail_holdout = float(kw.get("tail_weight_holdout", 0.0))
     values = list(po["values"])
     weights = list(po["weights"])
-    key = planner._need_groupby((column,), drop_nulls=True, want_top=True)
+    key = planner._need_groupby(
+        (column,), drop_nulls=True, want_top=True, want_partition_top=True
+    )
 
     def decide(ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
         observed_counts, nonnull, trunc = _observed_counts_or_exact(
-            planner, gb, column, values
+            planner, ctx, gb, column, values
         )
+        if ctx.is_partition and not observed_counts and nonnull == 0:
+            return True, {"observed_value": None}
         union, pk_w, qk = categorical_kl_adjust(
             observed_counts, nonnull, values, weights, tail_holdout
         )
@@ -405,7 +436,7 @@ def _compile_chi_square(planner: Any, cfg: ExpectationConfiguration) -> None:
             "details": details,
         }
 
-    planner._items.append(_Item(cfg, decide, partition_capable=False))
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
 def _compile_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
@@ -482,18 +513,53 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
     a_min = planner._reg(("column.min", dom_id, column), F.min(F.when(dom, col)))
     a_max = planner._reg(("column.max", dom_id, column), F.max(F.when(dom, col)))
 
+    # ONE bounded collect serves the global verdict AND every per-partition
+    # verdict: rows carry the partition key and are split driver-side (the
+    # histogram / min / max aggregates already ride the rollup pass, so the
+    # partition decides reuse ctx.metrics untouched)
+    _pop_cache: dict[str, Any] = {}
+
+    def _population(ctx, nonnull: int):
+        import json as _json
+
+        if "global" not in _pop_cache:
+            base = planner.df.filter(dom & col.isNotNull())
+            if nonnull > sample_cap:
+                base = base.sample(
+                    fraction=min(1.0, 1.2 * sample_cap / nonnull), seed=seed
+                ).limit(sample_cap)
+            sel = [F.col(c) for c in planner.partition_by] + [col.alias("_v")]
+            rows = base.select(*sel).collect()
+            _pop_cache["global"] = np.array([r["_v"] for r in rows], dtype=np.float64)
+            if planner.partition_by:
+                groups: dict[str, list] = {}
+                for r in rows:
+                    k = _json.dumps(
+                        {c: r[c] for c in planner.partition_by},
+                        sort_keys=True,
+                        default=str,
+                    )
+                    groups.setdefault(k, []).append(r["_v"])
+                _pop_cache["parts"] = {
+                    k: np.array(v, dtype=np.float64) for k, v in groups.items()
+                }
+        if ctx.is_partition and ctx.partition_key is not None:
+            k = _json.dumps(ctx.partition_key, sort_keys=True, default=str)
+            return _pop_cache.get("parts", {}).get(k, np.empty(0, dtype=np.float64))
+        return _pop_cache["global"]
+
     def decide(ctx) -> tuple[bool, dict]:
         from great_expectations_spark.functions.stats import ks_critical_value
 
         bin_counts, below, above, nonnull = _observed_histogram(ctx.metrics, aliases)
         if nonnull == 0:
             return True, {"observed_value": None}
-        base = planner.df.filter(dom & col.isNotNull()).select(col)
-        if nonnull > sample_cap:
-            base = base.sample(
-                fraction=min(1.0, 1.2 * sample_cap / nonnull), seed=seed
-            ).limit(sample_cap)
-        values = np.array([r[0] for r in base.collect()], dtype=np.float64)
+        values = _population(ctx, nonnull)
+        if values.size == 0:
+            return True, {
+                "observed_value": None,
+                "details": {"note": "no sampled rows for this partition"},
+            }
         test_cdf = np.append(np.array([0.0]), np.cumsum(weights))
 
         # p-value(D) is monotone decreasing, so "p_i >= p" == "D_i <= d_crit"
@@ -544,7 +610,7 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
             },
         }
 
-    planner._items.append(_Item(cfg, decide, partition_capable=False))
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
 def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
@@ -558,13 +624,17 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
 
     if is_categorical_partition(po):
         values = list(po["values"])
-        key = planner._need_groupby((column,), drop_nulls=True, want_top=True)
+        key = planner._need_groupby(
+            (column,), drop_nulls=True, want_top=True, want_partition_top=True
+        )
 
         def decide(ctx) -> tuple[bool, dict]:
             gb = ctx.groupby[key]
-            observed_counts, _, trunc = _observed_counts_or_exact(
-                planner, gb, column, values
+            observed_counts, p_nonnull, trunc = _observed_counts_or_exact(
+                planner, ctx, gb, column, values
             )
+            if ctx.is_partition and not observed_counts and p_nonnull == 0:
+                return True, {"observed_value": None}
             aligned = [int(observed_counts.get(v, 0)) for v in values]
             vset = set(values)
             extra = sum(c for v, c in observed_counts.items() if v not in vset)
@@ -579,7 +649,7 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
                 result["details"] = trunc
             return bool(v < threshold), result
 
-        planner._items.append(_Item(cfg, decide, partition_capable=False))
+        planner._items.append(_Item(cfg, decide, partition_capable=True))
         return
 
     bins = [float(b) for b in po["bins"]]
@@ -650,12 +720,25 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
     kw = cfg.kwargs
     a, b = kw["column_A"], kw["column_B"]
     threshold = float(kw.get("threshold", 0.1))
-    key = planner._need_groupby((a, b), drop_nulls=True, want_top=True)
+    key = planner._need_groupby(
+        (a, b), drop_nulls=True, want_top=True, want_partition_top=True
+    )
 
     def decide(ctx) -> tuple[bool, dict]:
+        import json as _json
+
         gb = ctx.groupby[key]
-        if gb.top_truncated:
-            phi, chi2, rows, cols = _distributed_cramers_phi(planner.df, a, b)
+        if ctx.is_partition and ctx.partition_key is not None:
+            pk = _json.dumps(ctx.partition_key, sort_keys=True, default=str)
+            truncated = gb.part_top_truncated.get(pk, False)
+            top = gb.part_top.get(pk, [])
+            base = _partition_filtered(planner, ctx) if truncated else None
+        else:
+            truncated = gb.top_truncated
+            top = gb.top
+            base = planner.df if truncated else None
+        if truncated:
+            phi, chi2, rows, cols = _distributed_cramers_phi(base, a, b)
             return bool(phi < threshold), {
                 "observed_value": phi,
                 "details": {
@@ -666,7 +749,9 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
                     "method": "distributed_exact",
                 },
             }
-        contingency = {values: cnt for values, cnt in gb.top}
+        if ctx.is_partition and not top:
+            return True, {"observed_value": None}
+        contingency = {values: cnt for values, cnt in top}
         rows = len({v[0] for v in contingency})
         cols = len({v[1] for v in contingency})
         phi, chi2 = cramers_phi(contingency, rows, cols)
@@ -675,7 +760,7 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
             "details": {"chi_squared": chi2, "n_rows": rows, "n_cols": cols},
         }
 
-    planner._items.append(_Item(cfg, decide, partition_capable=False))
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
 def _compile_parameterized_ks(planner: Any, cfg: ExpectationConfiguration) -> None:

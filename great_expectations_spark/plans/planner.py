@@ -95,6 +95,9 @@ class _GroupByNeed:
     want_dup_stats: bool = False
     want_top: bool = False
     want_dup_sample: bool = False
+    # per-partition value-count tops (categorical drift deciders under
+    # partition_by); only materialized when the suite has partition_by
+    want_partition_top: bool = False
 
 
 @dataclass
@@ -110,6 +113,10 @@ class _GroupByResult:
     # (global) duplicate; populated when the suite has partition_by
     part_dup_rows: dict = field(default_factory=dict)
     part_considered: dict = field(default_factory=dict)
+    # json(partition_key) -> partition-local value counts (want_partition_top)
+    part_top: dict = field(default_factory=dict)  # pk -> list[(values, count)]
+    part_top_truncated: dict = field(default_factory=dict)  # pk -> bool
+    part_nonnull: dict = field(default_factory=dict)  # pk -> considered rows
 
 
 class _Ctx:
@@ -626,6 +633,61 @@ class SuitePlanner:
                 out.dup_sample = [
                     (tuple(r[c] for c in need.cols), int(r["_cnt"])) for r in dup_rows
                 ]
+            if need.want_partition_top and self.partition_by:
+                # partition-local value counts for categorical drift under
+                # partition_by: one groupBy(partition_cols + value_cols) —
+                # partial-aggregated map-side, shuffle keyed by the compound
+                # key (never a window over raw rows) — then a row_number cap
+                # over the already-aggregated counts relation. Driver-side
+                # collect is bounded by DISTINCT_CAP+1 rows PER partition;
+                # a partition whose cardinality exceeds the cap is flagged in
+                # part_top_truncated and its decider falls back to the exact
+                # bounded aggregate on that partition alone.
+                from pyspark.sql import Window
+
+                pgrouped = (
+                    base.groupBy(*self.partition_by, *need.cols)
+                    .agg(F.count(F.lit(1)).alias("_cnt"))
+                    .persist()
+                )
+                try:
+                    w = Window.partitionBy(
+                        *[F.col(c) for c in self.partition_by]
+                    ).orderBy(F.desc("_cnt"), *[F.asc(c) for c in need.cols])
+                    prows = (
+                        pgrouped.withColumn("_rk", F.row_number().over(w))
+                        .filter(F.col("_rk") <= DISTINCT_CAP + 1)
+                        .collect()
+                    )
+                    ptots = (
+                        pgrouped.groupBy(*self.partition_by)
+                        .agg(F.sum("_cnt").alias("_tot"))
+                        .collect()
+                    )
+                finally:
+                    pgrouped.unpersist()
+                for r in prows:
+                    pk = json.dumps(
+                        {c: r[c] for c in self.partition_by},
+                        sort_keys=True,
+                        default=str,
+                    )
+                    if int(r["_rk"]) > DISTINCT_CAP:
+                        out.part_top_truncated[pk] = True
+                        continue
+                    out.part_top.setdefault(pk, []).append(
+                        (tuple(r[c] for c in need.cols), int(r["_cnt"]))
+                    )
+                out.part_nonnull = {
+                    json.dumps(
+                        {c: r[c] for c in self.partition_by},
+                        sort_keys=True,
+                        default=str,
+                    ): int(r["_tot"] or 0)
+                    for r in ptots
+                }
+                for pk_top in out.part_top.values():
+                    pk_top.sort(key=lambda vc: (-vc[1], tuple(str(v) for v in vc[0])))
             if need.want_dup_stats and self.partition_by:
                 # attribute globally-duplicated rows to their partitions:
                 # semi-join the (usually small) duplicate-value set back to

@@ -1,0 +1,124 @@
+"""Per-partition drift verdicts (north rule: "KS/PSI tests per partition").
+
+Every drift decider — continuous (KL / KS / PSI / parameterized-KS ride the
+rollup histogram aggregates) AND categorical (chi-square / categorical KL /
+categorical PSI from the partition-local value-count tops) AND bootstrapped-KS
+(one partition-keyed population collect split driver-side) AND Cramér's phi
+(partition-local contingency) — emits a verdict per data partition when the
+suite runs with partition_by, alongside the unchanged global verdict.
+"""
+
+import pytest
+
+from great_expectations_spark import ExpectationSuite, validate
+
+
+@pytest.fixture(scope="module")
+def drift_df(spark):
+    """fmt='ok' matches the expected partitions; fmt='bad' drifts hard."""
+    rows = []
+    # categorical column `cat`: ok = 50/50 over {1,2}; bad = all 1s
+    # continuous column `x`: ok ~ uniform over [0,1); bad = clumped near 0
+    # pair (a, b): ok = independent; bad = identical (max association)
+    for i in range(400):
+        cat = 1 if i % 2 == 0 else 2
+        x = (i % 100) / 100.0 + 0.005
+        a, b = i % 2, (i // 2) % 2  # independent
+        rows.append(("ok", cat, x, a, b))
+    for i in range(400):
+        x = (i % 10) / 100.0 + 0.001  # all in [0, 0.1)
+        a = i % 2
+        rows.append(("bad", 1, x, a, a))  # cat always 1; b == a
+    return spark.createDataFrame(rows, ["fmt", "cat", "x", "a", "b"])
+
+
+CAT_PO = {"values": [1, 2], "weights": [0.5, 0.5]}
+CONT_PO = {"bins": [0.0, 0.25, 0.5, 0.75, 1.0], "weights": [0.25, 0.25, 0.25, 0.25]}
+
+
+def _by_partition(res, expectation_type):
+    out = {}
+    for r in res.partition_results:
+        if r.expectation_config["expectation_type"] == expectation_type:
+            out[r.partition["fmt"]] = r
+    return out
+
+
+@pytest.fixture(scope="module")
+def drift_res(drift_df):
+    s = ExpectationSuite("partition_drift")
+    s.add(
+        "expect_column_chi_square_test_p_value_to_be_greater_than",
+        column="cat", partition_object=CAT_PO, p=0.05,
+    )
+    s.add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="cat", partition_object=CAT_PO, threshold=0.1,
+    )
+    s.add(
+        "expect_column_psi_to_be_less_than",
+        column="cat", partition_object=CAT_PO, threshold=0.2,
+    )
+    s.add(
+        "expect_column_kstest_p_value_to_be_greater_than",
+        column="x", partition_object=CONT_PO, p=0.05,
+    )
+    s.add(
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="x", partition_object=CONT_PO, p=0.05,
+    )
+    s.add(
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+        column_A="a", column_B="b", threshold=0.5,
+    )
+    return validate(drift_df, s, result_format="BASIC", partition_by=["fmt"])
+
+
+@pytest.mark.parametrize(
+    "etype",
+    [
+        "expect_column_chi_square_test_p_value_to_be_greater_than",
+        "expect_column_kl_divergence_to_be_less_than",
+        "expect_column_psi_to_be_less_than",
+        "expect_column_kstest_p_value_to_be_greater_than",
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+    ],
+)
+def test_per_partition_drift_verdicts(drift_res, etype):
+    parts = _by_partition(drift_res, etype)
+    assert set(parts) == {"ok", "bad"}, f"{etype}: missing partition verdicts"
+    assert parts["ok"].success is True, (etype, parts["ok"].result)
+    assert parts["bad"].success is False, (etype, parts["bad"].result)
+
+
+def test_global_verdicts_reflect_mixture(drift_res):
+    """The global verdict is over the union (half drifted) — every drift
+    expectation fails globally on this mixture, matching the pre-partition
+    behavior (no semantic change from adding partition capability)."""
+    by_type = {
+        r.expectation_config["expectation_type"]: r for r in drift_res.results
+    }
+    assert by_type[
+        "expect_column_chi_square_test_p_value_to_be_greater_than"
+    ].success is False
+    assert by_type["expect_column_kstest_p_value_to_be_greater_than"].success is False
+
+
+def test_partition_observed_values_are_partition_local(drift_res):
+    """The 'bad' chi-square partition verdict must be computed from ONLY the
+    bad partition's counts (400 rows of cat=1), not the global counts."""
+    parts = _by_partition(
+        drift_res, "expect_column_chi_square_test_p_value_to_be_greater_than"
+    )
+    assert parts["bad"].result["details"]["observed_counts"] == [400, 0]
+    assert parts["ok"].result["details"]["observed_counts"] == [200, 200]
+
+
+def test_cramers_phi_partition_values(drift_res):
+    parts = _by_partition(
+        drift_res, "expect_column_pair_cramers_phi_value_to_be_less_than"
+    )
+    # identical columns -> phi = 1; independent -> phi ~ 0
+    assert parts["bad"].result["observed_value"] == pytest.approx(1.0)
+    assert parts["ok"].result["observed_value"] == pytest.approx(0.0, abs=0.1)
