@@ -287,6 +287,73 @@ class CheckpointRunner:
             except Exception:
                 pass  # action errors never fail the checkpoint
 
+    def _conjunction_rollup(
+        self, run_id: str, suite_name: str, run_rows: list[tuple], skipped: list[dict]
+    ) -> list[tuple]:
+        """Global (partition_key-NULL) rows merged driver-side from this
+        run's partition rows plus, for resume-skipped partitions, their
+        LATEST stored rows (resume implies the same input_fingerprint, so
+        those rows still describe the current data). Bounded:
+        #partitions × #expectations rows."""
+        from pyspark.sql.window import Window
+
+        rows = list(run_rows)
+        if skipped:
+            skipped_json = [json.dumps(p, default=str) for p in skipped]
+            try:
+                prior = self.store.read_results()
+            except Exception:
+                prior = None
+            if prior is not None:
+                latest = (
+                    prior.filter(
+                        (F.col("suite_name") == suite_name)
+                        & F.col("partition_key").isin(skipped_json)
+                    )
+                    .withColumn(
+                        "_rk",
+                        F.row_number().over(
+                            Window.partitionBy(
+                                "expectation_type", "expectation_kwargs", "partition_key"
+                            ).orderBy(F.desc("created_at"))
+                        ),
+                    )
+                    .filter(F.col("_rk") == 1)
+                    .drop("_rk")
+                    .collect()
+                )
+                rows.extend(tuple(r[f.name] for f in RESULTS_SCHEMA) for r in latest)
+        merged: dict[tuple[str, str], dict] = {}
+        for r in rows:
+            (_, _, etype, ekwargs, _, success, elem, unexp, _, _, _, exc, _) = r
+            key = (etype, ekwargs)
+            m = merged.setdefault(
+                key, {"success": True, "elem": 0, "unexp": 0, "have_counts": True}
+            )
+            m["success"] = m["success"] and bool(success) and exc is None
+            if elem is None:
+                m["have_counts"] = False
+            else:
+                m["elem"] += elem
+                m["unexp"] += unexp or 0
+        now = time.time()
+        out = []
+        for (etype, ekwargs), m in sorted(merged.items()):
+            elem = m["elem"] if m["have_counts"] else None
+            unexp = m["unexp"] if m["have_counts"] else None
+            pct = (
+                100.0 * unexp / elem
+                if elem not in (None, 0) and unexp is not None
+                else None
+            )
+            out.append(
+                (
+                    run_id, suite_name, etype, ekwargs, None, m["success"],
+                    elem, unexp, pct, None, None, None, now,
+                )
+            )
+        return out
+
     def run(
         self,
         df: DataFrame,
@@ -296,7 +363,22 @@ class CheckpointRunner:
         result_format: Any = "BASIC",
         run_id: Optional[str] = None,
         fail_after: Optional[int] = None,  # test hook: die after N partitions
+        global_rollup: Optional[str] = "conjunction",
     ) -> dict[str, Any]:
+        """``global_rollup`` controls the partition_key-NULL rows that URN
+        chaining (``urn:great_expectations:validations:...`` via
+        ResultsStoreUrnResolver) resolves against:
+
+        - 'conjunction' (default, no extra scan): one global row per
+          expectation, success = every partition passed, element/unexpected
+          counts summed across this run's partitions AND the latest stored
+          rows of resume-skipped partitions; observed_value is left null
+          (per-partition statistics don't combine in general).
+        - 'validate': one true global validation pass over the whole batch
+          (real observed_value semantics), lineage-tracked as '__global__'
+          so resume skips it like any completed partition.
+        - None: no global rows (the pre-existing behavior).
+        """
         from great_expectations_spark.engine import SparkValidationEngine
 
         run_id = run_id or str(uuid.uuid4())
@@ -307,6 +389,7 @@ class CheckpointRunner:
             for r in df.select(*partition_by).distinct().orderBy(*partition_by).collect()
         ]
         ran, skipped, failed = [], [], []
+        run_rows: list[tuple] = []  # this run's partition EVR rows (rollup input)
         for i, pkey in enumerate(parts):
             key_json = json.dumps(pkey, default=str)
             if key_json in done:
@@ -326,6 +409,7 @@ class CheckpointRunner:
                 evr.partition = pkey
                 result.partition_results.append(evr)
             result.results = []
+            run_rows.extend(results_to_rows(result, run_id))
             self.store.write_results(result, run_id)
             self.store.write_metrics(result, run_id)
             self.store.write_lineage(
@@ -345,6 +429,23 @@ class CheckpointRunner:
                     "statistics": result.statistics,
                 }
             )
+        if global_rollup == "validate":
+            if "__global__" not in done:
+                started = time.time()
+                gres = engine.validate(df, suite, result_format=result_format)
+                self.store.write_results(gres, run_id)
+                self.store.write_metrics(gres, run_id)
+                self.store.write_lineage(
+                    run_id, suite.id, input_fingerprint, None, "completed",
+                    started, suite_success=bool(gres.success),
+                )
+        elif global_rollup == "conjunction" and (ran or skipped):
+            grows = self._conjunction_rollup(run_id, suite.name, run_rows, skipped)
+            if grows:
+                gdf = self.spark.createDataFrame(grows, schema=RESULTS_SCHEMA)
+                gdf.write.mode("append").parquet(
+                    self.store._path("validation_results")
+                )
         out = {
             "run_id": run_id,
             "partitions_run": ran,

@@ -199,3 +199,75 @@ def test_checkpoint_actions_and_failed_partitions(spark, lineitem, tmp_path):
         lineitem, suite2, partition_by=["l_returnflag"], input_fingerprint="fp-2"
     )
     assert store.failed_partitions(suite2.id, "fp-2") == set()
+
+
+def test_checkpoint_global_rollup_urn_chaining(spark, lineitem, tmp_path):
+    """Partition-wise checkpoint runs write global (partition_key-NULL) rows
+    so validations-URN chaining resolves against checkpoint flows too:
+    'conjunction' merges counts across partitions (including resume-skipped
+    ones, from their latest stored rows); 'validate' runs one true global
+    pass with real observed_value semantics and is itself resumable."""
+    from great_expectations_spark.core.eval_params import ResultsStoreUrnResolver
+    from great_expectations_spark.sources.stores import CheckpointRunner, ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "gr"))
+    suite = ExpectationSuite(name="gr")
+    suite.add(
+        "expect_column_values_to_be_between",
+        column="l_quantity", min_value=1, max_value=50,
+    )
+    runner = CheckpointRunner(spark, store)
+    out1 = runner.run(
+        lineitem, suite, partition_by=["l_returnflag"], input_fingerprint="fp-g"
+    )
+    assert len(out1["partitions_run"]) == 3
+
+    from pyspark.sql import functions as F
+
+    glob = store.read_results().filter(F.col("partition_key").isNull()).collect()
+    assert len(glob) == 1
+    total = lineitem.count()
+    assert glob[0]["element_count"] == total
+    assert glob[0]["success"] is True
+
+    urn = (
+        "urn:great_expectations:validations:gr:"
+        "expect_column_values_to_be_between.result.element_count:column=l_quantity"
+    )
+    assert ResultsStoreUrnResolver(store)(urn) == total
+
+    # resume: every partition skipped — the rollup still covers them all
+    # (merged from their latest stored rows)
+    out2 = runner.run(
+        lineitem, suite, partition_by=["l_returnflag"], input_fingerprint="fp-g"
+    )
+    assert out2["partitions_run"] == [] and len(out2["partitions_skipped"]) == 3
+    glob2 = (
+        store.read_results()
+        .filter(F.col("partition_key").isNull())
+        .orderBy(F.desc("created_at"))
+        .collect()
+    )
+    assert len(glob2) == 2 and glob2[0]["element_count"] == total
+
+    # 'validate' mode: real global observed_value, resumable as '__global__'
+    store_v = ResultsStore(spark, str(tmp_path / "grv"))
+    suite_v = ExpectationSuite(name="grv")
+    suite_v.add("expect_column_max_to_be_between", column="l_quantity", min_value=0)
+    runner_v = CheckpointRunner(spark, store_v)
+    runner_v.run(
+        lineitem, suite_v, partition_by=["l_returnflag"],
+        input_fingerprint="fp-v", global_rollup="validate",
+    )
+    urn_v = (
+        "urn:great_expectations:validations:grv:"
+        "expect_column_max_to_be_between.result.observed_value:column=l_quantity"
+    )
+    vmax = lineitem.agg({"l_quantity": "max"}).collect()[0][0]
+    assert ResultsStoreUrnResolver(store_v)(urn_v) == vmax
+    runner_v.run(
+        lineitem, suite_v, partition_by=["l_returnflag"],
+        input_fingerprint="fp-v", global_rollup="validate",
+    )
+    lin = store_v.spark.read.parquet(str(tmp_path / "grv" / "lineage"))
+    assert lin.filter(F.col("partition_key") == "__global__").count() == 1
