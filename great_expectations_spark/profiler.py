@@ -142,7 +142,18 @@ def profile(
     row_count_tolerance: float = 0.1,
     mostly_floor: float = 0.5,
     exact: bool = True,
+    drift_baselines: bool = False,
+    kl_threshold: float = 0.1,
 ) -> ExpectationSuite:
+    """``drift_baselines=True`` additionally emits
+    ``expect_column_kl_divergence_to_be_less_than`` per profiled column with
+    a partition_object built FROM this batch (continuous Freedman-Diaconis
+    histogram for numerics above ``cardinality_limit``; categorical
+    values/weights for in-set columns) — the drift-monitoring artifact: the
+    profiled suite scores ~0 KL against the profiled batch itself and trips
+    when a later batch's distribution moves by more than ``kl_threshold``.
+    Opt-in because each baseline costs one extra bounded pass per column and
+    the default emission rules are oracle-pinned by the driver contract."""
     cols = columns or df.columns
     dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
@@ -205,6 +216,7 @@ def profile(
             )
         # value-set: gate on the (possibly approx) distinct count, decide
         # exactly with a bounded probe — never collects an unbounded set
+        emitted_in_set = False
         if nonnull and distinct <= cardinality_limit * (1 if exact else 2):
             probe = (
                 df.select(c)
@@ -220,8 +232,27 @@ def profile(
                 suite.add(
                     "expect_column_values_to_be_in_set", column=c, value_set=values
                 )
+                emitted_in_set = True
                 if exact:
                     distinct = len(probe)
         if nonnull and distinct == nonnull:
             suite.add("expect_column_values_to_be_unique", column=c)
+        if drift_baselines and nonnull:
+            from great_expectations_spark.operators.partition import (
+                build_categorical_partition_object,
+                build_partition_object,
+            )
+
+            po = None
+            if emitted_in_set:
+                po = build_categorical_partition_object(df, c)
+            elif _is_numeric(dt) and distinct > 1:
+                po = build_partition_object(df, c, bins="auto")
+            if po is not None:
+                suite.add(
+                    "expect_column_kl_divergence_to_be_less_than",
+                    column=c,
+                    partition_object=po,
+                    threshold=kl_threshold,
+                )
     return suite

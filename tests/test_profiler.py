@@ -106,3 +106,43 @@ def test_auto_unsupported_type_is_failed_evr(spark, lineitem):
     res = SparkValidationEngine(spark).validate(lineitem, suite)
     assert res.results[0].success is False
     assert res.results[0].exception_info.get("raised_exception") is True
+
+
+def test_profile_drift_baselines(spark, lineitem):
+    """drift_baselines=True emits KL expectations whose partition_object is
+    built from the profiled batch: ~0 divergence against the batch itself,
+    tripped by a genuinely shifted batch."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark import validate
+    from great_expectations_spark.profiler import profile
+
+    s = profile(
+        lineitem,
+        columns=["l_quantity", "l_returnflag"],
+        drift_baselines=True,
+        kl_threshold=0.1,
+    )
+    kl = [
+        e for e in s.expectations
+        if e.expectation_type == "expect_column_kl_divergence_to_be_less_than"
+    ]
+    by_col = {e.kwargs["column"]: e for e in kl}
+    assert set(by_col) == {"l_quantity", "l_returnflag"}
+    # numeric column above the cardinality limit -> continuous baseline;
+    # low-cardinality flag -> categorical baseline
+    assert "bins" in by_col["l_quantity"].kwargs["partition_object"]
+    assert "values" in by_col["l_returnflag"].kwargs["partition_object"]
+
+    kl_suite = type(s)(name="kl_only")
+    kl_suite.expectations = kl
+    same = validate(lineitem, kl_suite)
+    assert same.success, [r.result for r in same.results if not r.success]
+
+    shifted = lineitem.withColumn(
+        "l_quantity", F.col("l_quantity") * 3
+    ).withColumn("l_returnflag", F.lit("Z"))
+    drifted = validate(shifted, kl_suite)
+    assert all(r.success is False for r in drifted.results), [
+        r.result for r in drifted.results
+    ]
