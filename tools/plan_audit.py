@@ -168,6 +168,34 @@ def main() -> int:
     else:
         print("ok   monotonic_no_window (range partition + Arrow kernel)")
 
+    # 9. Per-partition categorical-drift tops: the groupBy(partition+value)
+    #    pass partial-aggregates map-side (partial_count before the Exchange)
+    #    and the row_number cap windows ONLY the post-aggregation counts
+    #    relation — never raw rows (Window must sit above HashAggregate).
+    from pyspark.sql.window import Window as _W
+
+    pg = (
+        li.filter(F.col("l_linestatus").isNotNull())
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    capped = pg.withColumn(
+        "_rk",
+        F.row_number().over(
+            _W.partitionBy("l_returnflag").orderBy(F.desc("_cnt"), F.asc("l_linestatus"))
+        ),
+    ).filter(F.col("_rk") <= 65_537)
+    plan = _plan(capped)
+    w_at, agg_at = plan.find("Window"), plan.find("HashAggregate")
+    if "partial_count" not in plan:
+        FAILURES.append("partition_top_map_side_combine")
+        print("FAIL partition_top_map_side_combine: no partial aggregation")
+    elif w_at == -1 or agg_at == -1 or w_at > agg_at:
+        FAILURES.append("partition_top_window_over_agg")
+        print("FAIL partition_top_window_over_agg: Window not above the aggregate")
+    else:
+        print("ok   partition_top (map-side combine; window over post-agg counts only)")
+
     spark.stop()
     print(f"\n{len(FAILURES)} failures: {FAILURES}" if FAILURES else "\nALL PLANS OK")
     return 1 if FAILURES else 0
