@@ -167,3 +167,46 @@ def test_streaming_dedup_across_micro_batches(spark, tmp_path):
     rows = spark.sql("SELECT fp FROM dedup_out").collect()
     fps = sorted(r["fp"] for r in rows)
     assert fps == ["fp1", "fp2", "fp3"], fps
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Per-micro-batch drift detection: a KL baseline profiled from a
+    reference batch rides validate_stream; the micro-batch drawn from the
+    baseline distribution passes, the shifted one trips. maxFilesPerTrigger=1
+    pins one file per micro-batch so the verdict sequence is deterministic."""
+    src = tmp_path / "drift_src"
+    baseline = spark.range(2000).select(
+        (F.col("id") % 100 / 100.0).alias("x")
+    )
+    shifted = spark.range(2000).select(
+        (F.col("id") % 100 / 400.0).alias("x")  # clumped in [0, 0.25)
+    )
+    baseline.coalesce(1).write.parquet(str(src / "f=0"))
+    shifted.coalesce(1).write.parquet(str(src / "f=1"))
+
+    po = build_partition_object(baseline, "x", bins="uniform", n_bins=4)
+    s = ExpectationSuite(name="stream_drift")
+    s.add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="x", partition_object=po, threshold=0.1,
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    results = []
+    q = validate_stream(
+        stream, s,
+        checkpoint_location=str(tmp_path / "drift_ckpt"),
+        trigger={"availableNow": True},
+        on_result=lambda r, bid: results.append(r),
+    )
+    q.awaitTermination(120)
+    verdicts = sorted(bool(r.results[0].success) for r in results)
+    assert verdicts == [False, True], [
+        (r.results[0].success, r.results[0].result.get("observed_value"))
+        for r in results
+    ]
