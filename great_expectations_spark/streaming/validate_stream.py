@@ -118,6 +118,114 @@ def streaming_metrics(
     )
 
 
+def streaming_drift_metrics(
+    stream_df: DataFrame,
+    column: str,
+    partition_object: dict,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    slide_duration: Optional[str] = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-event-time-window drift statistics against a fixed baseline
+    ``partition_object`` — PSI and the binned-KS statistic per window,
+    computed ENTIRELY inside the streaming aggregation:
+
+    - bin/value counts are conditional sums (map-side partials, state
+      bounded by the watermark — same shape as ``streaming_metrics``);
+    - PSI / KS are closed-form projections over the aggregated counts,
+      UNROLLED per bin into plain Catalyst arithmetic (whole-stage codegen;
+      no higher-order functions, no Python, no foreachBatch) that mirrors
+      ``functions/stats.psi`` (epsilon floor + renormalize) and
+      ``ks_from_histograms`` (max |ΔCDF| at bin edges) exactly — the
+      baseline side is constant-folded driver-side.
+
+    Continuous partitions use the histogram semantics of the batch deciders
+    ([lo,hi) bins, last closed, below/above tails vs expected 0); categorical
+    partitions count each expected value plus a lumped other-bucket.
+    Columns: window, element_count, nonnull_count, psi, ks_statistic.
+    Thresholding/alerting happens downstream (one row per window)."""
+    from great_expectations_spark.functions.stats import _norm
+    from great_expectations_spark.operators.drift import (
+        _bin_condition,
+        is_categorical_partition,
+    )
+
+    if stream_df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    col = F.col(column)
+    nn = col.isNotNull()
+    if is_categorical_partition(partition_object):
+        values = list(partition_object["values"])
+        conds = [nn & (col == F.lit(v)) for v in values]
+        conds.append(nn & ~col.isin(values))  # lumped other-bucket
+        expected = [float(w) for w in partition_object["weights"]] + [0.0]
+    else:
+        bins = [float(b) for b in partition_object["bins"]]
+        k = len(bins) - 1
+        conds = [nn & (col < F.lit(bins[0]))]
+        conds += [
+            nn & _bin_condition(col, bins[i], bins[i + 1], i == k - 1)
+            for i in range(k)
+        ]
+        conds.append(nn & (col > F.lit(bins[-1])))
+        expected = [0.0] + [float(w) for w in partition_object["weights"]] + [0.0]
+
+    aggs = [F.count(F.lit(1)).alias("element_count"), F.sum(F.when(nn, 1).otherwise(0)).alias("nonnull_count")]
+    aggs += [
+        F.sum(F.when(c, 1).otherwise(0)).alias(f"_c{i}") for i, c in enumerate(conds)
+    ]
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    agg = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(win.alias("window"))
+        .agg(*aggs)
+    )
+
+    total = F.col("nonnull_count").cast("double")
+    fracs = [F.col(f"_c{i}") / total for i in range(len(conds))]
+
+    # PSI (stats.psi): normalize, floor at eps, renormalize BOTH sides;
+    # the expected side is pure constants — folded here, not in the plan
+    q = _norm([max(x, eps) for x in _norm(expected)])
+    p_floor = [F.greatest(f, F.lit(eps)) for f in fracs]
+    p_sum = p_floor[0]
+    for pf in p_floor[1:]:
+        p_sum = p_sum + pf
+    psi_terms = [
+        (pf / p_sum - F.lit(qi)) * F.log((pf / p_sum) / F.lit(qi))
+        for pf, qi in zip(p_floor, q)
+    ]
+    psi_expr = psi_terms[0]
+    for t in psi_terms[1:]:
+        psi_expr = psi_expr + t
+
+    # binned KS (stats.ks_from_histograms): D = max |cum_p - cum_q|
+    qc, acc = [], 0.0
+    for qi in _norm(expected):
+        acc += qi
+        qc.append(acc)
+    cum, ks_terms = None, []
+    for f, qci in zip(fracs, qc):
+        cum = f if cum is None else cum + f
+        ks_terms.append(F.abs(cum - F.lit(qci)))
+    ks_expr = F.greatest(*ks_terms) if len(ks_terms) > 1 else ks_terms[0]
+
+    guard = F.col("nonnull_count") > 0
+    return agg.select(
+        "window",
+        "element_count",
+        "nonnull_count",
+        F.when(guard, psi_expr).alias("psi"),
+        F.when(guard, ks_expr).alias("ks_statistic"),
+    )
+
+
 def _duration_ms(s: str) -> int:
     """'1 hour' / '30 minutes' / '10 seconds' / '500 milliseconds' → ms."""
     value, unit = s.split()

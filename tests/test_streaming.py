@@ -210,3 +210,63 @@ def test_streaming_drift_monitor(spark, tmp_path):
         (r.results[0].success, r.results[0].result.get("observed_value"))
         for r in results
     ]
+
+
+def test_streaming_drift_metrics_match_batch_stats(spark, events_stream_dir):
+    """Windowed PSI/KS from the pure-streaming aggregation equal the
+    driver-side stats.psi / ks_from_histograms on the same windowed counts —
+    the Catalyst unrolling is an exact replica, continuous AND categorical."""
+    from great_expectations_spark.functions.stats import ks_from_histograms, psi
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_drift_metrics,
+    )
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    batch = spark.read.parquet(events_stream_dir)
+
+    cont_po = {"bins": [0.0, 50.0, 100.0, 150.0, 200.0],
+               "weights": [0.25, 0.25, 0.25, 0.25]}
+    cat_po = {"values": ["click", "view", "purchase"],
+              "weights": [0.5, 0.3, 0.2]}
+
+    for po, col in ((cont_po, "value"), (cat_po, "event_type")):
+        stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+        name = f"drift_{col}"
+        q = (
+            streaming_drift_metrics(
+                stream, col, po, ts_col="ts",
+                window_duration="1 day", watermark_delay="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        assert rows
+        for r in rows:
+            start, end = r["window"]["start"], r["window"]["end"]
+            sub = batch.filter((F.col("ts") >= start) & (F.col("ts") < end))
+            vals = [x[0] for x in sub.select(col).collect() if x[0] is not None]
+            if po is cont_po:
+                bins = po["bins"]
+                counts = [sum(1 for v in vals if v < bins[0])]
+                for i in range(len(bins) - 1):
+                    last = i == len(bins) - 2
+                    counts.append(sum(
+                        1 for v in vals
+                        if v >= bins[i] and (v <= bins[i + 1] if last else v < bins[i + 1])
+                    ))
+                counts.append(sum(1 for v in vals if v > bins[-1]))
+                expected = [0.0] + po["weights"] + [0.0]
+            else:
+                counts = [sum(1 for v in vals if v == s) for s in po["values"]]
+                counts.append(sum(1 for v in vals if v not in po["values"]))
+                expected = list(po["weights"]) + [0.0]
+            assert r["nonnull_count"] == len(vals)
+            assert r["psi"] == pytest.approx(psi(counts, expected), rel=1e-9)
+            assert r["ks_statistic"] == pytest.approx(
+                ks_from_histograms(counts, expected), rel=1e-9
+            )
