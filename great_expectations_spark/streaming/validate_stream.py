@@ -127,10 +127,13 @@ def streaming_drift_metrics(
     watermark_delay: str = "2 minutes",
     slide_duration: Optional[str] = None,
     eps: float = 1e-6,
+    partition_by: Optional[list[str]] = None,
 ) -> DataFrame:
     """Per-event-time-window drift statistics against a fixed baseline
-    ``partition_object`` — PSI and the binned-KS statistic per window,
-    computed ENTIRELY inside the streaming aggregation:
+    ``partition_object`` — PSI and the binned-KS statistic per window (and
+    per data partition when ``partition_by`` is given: one output row per
+    (window, partition) group, same bounded state shape), computed ENTIRELY
+    inside the streaming aggregation:
 
     - bin/value counts are conditional sums (map-side partials, state
       bounded by the watermark — same shape as ``streaming_metrics``);
@@ -181,9 +184,10 @@ def streaming_drift_metrics(
         if slide_duration
         else F.window(F.col(ts_col), window_duration)
     )
+    group_cols = [win.alias("window")] + [F.col(c) for c in (partition_by or [])]
     agg = (
         stream_df.withWatermark(ts_col, watermark_delay)
-        .groupBy(win.alias("window"))
+        .groupBy(*group_cols)
         .agg(*aggs)
     )
 
@@ -219,6 +223,7 @@ def streaming_drift_metrics(
     guard = F.col("nonnull_count") > 0
     return agg.select(
         "window",
+        *(partition_by or []),
         "element_count",
         "nonnull_count",
         F.when(guard, psi_expr).alias("psi"),

@@ -270,3 +270,50 @@ def test_streaming_drift_metrics_match_batch_stats(spark, events_stream_dir):
             assert r["ks_statistic"] == pytest.approx(
                 ks_from_histograms(counts, expected), rel=1e-9
             )
+
+
+def test_streaming_drift_metrics_per_partition(spark, events_stream_dir):
+    """partition_by adds one drift row per (window, partition) whose counts
+    are partition-local — verified against a filtered batch recomputation."""
+    from great_expectations_spark.functions.stats import psi
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_drift_metrics,
+    )
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    po = {"bins": [0.0, 100.0, 200.0], "weights": [0.5, 0.5]}
+    q = (
+        streaming_drift_metrics(
+            stream, "value", po, ts_col="ts",
+            window_duration="7 days", watermark_delay="0 seconds",
+            partition_by=["event_type"],
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_part")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM drift_part").collect()
+    assert rows and all(r["event_type"] is not None for r in rows)
+    batch = spark.read.parquet(events_stream_dir)
+    for r in rows[:5]:
+        start, end = r["window"]["start"], r["window"]["end"]
+        vals = [
+            x[0]
+            for x in batch.filter(
+                (F.col("ts") >= start) & (F.col("ts") < end)
+                & (F.col("event_type") == r["event_type"])
+            ).select("value").collect()
+            if x[0] is not None
+        ]
+        counts = [
+            sum(1 for v in vals if v < 0.0),
+            sum(1 for v in vals if 0.0 <= v < 100.0),
+            sum(1 for v in vals if 100.0 <= v <= 200.0),
+            sum(1 for v in vals if v > 200.0),
+        ]
+        assert r["nonnull_count"] == len(vals)
+        assert r["psi"] == pytest.approx(psi(counts, [0.0, 0.5, 0.5, 0.0]), rel=1e-9)
