@@ -73,6 +73,12 @@ from great_expectations_spark.operators.conditions import (
 
 COMPLETE_CAP = 10_000  # driver-side cap on COMPLETE unexpected_list
 DISTINCT_CAP = 65_536  # driver-side cap on collected distinct values
+# total driver rows budget for per-partition value-count tops: the
+# per-partition cap is BUDGET // n_partitions (floored at 64), so a
+# high-cardinality partition_by cannot multiply DISTINCT_CAP into an
+# unbounded collect; partitions over their cap fall back to the exact
+# bounded aggregate
+PARTITION_TOP_BUDGET = 1 << 20
 
 
 def _caster_for(df: DataFrame, column: Optional[str]) -> Callable[[str], Any]:
@@ -381,7 +387,25 @@ class SuitePlanner:
                 df.unpersist()
             return self._run_isolated(meta, e)
 
+        if self.partition_by and not partition_rows and any(
+            it.partition_capable for it in self._items
+        ):
+            # a suite of ONLY groupBy-backed expectations registers no
+            # bundled aggregates, so the rollup pass never enumerated the
+            # partitions — enumerate them directly (bounded by partition
+            # count); such deciders read only groupby results, not metrics
+            pkeys = (
+                df.select(*self.partition_by)
+                .distinct()
+                .orderBy(*self.partition_by)
+                .collect()
+            )
+            partition_rows = [
+                ({c: r[c] for c in self.partition_by}, {}) for r in pkeys
+            ]
+
         # phase 2: groupBy passes (value-counts family)
+        self._n_partitions = max(1, len(partition_rows))
         ctx = _Ctx()
         ctx.metrics = global_metrics
         for key, need in self._groupby_needs.items():
@@ -645,6 +669,14 @@ class SuitePlanner:
                 # bounded aggregate on that partition alone.
                 from pyspark.sql import Window
 
+                per_part_cap = min(
+                    DISTINCT_CAP,
+                    max(
+                        64,
+                        PARTITION_TOP_BUDGET
+                        // getattr(self, "_n_partitions", 1),
+                    ),
+                )
                 pgrouped = (
                     base.groupBy(*self.partition_by, *need.cols)
                     .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -656,7 +688,7 @@ class SuitePlanner:
                     ).orderBy(F.desc("_cnt"), *[F.asc(c) for c in need.cols])
                     prows = (
                         pgrouped.withColumn("_rk", F.row_number().over(w))
-                        .filter(F.col("_rk") <= DISTINCT_CAP + 1)
+                        .filter(F.col("_rk") <= per_part_cap + 1)
                         .collect()
                     )
                     ptots = (
@@ -672,7 +704,7 @@ class SuitePlanner:
                         sort_keys=True,
                         default=str,
                     )
-                    if int(r["_rk"]) > DISTINCT_CAP:
+                    if int(r["_rk"]) > per_part_cap:
                         out.part_top_truncated[pk] = True
                         continue
                     out.part_top.setdefault(pk, []).append(

@@ -122,3 +122,33 @@ def test_cramers_phi_partition_values(drift_res):
     # identical columns -> phi = 1; independent -> phi ~ 0
     assert parts["bad"].result["observed_value"] == pytest.approx(1.0)
     assert parts["ok"].result["observed_value"] == pytest.approx(0.0, abs=0.1)
+
+
+def test_partition_top_budget_fallback(spark, monkeypatch):
+    """When the driver-rows budget shrinks the per-partition top cap below a
+    partition's cardinality, the decider falls back to the exact bounded
+    aggregate for that partition (lumped tail surfaced in details) instead
+    of silently computing on a clipped table."""
+    from great_expectations_spark.plans import planner as planner_mod
+
+    monkeypatch.setattr(planner_mod, "PARTITION_TOP_BUDGET", 1)  # cap -> 64
+    rows = [("p", i % 200, ) for i in range(2000)] + [("q", 1) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["fmt", "cat"])
+    s = ExpectationSuite("budget")
+    s.add(
+        "expect_column_psi_to_be_less_than",
+        column="cat",
+        partition_object={"values": [1, 2], "weights": [0.5, 0.5]},
+        threshold=0.2,
+    )
+    res = validate(df, s, result_format="BASIC", partition_by=["fmt"])
+    parts = {r.partition["fmt"]: r for r in res.partition_results}
+    # p has 200 distinct values > cap 64 -> exact fallback, lumped tail
+    assert parts["p"].result["details"]["observed_truncated"] is True
+    assert parts["p"].result["details"]["tail_lumped_rows"] == 2000 - 10 - 10
+    assert parts["p"].success is False  # mass far outside {1,2}
+    # q fits in the cap -> partition-local top, all mass on value 1
+    assert parts["q"].success is False
+    assert "details" not in parts["q"].result or not parts["q"].result.get(
+        "details", {}
+    ).get("observed_truncated")
