@@ -123,6 +123,7 @@ class _GroupByResult:
     part_top: dict = field(default_factory=dict)  # pk -> list[(values, count)]
     part_top_truncated: dict = field(default_factory=dict)  # pk -> bool
     part_nonnull: dict = field(default_factory=dict)  # pk -> considered rows
+    part_top_cap: int = DISTINCT_CAP  # effective per-partition top cap
 
 
 class _Ctx:
@@ -677,6 +678,7 @@ class SuitePlanner:
                         // getattr(self, "_n_partitions", 1),
                     ),
                 )
+                out.part_top_cap = per_part_cap
                 pgrouped = (
                     base.groupBy(*self.partition_by, *need.cols)
                     .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -825,15 +827,26 @@ class SuitePlanner:
 # ---- groupBy-based expectations (distinct sets / modes / uniqueness) -----
 
 
+def _partition_top_or_global(ctx: _Ctx, gb: _GroupByResult) -> tuple[list, bool]:
+    """(top, truncated) — partition-local when deciding for a partition."""
+    if ctx.is_partition and ctx.partition_key is not None:
+        pk = json.dumps(ctx.partition_key, sort_keys=True, default=str)
+        return gb.part_top.get(pk, []), gb.part_top_truncated.get(pk, False)
+    return gb.top, gb.top_truncated
+
+
 def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, mode: str) -> None:
     name = cfg.kwargs["column"]
     value_set = cfg.kwargs.get("value_set")
-    key = planner._need_groupby((name,), drop_nulls=True, want_top=True)
+    key = planner._need_groupby(
+        (name,), drop_nulls=True, want_top=True, want_partition_top=True
+    )
 
     def decide(ctx: _Ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
+        top, truncated = _partition_top_or_global(ctx, gb)
         observed = sorted(
-            (values[0] for values, _ in gb.top),
+            (values[0] for values, _ in top),
             key=lambda x: (str(type(x).__name__), str(x)),
         )
         obs_set = set(observed)
@@ -845,8 +858,12 @@ def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, 
         else:  # equal
             success = obs_set == exp_set
         result: dict[str, Any] = {"observed_value": observed}
-        if gb.top_truncated:
-            result["details"] = {"observed_truncated_at": DISTINCT_CAP}
+        if truncated:
+            result["details"] = {
+                "observed_truncated_at": (
+                    gb.part_top_cap if ctx.is_partition else DISTINCT_CAP
+                )
+            }
         if mode == "in":
             result["details"] = {
                 **result.get("details", {}),
@@ -863,22 +880,27 @@ def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, 
             }
         return bool(success), result
 
-    planner._items.append(_Item(cfg, decide, partition_capable=False))
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
 def _compile_most_common(planner: SuitePlanner, cfg: ExpectationConfiguration) -> None:
     name = cfg.kwargs["column"]
     value_set = set(cfg.kwargs.get("value_set") or [])
     ties_okay = bool(cfg.kwargs.get("ties_okay", False))
-    key = planner._need_groupby((name,), drop_nulls=True, want_top=True)
+    key = planner._need_groupby(
+        (name,), drop_nulls=True, want_top=True, want_partition_top=True
+    )
 
     def decide(ctx: _Ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
-        if not gb.top:
+        # tops are count-descending, so a truncated prefix still contains
+        # every mode — truncation cannot change this verdict
+        top, _ = _partition_top_or_global(ctx, gb)
+        if not top:
             return True, {"observed_value": []}
-        max_cnt = gb.top[0][1]
+        max_cnt = top[0][1]
         modes = sorted(
-            (values[0] for values, cnt in gb.top if cnt == max_cnt),
+            (values[0] for values, cnt in top if cnt == max_cnt),
             key=lambda x: (str(type(x).__name__), str(x)),
         )
         inter = len(value_set.intersection(modes))
@@ -890,7 +912,7 @@ def _compile_most_common(planner: SuitePlanner, cfg: ExpectationConfiguration) -
             success = len(modes) == 1 and inter == 1
         return bool(success), {"observed_value": modes}
 
-    planner._items.append(_Item(cfg, decide, partition_capable=False))
+    planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
 def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) -> None:

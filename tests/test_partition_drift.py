@@ -152,3 +152,35 @@ def test_partition_top_budget_fallback(spark, monkeypatch):
     assert "details" not in parts["q"].result or not parts["q"].result.get(
         "details", {}
     ).get("observed_truncated")
+
+
+def test_distinct_set_and_mode_per_partition(spark):
+    """distinct-set and most-common-value verdicts per data partition: each
+    partition is judged on ITS value domain and ITS mode, not the union."""
+    rows = (
+        [("p", "a")] * 5 + [("p", "b")] * 3
+        + [("q", "a")] * 2 + [("q", "z")] * 6
+    )
+    df = spark.createDataFrame(rows, ["fmt", "v"])
+    s = ExpectationSuite("gbpart")
+    s.add("expect_column_distinct_values_to_be_in_set", column="v",
+          value_set=["a", "b"])
+    s.add("expect_column_most_common_value_to_be_in_set", column="v",
+          value_set=["a"])
+    res = validate(df, s, result_format="BASIC", partition_by=["fmt"])
+    parts = {
+        (r.partition["fmt"], r.expectation_config["expectation_type"]): r
+        for r in res.partition_results
+    }
+    dset = "expect_column_distinct_values_to_be_in_set"
+    mode = "expect_column_most_common_value_to_be_in_set"
+    assert parts[("p", dset)].success is True
+    assert parts[("p", dset)].result["observed_value"] == ["a", "b"]
+    assert parts[("q", dset)].success is False  # 'z' outside the set
+    assert parts[("p", mode)].success is True   # mode of p is 'a'
+    assert parts[("q", mode)].success is False  # mode of q is 'z'
+    assert parts[("q", mode)].result["observed_value"] == ["z"]
+    # global verdicts unchanged in shape: union domain fails, global mode 'z'... 
+    by_type = {r.expectation_config["expectation_type"]: r for r in res.results}
+    assert by_type[dset].success is False
+    assert by_type[dset].result["observed_value"] == ["a", "b", "z"]
