@@ -396,6 +396,12 @@ class ResultsStoreUrnResolver:
                 if not all(str(have.get(k)) == v for k, v in want_kw.items()):
                     continue
             v = r[fld]
+            if v is None:
+                # e.g. a checkpoint 'conjunction' rollup row, which carries
+                # success/counts but no observed_value — fall through to an
+                # older row that has the field rather than silently binding
+                # None (an unbounded, always-passing parameter)
+                continue
             if fld == "observed_value" and isinstance(v, str):
                 return json.loads(v)
             return v

@@ -140,20 +140,17 @@ def _observed_counts_or_exact(
     falls back to the exact bounded aggregate, lumping the out-of-partition
     tail under _LUMPED_TAIL and reporting the lump in details instead of
     silently computing on a clipped table."""
-    import json as _json
+    from great_expectations_spark.plans.planner import _partition_top_or_global
 
+    top, truncated, nn_total = _partition_top_or_global(ctx, gb)
+    if not truncated:
+        counts = {vals[0]: cnt for vals, cnt in top}
+        return counts, nn_total or sum(counts.values()), None
     if ctx.is_partition and ctx.partition_key is not None:
-        pk = _json.dumps(ctx.partition_key, sort_keys=True, default=str)
-        if not gb.part_top_truncated.get(pk, False):
-            counts = {vals[0]: cnt for vals, cnt in gb.part_top.get(pk, [])}
-            return counts, gb.part_nonnull.get(pk, sum(counts.values())), None
         base, trunc_note = _partition_filtered(planner, ctx), {
             "partition": dict(ctx.partition_key)
         }
     else:
-        if not gb.top_truncated:
-            counts = {vals[0]: cnt for vals, cnt in gb.top}
-            return counts, gb.total_count or sum(counts.values()), None
         base, trunc_note = planner.df, {}
     aligned, extra_rows, extra_distinct, nonnull = _exact_categorical_counts(
         base, column, values
@@ -525,9 +522,13 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
         if "global" not in _pop_cache:
             base = planner.df.filter(dom & col.isNotNull())
             if nonnull > sample_cap:
-                base = base.sample(
-                    fraction=min(1.0, 1.2 * sample_cap / nonnull), seed=seed
-                ).limit(sample_cap)
+                frac = min(1.0, 1.2 * sample_cap / nonnull)
+                base = base.sample(fraction=frac, seed=seed)
+                if not planner.partition_by:
+                    # the head-limit is only safe without partitions: under
+                    # partition_by it would keep the scan-order head and
+                    # starve partitions stored late in the file
+                    base = base.limit(sample_cap)
             sel = [F.col(c) for c in planner.partition_by] + [col.alias("_v")]
             rows = base.select(*sel).collect()
             _pop_cache["global"] = np.array([r["_v"] for r in rows], dtype=np.float64)
@@ -545,7 +546,21 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
                 }
         if ctx.is_partition and ctx.partition_key is not None:
             k = _json.dumps(ctx.partition_key, sort_keys=True, default=str)
-            return _pop_cache.get("parts", {}).get(k, np.empty(0, dtype=np.float64))
+            vals = _pop_cache.get("parts", {}).get(k)
+            if vals is None:
+                # a partition small enough to be missed by the uniform
+                # sample entirely — fetch its values directly (bounded);
+                # cached so repeated decides don't re-scan
+                pdf = _partition_filtered(planner, ctx)
+                rows = (
+                    pdf.filter(dom & col.isNotNull())
+                    .select(col.alias("_v"))
+                    .limit(sample_cap)
+                    .collect()
+                )
+                vals = np.array([r["_v"] for r in rows], dtype=np.float64)
+                _pop_cache.setdefault("parts", {})[k] = vals
+            return vals
         return _pop_cache["global"]
 
     def decide(ctx) -> tuple[bool, dict]:
@@ -725,19 +740,16 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
     )
 
     def decide(ctx) -> tuple[bool, dict]:
-        import json as _json
+        from great_expectations_spark.plans.planner import _partition_top_or_global
 
         gb = ctx.groupby[key]
-        if ctx.is_partition and ctx.partition_key is not None:
-            pk = _json.dumps(ctx.partition_key, sort_keys=True, default=str)
-            truncated = gb.part_top_truncated.get(pk, False)
-            top = gb.part_top.get(pk, [])
-            base = _partition_filtered(planner, ctx) if truncated else None
-        else:
-            truncated = gb.top_truncated
-            top = gb.top
-            base = planner.df if truncated else None
+        top, truncated, _ = _partition_top_or_global(ctx, gb)
         if truncated:
+            base = (
+                _partition_filtered(planner, ctx)
+                if ctx.is_partition and ctx.partition_key is not None
+                else planner.df
+            )
             phi, chi2, rows, cols = _distributed_cramers_phi(base, a, b)
             return bool(phi < threshold), {
                 "observed_value": phi,

@@ -827,12 +827,21 @@ class SuitePlanner:
 # ---- groupBy-based expectations (distinct sets / modes / uniqueness) -----
 
 
-def _partition_top_or_global(ctx: _Ctx, gb: _GroupByResult) -> tuple[list, bool]:
-    """(top, truncated) — partition-local when deciding for a partition."""
+def _partition_top_or_global(
+    ctx: _Ctx, gb: _GroupByResult
+) -> tuple[list, bool, Optional[int]]:
+    """(top, truncated, nonnull_total) — partition-local when deciding for a
+    partition; the single owner of the partition-key serialization used to
+    index groupBy results (drift deciders import this rather than hand-roll
+    the json convention)."""
     if ctx.is_partition and ctx.partition_key is not None:
         pk = json.dumps(ctx.partition_key, sort_keys=True, default=str)
-        return gb.part_top.get(pk, []), gb.part_top_truncated.get(pk, False)
-    return gb.top, gb.top_truncated
+        return (
+            gb.part_top.get(pk, []),
+            gb.part_top_truncated.get(pk, False),
+            gb.part_nonnull.get(pk),
+        )
+    return gb.top, gb.top_truncated, gb.total_count
 
 
 def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, mode: str) -> None:
@@ -844,7 +853,7 @@ def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, 
 
     def decide(ctx: _Ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
-        top, truncated = _partition_top_or_global(ctx, gb)
+        top, truncated, _ = _partition_top_or_global(ctx, gb)
         observed = sorted(
             (values[0] for values, _ in top),
             key=lambda x: (str(type(x).__name__), str(x)),
@@ -895,7 +904,7 @@ def _compile_most_common(planner: SuitePlanner, cfg: ExpectationConfiguration) -
         gb = ctx.groupby[key]
         # tops are count-descending, so a truncated prefix still contains
         # every mode — truncation cannot change this verdict
-        top, _ = _partition_top_or_global(ctx, gb)
+        top, _, _ = _partition_top_or_global(ctx, gb)
         if not top:
             return True, {"observed_value": []}
         max_cnt = top[0][1]

@@ -120,10 +120,14 @@ class ResultsStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def write_results(self, result: SuiteValidationResult, run_id: str) -> None:
+    def write_results(self, result: SuiteValidationResult, run_id: str) -> list[tuple]:
+        """Append and return the written rows (callers that also need the
+        rows — e.g. the checkpoint rollup — reuse them instead of
+        re-serializing)."""
         rows = results_to_rows(result, run_id)
         df = self.spark.createDataFrame(rows, schema=RESULTS_SCHEMA)
         df.write.mode("append").parquet(self._path("validation_results"))
+        return rows
 
     def write_metrics(self, result: SuiteValidationResult, run_id: str) -> None:
         """Resolved metric values, global + per partition — the cross-run
@@ -287,41 +291,66 @@ class CheckpointRunner:
             except Exception:
                 pass  # action errors never fail the checkpoint
 
+    def _latest_completed_runs(
+        self, suite_id: str, input_fingerprint: str, skipped_json: list[str]
+    ) -> dict[str, str]:
+        """partition_key_json -> run_id of its most recent completed lineage
+        row for THIS (suite, fingerprint) — the run whose stored rows
+        actually describe the current data."""
+        try:
+            lin = self.store.spark.read.parquet(self.store._path("lineage"))
+        except Exception:
+            return {}
+        rows = (
+            lin.filter(
+                (F.col("suite_id") == suite_id)
+                & (F.col("input_fingerprint") == input_fingerprint)
+                & (F.col("status") == "completed")
+                & F.col("partition_key").isin(skipped_json)
+            )
+            .groupBy("partition_key")
+            .agg(F.max(F.struct("finished_at", "run_id")).alias("_last"))
+            .select("partition_key", F.col("_last.run_id").alias("run_id"))
+            .collect()
+        )
+        return {r["partition_key"]: r["run_id"] for r in rows}
+
     def _conjunction_rollup(
-        self, run_id: str, suite_name: str, run_rows: list[tuple], skipped: list[dict]
+        self,
+        run_id: str,
+        suite_name: str,
+        run_rows: list[tuple],
+        skipped: list[dict],
+        suite_id: str,
+        input_fingerprint: str,
     ) -> list[tuple]:
         """Global (partition_key-NULL) rows merged driver-side from this
-        run's partition rows plus, for resume-skipped partitions, their
-        LATEST stored rows (resume implies the same input_fingerprint, so
-        those rows still describe the current data). Bounded:
-        #partitions × #expectations rows."""
-        from pyspark.sql.window import Window
-
+        run's partition rows plus, for resume-skipped partitions, the rows
+        of the run that completed each partition under the SAME
+        (suite_id, input_fingerprint) — scoped through lineage, so rows from
+        a different dataset or an identically-named suite can never leak
+        into the rollup. Bounded: #partitions × #expectations rows."""
         rows = list(run_rows)
         if skipped:
             skipped_json = [json.dumps(p, default=str) for p in skipped]
-            try:
-                prior = self.store.read_results()
-            except Exception:
+            src_runs = self._latest_completed_runs(
+                suite_id, input_fingerprint, skipped_json
+            )
+            if src_runs:
+                try:
+                    prior = self.store.read_results()
+                except Exception:
+                    prior = None
+            else:
                 prior = None
             if prior is not None:
-                latest = (
-                    prior.filter(
-                        (F.col("suite_name") == suite_name)
-                        & F.col("partition_key").isin(skipped_json)
-                    )
-                    .withColumn(
-                        "_rk",
-                        F.row_number().over(
-                            Window.partitionBy(
-                                "expectation_type", "expectation_kwargs", "partition_key"
-                            ).orderBy(F.desc("created_at"))
-                        ),
-                    )
-                    .filter(F.col("_rk") == 1)
-                    .drop("_rk")
-                    .collect()
-                )
+                cond = None
+                for pk, rid in src_runs.items():
+                    e = (F.col("partition_key") == pk) & (F.col("run_id") == rid)
+                    cond = e if cond is None else (cond | e)
+                latest = prior.filter(
+                    (F.col("suite_name") == suite_name) & cond
+                ).collect()
                 rows.extend(tuple(r[f.name] for f in RESULTS_SCHEMA) for r in latest)
         merged: dict[tuple[str, str], dict] = {}
         for r in rows:
@@ -400,7 +429,9 @@ class CheckpointRunner:
             started = time.time()
             cond = None
             for c, v in pkey.items():
-                e = F.col(c) == F.lit(v)
+                # null-safe: a NULL partition-key value must select its rows,
+                # not silently validate an empty frame
+                e = F.col(c).eqNullSafe(F.lit(v))
                 cond = e if cond is None else (cond & e)
             result = engine.validate(
                 df.filter(cond), suite, result_format=result_format
@@ -409,8 +440,7 @@ class CheckpointRunner:
                 evr.partition = pkey
                 result.partition_results.append(evr)
             result.results = []
-            run_rows.extend(results_to_rows(result, run_id))
-            self.store.write_results(result, run_id)
+            run_rows.extend(self.store.write_results(result, run_id))
             self.store.write_metrics(result, run_id)
             self.store.write_lineage(
                 run_id, suite.id, input_fingerprint, pkey, "completed", started,
@@ -440,7 +470,9 @@ class CheckpointRunner:
                     started, suite_success=bool(gres.success),
                 )
         elif global_rollup == "conjunction" and (ran or skipped):
-            grows = self._conjunction_rollup(run_id, suite.name, run_rows, skipped)
+            grows = self._conjunction_rollup(
+                run_id, suite.name, run_rows, skipped, suite.id, input_fingerprint
+            )
             if grows:
                 gdf = self.spark.createDataFrame(grows, schema=RESULTS_SCHEMA)
                 gdf.write.mode("append").parquet(

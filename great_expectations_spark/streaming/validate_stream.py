@@ -78,6 +78,22 @@ def validate_stream(
     return writer.start()
 
 
+def _event_window(
+    stream_df: DataFrame, ts_col: str, window_duration: str,
+    slide_duration: Optional[str],
+):
+    """(stream_df, window_col) with TIMESTAMP_NTZ transparently lifted to
+    TIMESTAMP (watermarks require it) — shared by every windowed metric."""
+    if stream_df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return stream_df, win
+
+
 def streaming_metrics(
     stream_df: DataFrame,
     suite: ExpectationSuite,
@@ -92,9 +108,7 @@ def streaming_metrics(
     aggregation keeps shuffle at one row per window per partition). Columns:
     window, element_count, then per-expectation `<type>[#i]_unexpected`.
     """
-    # watermarks require TIMESTAMP; transparently lift TIMESTAMP_NTZ (UTC)
-    if stream_df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
-        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream_df, win = _event_window(stream_df, ts_col, window_duration, slide_duration)
     aggs = [F.count(F.lit(1)).alias("element_count")]
     seen: dict[str, int] = {}
     for cfg in suite.expectations:
@@ -106,11 +120,6 @@ def streaming_metrics(
         seen[cfg.expectation_type] = n + 1
         label = cfg.expectation_type if n == 0 else f"{cfg.expectation_type}#{n}"
         aggs.append(F.sum(F.when(unexpected, 1).otherwise(0)).alias(f"{label}_unexpected"))
-    win = (
-        F.window(F.col(ts_col), window_duration, slide_duration)
-        if slide_duration
-        else F.window(F.col(ts_col), window_duration)
-    )
     return (
         stream_df.withWatermark(ts_col, watermark_delay)
         .groupBy(win.alias("window"))
@@ -155,8 +164,7 @@ def streaming_drift_metrics(
         is_categorical_partition,
     )
 
-    if stream_df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
-        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream_df, win = _event_window(stream_df, ts_col, window_duration, slide_duration)
     col = F.col(column)
     nn = col.isNotNull()
     if is_categorical_partition(partition_object):
@@ -179,11 +187,6 @@ def streaming_drift_metrics(
     aggs += [
         F.sum(F.when(c, 1).otherwise(0)).alias(f"_c{i}") for i, c in enumerate(conds)
     ]
-    win = (
-        F.window(F.col(ts_col), window_duration, slide_duration)
-        if slide_duration
-        else F.window(F.col(ts_col), window_duration)
-    )
     group_cols = [win.alias("window")] + [F.col(c) for c in (partition_by or [])]
     agg = (
         stream_df.withWatermark(ts_col, watermark_delay)
