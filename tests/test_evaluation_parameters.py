@@ -271,3 +271,76 @@ def test_checkpoint_global_rollup_urn_chaining(spark, lineitem, tmp_path):
     )
     lin = store_v.spark.read.parquet(str(tmp_path / "grv" / "lineage"))
     assert lin.filter(F.col("partition_key") == "__global__").count() == 1
+
+
+def test_checkpoint_null_partition_key_and_fingerprint_scoping(spark, tmp_path):
+    """(1) A NULL partition-key value must validate ITS rows, not an empty
+    frame; (2) the conjunction rollup for resume-skipped partitions must pull
+    rows from the run that validated THIS fingerprint, not newer rows of the
+    same suite on different data."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.sources.stores import CheckpointRunner, ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "nfp"))
+    runner = CheckpointRunner(spark, store)
+
+    # (1) null partition key: the k>=100 rows live under fmt=NULL and FAIL
+    df_null = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 500), (None, 501)], ["fmt", "k"]
+    )
+    s = ExpectationSuite(name="nullpart")
+    s.add("expect_column_values_to_be_between", column="k", min_value=0, max_value=100)
+    out = runner.run(df_null, s, partition_by=["fmt"], input_fingerprint="fp-n")
+    assert len(out["partitions_run"]) == 2
+    assert {p["fmt"] for p in out["partitions_failed"]} == {None}
+    null_rows = store.read_results().filter(
+        F.col("partition_key") == '{"fmt": null}'
+    ).collect()
+    assert null_rows and null_rows[0]["element_count"] == 2
+    assert null_rows[0]["unexpected_count"] == 2
+
+    # (2) fingerprint scoping: same suite name+id, two datasets sharing keys
+    store2 = ResultsStore(spark, str(tmp_path / "scope"))
+    runner2 = CheckpointRunner(spark, store2)
+    s2 = ExpectationSuite(name="scoped")
+    s2.add("expect_column_values_to_not_be_null", column="k")
+    march = spark.createDataFrame([("x", 1)] * 10, ["fmt", "k"])
+    april = spark.createDataFrame([("x", 1)] * 99, ["fmt", "k"])
+    runner2.run(march, s2, partition_by=["fmt"], input_fingerprint="fp-march")
+    runner2.run(april, s2, partition_by=["fmt"], input_fingerprint="fp-april")
+    out3 = runner2.run(march, s2, partition_by=["fmt"], input_fingerprint="fp-march")
+    assert out3["partitions_run"] == [] and len(out3["partitions_skipped"]) == 1
+    latest_global = (
+        store2.read_results()
+        .filter(F.col("partition_key").isNull())
+        .orderBy(F.desc("created_at"))
+        .collect()[0]
+    )
+    # must be March's 10 rows (lineage-scoped), NOT April's newer 99
+    assert latest_global["element_count"] == 10
+
+
+def test_urn_resolver_skips_null_field_rows(spark, lineitem, tmp_path):
+    """A conjunction rollup row (observed_value NULL) must not bind None into
+    a chained parameter — the resolver falls through to an older row that
+    has the field."""
+    from great_expectations_spark.core.eval_params import ResultsStoreUrnResolver
+    from great_expectations_spark.sources.stores import CheckpointRunner, ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "nullskip"))
+    eng = SparkValidationEngine(spark)
+    s = ExpectationSuite(name="ns")
+    s.add("expect_column_max_to_be_between", column="l_quantity", min_value=0)
+    # older engine run: real observed_value
+    store.write_results(eng.validate(lineitem, s), run_id="real")
+    # newer checkpoint run: conjunction rollup row with observed_value NULL
+    CheckpointRunner(spark, store).run(
+        lineitem, s, partition_by=["l_returnflag"], input_fingerprint="fp"
+    )
+    urn = (
+        "urn:great_expectations:validations:ns:"
+        "expect_column_max_to_be_between.result.observed_value:column=l_quantity"
+    )
+    vmax = lineitem.agg({"l_quantity": "max"}).collect()[0][0]
+    assert ResultsStoreUrnResolver(store)(urn) == vmax
