@@ -525,3 +525,95 @@ def minhash_signatures_arrow(
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, id_col)
     return src.mapInPandas(gen, out_schema)
+
+
+# ---- near-dup clustering (pairs -> connected components -> canonical) ----
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the step a real
+    dedup pipeline needs between pair generation (minhash_dedup_pairs /
+    simhash_near_pairs / token_jaccard_pairs emit edges) and row dropping:
+    transitive closure groups A~B, B~C into one cluster {A,B,C}.
+
+    Returns (node, cluster_id) for every id that appears in ``pairs``;
+    cluster_id = the minimum member id of the component.
+
+    Algorithm: distributed min-label propagation — per iteration every node
+    adopts min(own label, neighbors' labels). Each iteration is
+    shuffle-bounded (a union of two projected joins + one groupBy-min; no
+    windows, no driver-side graph). Convergence is O(component diameter)
+    iterations; near-dup components are near-cliques via LSH bucketing
+    (diameter 2-3), so this typically converges in <5 rounds even at corpus
+    scale. ``localCheckpoint`` truncates the per-iteration lineage so the
+    plan stays flat. Convergence is detected with one scalar per iteration
+    (hash-sum of (node,label) — no extra join)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(F.col("node"), F.col("node").alias("cluster_id"))
+        .localCheckpoint()
+    )
+
+    def _fingerprint(lab: DataFrame) -> int:
+        # bit_xor, not sum: ANSI mode raises on long-sum overflow, and xor
+        # is order-independent with no overflow
+        row = lab.agg(
+            F.expr("bit_xor(xxhash64(node, cluster_id))").alias("h")
+        ).collect()[0]
+        return int(row["h"] or 0)
+
+    fp = _fingerprint(labels)
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), F.col("cluster_id"))
+            .union(
+                edges.join(labels, edges["dst"] == labels["node"]).select(
+                    F.col("src").alias("node"), F.col("cluster_id")
+                )
+            )
+            .union(labels)
+        )
+        new_labels = (
+            msgs.groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        new_fp = _fingerprint(new_labels)
+        labels = new_labels
+        if new_fp == fp:
+            break
+        fp = new_fp
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "a",
+    id_b: str = "b",
+) -> DataFrame:
+    """Drop every near-duplicate except one canonical row per cluster (the
+    minimum-id member); rows that appear in no pair pass through untouched.
+    One anti-join against the (small) non-canonical member set — never a
+    shuffle of the full corpus beyond the join itself."""
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -334,3 +334,48 @@ def test_ivf_topk_recall(spark, embeddings):
         assert full == exact  # probing every list == exact search
     finally:
         indexed.unpersist()
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B, B~C, C~D chain collapses into ONE cluster (transitive closure),
+    separate cliques stay separate, and convergence needs multiple
+    propagation rounds (chain diameter > 1)."""
+    from great_expectations_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10)], ["a", "b"]
+    )
+    out = {r["node"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_by_clusters_keeps_canonical_and_singletons(spark):
+    from great_expectations_spark.operators.dedup import dedup_by_clusters
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["a", "b"])
+    kept = sorted(r["doc_id"] for r in dedup_by_clusters(df, pairs).collect())
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 untouched
+    assert kept == [1, 4, 5, 7]
+
+
+def test_clusters_from_minhash_pipeline(spark):
+    """End-to-end: corpus -> MinHash+LSH pairs -> clusters -> canonical rows."""
+    from great_expectations_spark.operators.dedup import (
+        dedup_by_clusters,
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        (1, base), (2, base + "!"), (3, base + " extra tail"),
+        (4, "completely different text about spark dataframes " * 12),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(df, threshold=0.8, bands=16)
+    kept = sorted(r["doc_id"] for r in dedup_by_clusters(df, pairs).collect())
+    assert 4 in kept            # the unrelated doc survives
+    assert kept[0] == 1         # canonical of the near-dup cluster is min id
+    assert len(kept) < 4        # at least one near-dup dropped
