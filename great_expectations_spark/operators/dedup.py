@@ -576,6 +576,7 @@ def duplicate_clusters(
         return int(row["h"] or 0)
 
     fp = _fingerprint(labels)
+    converged = False
     for _ in range(max_iterations):
         msgs = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -595,9 +596,19 @@ def duplicate_clusters(
         new_fp = _fingerprint(new_labels)
         labels = new_labels
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
     edges.unpersist()
+    if not converged:
+        # propagation needs O(component diameter) rounds; a silent stop
+        # would return WRONG cluster ids for the unconverged components
+        raise ValueError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            "iterations — the pair graph has a component with diameter "
+            f"> {max_iterations} (unusual for LSH near-dup graphs, which "
+            "are near-cliques); raise max_iterations"
+        )
     return labels
 
 

@@ -379,3 +379,17 @@ def test_clusters_from_minhash_pipeline(spark):
     assert 4 in kept            # the unrelated doc survives
     assert kept[0] == 1         # canonical of the near-dup cluster is min id
     assert len(kept) < 4        # at least one near-dup dropped
+
+
+def test_duplicate_clusters_long_chain_louds_or_converges(spark):
+    """A path graph needs O(diameter) propagation rounds: with enough
+    iterations the whole chain collapses to cluster 0; with too few the
+    operator RAISES instead of returning silently-wrong labels."""
+    from great_expectations_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["a", "b"])
+    out = duplicate_clusters(chain, max_iterations=60).collect()
+    assert all(r["cluster_id"] == 0 for r in out) and len(out) == 41
+
+    with pytest.raises(ValueError, match="did not converge"):
+        duplicate_clusters(chain, max_iterations=5)
