@@ -53,11 +53,39 @@ def _combiner_for(df: DataFrame, keys: Sequence[str], expr: Column):
         return None  # cannot introspect → refuse rather than guess
     line = next((ln for ln in plan.splitlines() if "Aggregate" in ln), "")
     seg = line.split(" AS __probe#")[0]
-    calls = re.findall(r"(\w+)\((distinct\b)?", seg)
-    if not calls:
-        return None
-    fn, distinct = calls[-1]
-    fn = fn.lower()
+    # isolate the probe expression: shortest suffix with balanced parens,
+    # starting after a top-level ', ' (list separator) or '[' — then require
+    # the aggregate call to BE the expression root. A composite like
+    # max(x)-min(x) or sum(x)*2 must refuse: merging a per-salt composite
+    # with the inner function's combiner is silently wrong.
+    depth = 0
+    start = 0
+    for i in range(len(seg) - 1, -1, -1):
+        ch = seg[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            depth -= 1
+            if depth < 0:
+                start = i + 1
+                break
+        elif ch in (",", "[") and depth == 0:
+            start = i + 1
+            break
+    probe = seg[start:].strip()
+    m = re.match(r"^(\w+)\(", probe)
+    if not m or not probe.endswith(")"):
+        return None  # composite / non-call root -> refuse
+    depth = 0
+    for i, ch in enumerate(probe):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i != len(probe) - 1:
+                return None  # the call closes before the end -> not the root
+    fn = m.group(1).lower()
+    distinct = probe[len(fn) + 1 :].lstrip().startswith("distinct ")
     if fn in ("min", "max"):
         return F.min if fn == "min" else F.max  # distinct-insensitive
     if fn in ("sum", "count") and not distinct:
@@ -126,16 +154,32 @@ def salted_distinct_count(
 def salted_top_values(
     df: DataFrame, key: str, value: str, k: int = 10, buckets: int = 16
 ) -> DataFrame:
-    """Top-k values per key under skew: counts are salt-partial-aggregated
-    (algebraic, safe), then ranked per key. → (key, value, cnt) rows."""
-    counts = (
-        df.groupBy(key, value).agg(F.count(F.lit(1)).alias("cnt"))
-    )  # groupBy is already two-phase for counts; rank with a bounded window
+    """Top-k values per key under skew — two-phase so a hot key with 10^8
+    DISTINCT values never funnels through one window task:
+
+    1. counts per (key, value) (groupBy — map-side partials absorb row skew);
+    2. local top-k within (key, value-hash salt) — each window partition
+       holds ~distinct/buckets rows; value-hash salting keeps every value's
+       full count in exactly one salt, so the true global top-k is a subset
+       of the salt-local top-k candidates;
+    3. global top-k over the ≤ k·buckets candidates per key (bounded window).
+
+    → (key, value, cnt) rows."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc(value))
+    counts = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("cnt"))
+    salted = counts.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(value)), F.lit(buckets))
+    )
+    w_local = Window.partitionBy(key, SALT_COL).orderBy(F.desc("cnt"), F.asc(value))
+    candidates = (
+        salted.withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", SALT_COL)
+    )
+    w_global = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc(value))
     return (
-        counts.withColumn("_rk", F.row_number().over(w))
+        candidates.withColumn("_rk", F.row_number().over(w_global))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )

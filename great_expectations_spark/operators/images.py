@@ -64,21 +64,16 @@ def decode_meta_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     for series in batches:
         out = {"ok": [], "w": [], "h": [], "fmt": [], "phash": [], "err": []}
         for data in series:
+            # compute the FULL row before appending to any list: an
+            # exception mid-row (e.g. a real codec's post-decode hash)
+            # must produce the error row, never misaligned columns
             try:
                 fmt, w, h, pixels = decode_image(bytes(data) if data is not None else None)
-                out["ok"].append(True)
-                out["w"].append(w)
-                out["h"].append(h)
-                out["fmt"].append(fmt)
-                out["phash"].append(phash64(pixels))
-                out["err"].append(None)
+                row = (True, w, h, fmt, phash64(pixels), None)
             except Exception as e:
-                out["ok"].append(False)
-                out["w"].append(None)
-                out["h"].append(None)
-                out["fmt"].append(None)
-                out["phash"].append(None)
-                out["err"].append(str(e))
+                row = (False, None, None, None, None, str(e))
+            for col, v in zip(("ok", "w", "h", "fmt", "phash", "err"), row):
+                out[col].append(v)
         # nullable Int64/Int32, NOT bare lists: a None in the batch would
         # coerce to float64 and silently drop low bits of 64-bit phashes
         yield pd.DataFrame(
@@ -210,8 +205,11 @@ def image_near_duplicate_pairs(
     counterpart of text SimHash dedup (operators/dedup.py): 64-bit phash →
     chunk banding with chunks > max_hamming slices (pigeonhole-complete:
     every pair within max_hamming shares at least one untouched chunk) →
-    same-chunk self-join → exact bit_count verify. `chunks` defaults to
-    max_hamming + 1; passing fewer raises rather than silently losing
+    same-chunk self-join → exact bit_count verify. With the default
+    chunks=None the banding is k-of-c COMBINATION banding from
+    dedup._hamming_band_exprs (k=2 for max_hamming >= 5 — c = max_hamming+2
+    chunks, one band per chunk pair), not single-chunk slices; passing an
+    explicit chunks <= max_hamming raises rather than silently losing
     recall. No decode needed — works off the stored phash column, so the
     bytes column is never read."""
     from great_expectations_spark.operators.dedup import simhash_near_pairs

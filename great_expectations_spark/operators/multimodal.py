@@ -110,7 +110,9 @@ def audio_features_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
                         len(samples),
                         len(samples) / rate if rate else 0.0,
                         float(np.sqrt(np.mean(s**2))) if len(s) else 0.0,
-                        int(np.max(np.abs(samples))) if len(samples) else 0,
+                        # abs over the FLOAT copy: np.abs(int16 -32768)
+                        # wraps back to -32768
+                        int(np.max(np.abs(s))) if len(s) else 0,
                         int(np.count_nonzero(np.diff(np.signbit(s)))),
                         None,
                     )

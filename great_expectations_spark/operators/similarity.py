@@ -30,14 +30,7 @@ def _lit_array(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
-    """Embedding tables often arrive as one small file partition — cosine
-    math would then run on one core. Repartition up to default parallelism
-    when underpartitioned (no-op on well-partitioned tables)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+from great_expectations_spark.operators.dedup import _ensure_parallelism
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -59,7 +52,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO crash) when either vector has zero
+    norm — cosine is undefined there; callers drop the nulls."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def _require_query_norm(query_vec) -> float:
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm — cosine is undefined")
+    return qn
 
 
 def brute_force_topk(
@@ -71,11 +73,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: one scan, TakeOrderedAndProject (no full sort)."""
     q = _lit_array(query_vec)
-    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    sim = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
+    qn = _require_query_norm(query_vec)
+    sim = F.try_divide(dot(F.col(vec_col), q), norm(F.col(vec_col)) * F.lit(qn))
     return (
         _ensure_parallelism(df, id_col)
         .select(F.col(id_col), sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())  # zero-norm rows: undefined
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -128,12 +131,13 @@ def lsh_topk(
     bucket = lsh_bucket(F.col(vec_col), planes)
     probe = F.bit_count(bucket.bitwiseXOR(F.lit(qbucket))) <= multi_probe_hamming
     q = _lit_array(query_vec)
-    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    sim = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
+    qn = _require_query_norm(query_vec)
+    sim = F.try_divide(dot(F.col(vec_col), q), norm(F.col(vec_col)) * F.lit(qn))
     return (
         _ensure_parallelism(df, id_col)
         .filter(probe)
         .select(F.col(id_col), sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -146,15 +150,27 @@ def embedding_near_duplicate_pairs(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with cosine ≥ τ: same-LSH-bucket self-join → exact
     verify. High τ ⇒ high bucket-collision probability ((1 - θ/π)^n per
     plane set), so recall stays high while the join touches only same-bucket
-    pairs (quadratic only within buckets; AQE skew-splits hot buckets)."""
-    dim = len(df.select(vec_col).first()[0])
+    pairs (quadratic only within buckets; AQE skew-splits hot buckets).
+
+    ``dim`` skips the dimension-probe job; without it the first NON-NULL
+    embedding is probed (raises a clear error on an all-null/empty table)."""
+    if dim is None:
+        row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if row is None:
+            raise ValueError(
+                "no non-null embeddings to infer the dimension from — pass dim="
+            )
+        dim = len(row[0])
     planes = hyperplanes(dim, n_planes, seed)
     # norm computed once per VECTOR here, not once per pair in the join
-    with_bucket = _ensure_parallelism(df, id_col).select(
+    with_bucket = _ensure_parallelism(
+        df.filter(F.col(vec_col).isNotNull()), id_col
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -167,7 +183,7 @@ def embedding_near_duplicate_pairs(
         F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket", F.col("_n").alias("nb")
     )
     pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         pairs.select("a", "b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -189,7 +205,7 @@ def brute_force_pairs(
     left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("_n").alias("na"))
     right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("_n").alias("nb"))
     pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return pairs.select("a", "b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -210,8 +226,11 @@ def train_ivf_centroids(
     coarse quantizer. The sample is the only driver-side data (≤ sample_size
     vectors); training is numpy matrix math. Returns (n_centroids, dim)
     L2-normalized centroids, deterministic given (data, seed)."""
-    n = df.count()
-    sample = df.select(vec_col)
+    base = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    n = base.count()
+    if n == 0:
+        raise ValueError("no non-null embeddings to train IVF centroids on")
+    sample = base
     if n > sample_size:
         sample = sample.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed).limit(
             sample_size
@@ -247,9 +266,14 @@ def ivf_assign(
     @F.pandas_udf("int")
     def assign_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            M = np.array(series.tolist(), dtype=np.float64)
-            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            yield pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
+            vals = series.tolist()
+            out = np.full(len(vals), -1, dtype=np.int32)  # nulls -> list -1
+            valid = [i for i, v in enumerate(vals) if v is not None]
+            if valid:
+                M = np.array([vals[i] for i in valid], dtype=np.float64)
+                M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                out[valid] = (M @ C.T).argmax(axis=1).astype(np.int32)
+            yield pd.Series(out)
 
     return _ensure_parallelism(df, id_col).withColumn(
         "centroid_id", assign_udf(F.col(vec_col))
@@ -270,14 +294,15 @@ def ivf_topk(
     partition-pruning filter on a table clustered by centroid_id), exact
     cosine re-rank inside via TakeOrderedAndProject."""
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(q))
-    order = (centroids @ (q / max(qn, 1e-12))).argsort()[::-1]
+    qn = _require_query_norm(query_vec)
+    order = (centroids @ (q / qn)).argsort()[::-1]
     probes = [int(c) for c in order[: n_probe]]
     ql = _lit_array(query_vec)
-    sim = dot(F.col(vec_col), ql) / (norm(F.col(vec_col)) * F.lit(qn))
+    sim = F.try_divide(dot(F.col(vec_col), ql), norm(F.col(vec_col)) * F.lit(qn))
     return (
         indexed.filter(F.col("centroid_id").isin(probes))
         .select(F.col(id_col), sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

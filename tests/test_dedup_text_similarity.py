@@ -393,3 +393,34 @@ def test_duplicate_clusters_long_chain_louds_or_converges(spark):
 
     with pytest.raises(ValueError, match="did not converge"):
         duplicate_clusters(chain, max_iterations=5)
+
+
+def test_similarity_zero_norm_and_null_embeddings(spark):
+    """Zero-norm embeddings (failed-embedding artifacts) must not crash under
+    ANSI mode: they drop out of top-k/pairs; nulls get IVF list -1; a
+    zero-norm QUERY raises a clear error."""
+    from great_expectations_spark.operators.similarity import (
+        brute_force_pairs,
+        brute_force_topk,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("z", [0.0, 0.0]), ("n", None)],
+        "vec_id string, embedding array<double>",
+    )
+    top = brute_force_topk(df, [1.0, 0.0], k=10).collect()
+    assert [r["vec_id"] for r in top] == ["a", "b"]  # z and n dropped
+
+    pairs = brute_force_pairs(df.filter("embedding is not null"), threshold=0.5).collect()
+    assert {(p["a"], p["b"]) for p in pairs} == {("a", "b")}
+
+    C = train_ivf_centroids(df, n_centroids=2, sample_size=10)
+    assigned = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, C).collect()}
+    assert assigned["n"] == -1          # null embedding -> sentinel list
+    assert assigned["a"] >= 0
+
+    with pytest.raises(ValueError, match="zero norm"):
+        brute_force_topk(df, [0.0, 0.0], k=3)

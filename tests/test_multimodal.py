@@ -78,3 +78,20 @@ def test_image_phash_near_dups(spark):
     expected = {(i, i + "-copy") for i in originals}
     assert expected <= found
     assert all(p["hamming"] == 0 for p in pairs if (p["image_a"], p["image_b"]) in expected)
+
+
+def test_audio_peak_full_scale_negative(spark):
+    """int16 -32768 is valid PCM but np.abs wraps it in int16 — the peak
+    must come from the float copy."""
+    import numpy as np
+
+    from great_expectations_spark.operators.multimodal import (
+        encode_audio,
+        enrich_audio,
+    )
+
+    samples = np.array([-32768, 100, -5], dtype=np.int16)
+    payload = encode_audio(samples, 16000)
+    df = spark.createDataFrame([("c1", payload)], "clip_id string, bytes binary")
+    row = enrich_audio(df).select("_audio.*").collect()[0]
+    assert row["peak"] == 32768

@@ -1,5 +1,6 @@
 """Salting utilities (functions/skew.py) — correctness vs unsalted plans."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from great_expectations_spark.functions import skew
@@ -107,3 +108,42 @@ def test_salted_group_agg_explicit_pair(spark, lineitem):
         for r in lineitem.groupBy("l_returnflag").agg(F.collect_set("l_linestatus").alias("s")).collect()
     }
     assert got == want
+
+
+def test_salted_group_agg_refuses_composite_expressions(spark):
+    """max(x)-min(x) per-salt partials must NOT merge with the inner
+    function's combiner — the probe requires a single root aggregate call."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.functions.skew import salted_group_agg
+
+    df = spark.createDataFrame([("k", 0), ("k", 1), ("k", 100), ("k", 101)], ["k", "x"])
+    with pytest.raises(ValueError, match="merge combiner"):
+        salted_group_agg(df, ["k"], {"range": F.max("x") - F.min("x")}, buckets=4)
+    with pytest.raises(ValueError, match="merge combiner"):
+        salted_group_agg(df, ["k"], {"neg": F.max("x") * -1}, buckets=4)
+    # explicit (partial, merge) pair is the supported route
+    out = salted_group_agg(
+        df, ["k"],
+        {"mx": (F.max("x"), F.max("mx")), "mn": (F.min("x"), F.min("mn"))},
+        buckets=4,
+    ).collect()[0]
+    assert out["mx"] - out["mn"] == 101
+
+
+def test_salted_top_values_two_phase(spark):
+    """Top-k survives the two-phase (salt-local then global) rewrite: exact
+    counts and exact top ordering."""
+    from great_expectations_spark.functions.skew import salted_top_values
+
+    rows = (
+        [("hot", f"v{i}") for i in range(50)]          # 50 singleton values
+        + [("hot", "a")] * 30 + [("hot", "b")] * 20
+        + [("cold", "z")] * 3
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = salted_top_values(df, "k", "v", k=2, buckets=8).collect()
+    top = {(r["k"], r["v"]): r["cnt"] for r in out}
+    assert top[("hot", "a")] == 30 and top[("hot", "b")] == 20
+    assert top[("cold", "z")] == 3
+    assert len([r for r in out if r["k"] == "hot"]) == 2
