@@ -531,7 +531,12 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
                     base = base.limit(sample_cap)
             sel = [F.col(c) for c in planner.partition_by] + [col.alias("_v")]
             rows = base.select(*sel).collect()
-            _pop_cache["global"] = np.array([r["_v"] for r in rows], dtype=np.float64)
+            # sorted: rng.choice indexes into the array, so collect ORDER
+            # would otherwise leak the physical plan into the p-value —
+            # sorting makes draws deterministic across plan shapes
+            _pop_cache["global"] = np.sort(
+                np.array([r["_v"] for r in rows], dtype=np.float64)
+            )
             if planner.partition_by:
                 groups: dict[str, list] = {}
                 for r in rows:
@@ -542,7 +547,8 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
                     )
                     groups.setdefault(k, []).append(r["_v"])
                 _pop_cache["parts"] = {
-                    k: np.array(v, dtype=np.float64) for k, v in groups.items()
+                    k: np.sort(np.array(v, dtype=np.float64))
+                    for k, v in groups.items()
                 }
         if ctx.is_partition and ctx.partition_key is not None:
             k = _json.dumps(ctx.partition_key, sort_keys=True, default=str)
@@ -558,7 +564,7 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
                     .limit(sample_cap)
                     .collect()
                 )
-                vals = np.array([r["_v"] for r in rows], dtype=np.float64)
+                vals = np.sort(np.array([r["_v"] for r in rows], dtype=np.float64))
                 _pop_cache.setdefault("parts", {})[k] = vals
             return vals
         return _pop_cache["global"]

@@ -184,3 +184,43 @@ def test_distinct_set_and_mode_per_partition(spark):
     by_type = {r.expectation_config["expectation_type"]: r for r in res.results}
     assert by_type[dset].success is False
     assert by_type[dset].result["observed_value"] == ["a", "b", "z"]
+
+
+def test_partition_verdict_equals_filtered_global(spark, drift_df):
+    """INVARIANT: a per-partition drift verdict (and its observed statistic)
+    must equal the GLOBAL verdict of validating that partition's rows alone —
+    the partitioned machinery is an optimization, never a semantic change."""
+    from pyspark.sql import functions as F
+
+    s = ExpectationSuite("equiv")
+    s.add("expect_column_chi_square_test_p_value_to_be_greater_than",
+          column="cat", partition_object=CAT_PO, p=0.05)
+    s.add("expect_column_kl_divergence_to_be_less_than",
+          column="cat", partition_object=CAT_PO, threshold=0.1)
+    s.add("expect_column_psi_to_be_less_than",
+          column="cat", partition_object=CAT_PO, threshold=0.2)
+    s.add("expect_column_kstest_p_value_to_be_greater_than",
+          column="x", partition_object=CONT_PO, p=0.05)
+    s.add("expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+          column="x", partition_object=CONT_PO, p=0.05)
+    s.add("expect_column_pair_cramers_phi_value_to_be_less_than",
+          column_A="a", column_B="b", threshold=0.5)
+
+    partitioned = validate(drift_df, s, result_format="BASIC", partition_by=["fmt"])
+    by_part = {}
+    for r in partitioned.partition_results:
+        by_part.setdefault(r.partition["fmt"], {})[
+            r.expectation_config["expectation_type"]
+        ] = r
+
+    for fmt in ("ok", "bad"):
+        solo = validate(drift_df.filter(F.col("fmt") == fmt), s, result_format="BASIC")
+        for solo_r in solo.results:
+            etype = solo_r.expectation_config["expectation_type"]
+            part_r = by_part[fmt][etype]
+            assert part_r.success == solo_r.success, (fmt, etype)
+            pv, sv = part_r.result.get("observed_value"), solo_r.result.get("observed_value")
+            if isinstance(sv, float):
+                assert pv == pytest.approx(sv, rel=1e-9), (fmt, etype, pv, sv)
+            else:
+                assert pv == sv, (fmt, etype)
