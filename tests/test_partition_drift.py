@@ -224,3 +224,46 @@ def test_partition_verdict_equals_filtered_global(spark, drift_df):
                 assert pv == pytest.approx(sv, rel=1e-9), (fmt, etype, pv, sv)
             else:
                 assert pv == sv, (fmt, etype)
+
+
+def test_partition_verdict_equals_filtered_global_map_and_agg(spark, drift_df):
+    """Same equivalence invariant for map + aggregate + uniqueness families:
+    the rollup/groupBy partition machinery must match per-partition
+    revalidation exactly. (Uniqueness is equivalent here because no x value
+    spans partitions in this fixture — its per-partition verdict counts
+    GLOBAL duplicates by design, the documented cross-partition semantics.)"""
+    from pyspark.sql import functions as F
+
+    s = ExpectationSuite("equiv_ma")
+    s.add("expect_column_values_to_be_between", column="x", min_value=0.0,
+          max_value=0.5, mostly=0.4)
+    s.add("expect_column_values_to_be_in_set", column="cat", value_set=[1])
+    s.add("expect_column_mean_to_be_between", column="x", min_value=0.0, max_value=0.3)
+    s.add("expect_column_max_to_be_between", column="x", min_value=0.0, max_value=2.0)
+    s.add("expect_column_values_to_be_unique", column="x")
+    s.add("expect_column_distinct_values_to_be_in_set", column="cat", value_set=[1, 2])
+    s.add("expect_column_most_common_value_to_be_in_set", column="cat", value_set=[1])
+
+    partitioned = validate(drift_df, s, result_format="BASIC", partition_by=["fmt"])
+    by_part = {}
+    for r in partitioned.partition_results:
+        by_part.setdefault(r.partition["fmt"], {})[
+            r.expectation_config["expectation_type"]
+        ] = r
+
+    for fmt in ("ok", "bad"):
+        solo = validate(drift_df.filter(F.col("fmt") == fmt), s, result_format="BASIC")
+        for solo_r in solo.results:
+            etype = solo_r.expectation_config["expectation_type"]
+            part_r = by_part[fmt][etype]
+            assert part_r.success == solo_r.success, (fmt, etype)
+            for fld in ("element_count", "unexpected_count"):
+                if fld in solo_r.result:
+                    assert part_r.result.get(fld) == solo_r.result[fld], (
+                        fmt, etype, fld, part_r.result, solo_r.result,
+                    )
+            sv = solo_r.result.get("observed_value")
+            if isinstance(sv, float):
+                assert part_r.result.get("observed_value") == pytest.approx(sv)
+            elif sv is not None:
+                assert part_r.result.get("observed_value") == sv, (fmt, etype)
