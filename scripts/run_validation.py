@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None)
     p.add_argument("--no-resume", action="store_true", help="revalidate completed partitions")
     p.add_argument("--persist", action="store_true", help="cache the batch across passes")
+    p.add_argument(
+        "--global-rollup", default="conjunction",
+        choices=["conjunction", "validate", "none"],
+        help="global (partition_key-NULL) rows for URN chaining: driver-side "
+             "conjunction merge (default), one true global validation pass, "
+             "or none",
+    )
     return p
 
 
@@ -75,10 +82,15 @@ def main(argv=None) -> int:
             input_fingerprint=fingerprint,
             result_format=args.result_format,
             run_id=run_id,
+            global_rollup=None if args.global_rollup == "none" else args.global_rollup,
         )
         results = store.read_results()
+        # count failures over PARTITION rows only: the global rollup row is
+        # derived from them (counting it would double-book each failure)
         failed = results.filter(
-            (results.run_id == run_id) & (~results.success)
+            (results.run_id == run_id)
+            & (~results.success)
+            & results.partition_key.isNotNull()
         ).count()
         # resume contract: 'exit 0 iff suite passed' includes partitions
         # SKIPPED this run whose stored (latest) verdict was a failure —
