@@ -7,7 +7,7 @@ sparkdf_execution_engine.py:649-743, map_metric_provider.py:2356-2506):
 
   pass 0 (optional)  df.agg(...)                     prerequisites (z-score
                                                      mean/stddev, auto bins)
-  pass 1 (main)      df.rollup(*partition_cols)      EVERY bundled aggregate
+  pass 1 (main)      GROUPING SETS ((parts...),())   EVERY bundled aggregate
                        .agg(*all_metric_exprs)       metric for EVERY
                                                      expectation — counts,
                                                      unexpected counts,
@@ -484,9 +484,16 @@ class SuitePlanner:
             if not exprs:
                 continue
             if self.partition_by:
+                # GROUPING SETS ((partition_cols...), ()) — exactly the two
+                # levels consumed below. rollup(a, b, ...) would also compute
+                # every intermediate prefix level ((a), (a, b), ...) and ship
+                # those agg buffers through the shuffle just to be discarded.
                 gid = (1 << len(self.partition_by)) - 1
                 res = (
-                    df.rollup(*self.partition_by)
+                    df.groupingSets(
+                        [[F.col(c) for c in self.partition_by], []],
+                        *[F.col(c) for c in self.partition_by],
+                    )
                     .agg(F.grouping_id().alias("_gid"), *exprs)
                     .collect()
                 )
