@@ -267,3 +267,73 @@ def test_partition_verdict_equals_filtered_global_map_and_agg(spark, drift_df):
                 assert part_r.result.get("observed_value") == pytest.approx(sv)
             elif sv is not None:
                 assert part_r.result.get("observed_value") == sv, (fmt, etype)
+
+
+def test_multi_column_partition_key_with_nulls(spark, drift_df):
+    """Multi-column partition_by exercises the GROUPING SETS main pass where
+    it differs most from rollup (intermediate prefix levels exist but must
+    not surface), and a NULL in a key column must form its own partition,
+    distinguished from the global grouping level by grouping_id — not
+    absorbed into it or dropped."""
+    from pyspark.sql import functions as F
+
+    # src: alternating 'a'/'b', with NULL for one slice of the ok rows
+    df = drift_df.withColumn(
+        "src",
+        F.when((F.col("fmt") == "ok") & (F.col("cat") == 2), F.lit(None).cast("string"))
+        .when(F.col("b") == 0, F.lit("a"))
+        .otherwise(F.lit("b")),
+    )
+
+    s = ExpectationSuite("equiv_multi")
+    s.add("expect_column_values_to_be_between", column="x", min_value=0.0,
+          max_value=0.5, mostly=0.4)
+    s.add("expect_column_mean_to_be_between", column="x", min_value=0.0, max_value=0.3)
+    s.add("expect_column_kl_divergence_to_be_less_than",
+          column="cat", partition_object=CAT_PO, threshold=0.1)
+
+    partitioned = validate(df, s, result_format="BASIC", partition_by=["fmt", "src"])
+
+    keys = {
+        (r.partition["fmt"], r.partition["src"])
+        for r in partitioned.partition_results
+    }
+    # expected data partitions: ok×{a,b,NULL}, bad×{a,b} — and NO prefix
+    # levels like ('ok', <all src>) leaking out of the grouping sets pass
+    assert keys == {("ok", "a"), ("ok", "b"), ("ok", None), ("bad", "a"), ("bad", "b")}
+
+    by_part = {}
+    for r in partitioned.partition_results:
+        by_part.setdefault(
+            (r.partition["fmt"], r.partition["src"]),
+            {},
+        )[r.expectation_config["expectation_type"]] = r
+
+    # equivalence invariant incl. the NULL-key partition
+    for fmt, src in sorted(keys, key=str):
+        cond = (F.col("fmt") == fmt) & (
+            F.col("src").isNull() if src is None else (F.col("src") == src)
+        )
+        solo = validate(df.filter(cond), s, result_format="BASIC")
+        for solo_r in solo.results:
+            etype = solo_r.expectation_config["expectation_type"]
+            part_r = by_part[(fmt, src)][etype]
+            assert part_r.success == solo_r.success, (fmt, src, etype)
+            for fld in ("element_count", "unexpected_count"):
+                if fld in solo_r.result:
+                    assert part_r.result.get(fld) == solo_r.result[fld], (
+                        fmt, src, etype, fld,
+                    )
+            sv = solo_r.result.get("observed_value")
+            if isinstance(sv, float):
+                assert part_r.result.get("observed_value") == pytest.approx(sv), (
+                    fmt, src, etype,
+                )
+
+    # global verdicts must be identical to an unpartitioned run
+    plain = validate(df, s, result_format="BASIC")
+    for pr, gr in zip(partitioned.results, plain.results):
+        assert pr.expectation_config == gr.expectation_config
+        assert pr.success == gr.success
+        assert pr.result.get("element_count") == gr.result.get("element_count")
+        assert pr.result.get("unexpected_count") == gr.result.get("unexpected_count")
