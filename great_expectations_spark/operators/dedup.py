@@ -206,16 +206,16 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.select(
-        F.col(id_col).alias("a"), F.col("band"), F.col("bucket")
-    )
-    right = banded.select(
-        F.col(id_col).alias("b"), F.col("band"), F.col("bucket")
-    )
+    # self-join via alias (renames above the join) so AQE can reuse the
+    # banded-side shuffle exchange when `signatures` is unpersisted — see
+    # simhash_near_pairs for the measured 2× effect of the rename-below shape
     return (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
         .dropDuplicates()
     )
 
@@ -358,16 +358,23 @@ def simhash_near_pairs(
         F.col("simhash"),
         F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
     )
-    left = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "band_idx", "band_val"
-    )
-    right = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "band_idx", "band_val"
-    )
+    # Self-join `banded` with ITSELF via alias, renaming only ABOVE the join.
+    # Renaming below (a left projection to a/sig_a, a right one to b/sig_b)
+    # makes the two join inputs canonically different plans, so AQE cannot
+    # reuse the shuffle exchange and the whole signature aggregation runs
+    # twice when `signatures` is unpersisted — measured 2× wall on the
+    # sf0.1 corpus. With identical subtrees the right side reads the left's
+    # shuffle output (AQE runtime stage reuse; output verified identical).
     pairs = (
-        left.join(right, on=["band_idx", "band_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band_idx", "band_val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
         .dropDuplicates(["a", "b"])
     )
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

@@ -176,13 +176,23 @@ def embedding_near_duplicate_pairs(
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
         norm(F.col(vec_col)).alias("_n"),
     )
-    left = with_bucket.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket", F.col("_n").alias("na")
+    # self-join via alias with renames ABOVE the join: identical join-input
+    # subtrees let AQE reuse the shuffle exchange, so the bucket/norm
+    # projection (n_planes dot products per row) is computed once, not once
+    # per side (see dedup.simhash_near_pairs for the measured 2× effect)
+    pairs = (
+        with_bucket.alias("l")
+        .join(with_bucket.alias("r"), "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+            F.col("l._n").alias("na"),
+            F.col("r._n").alias("nb"),
+        )
     )
-    right = with_bucket.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket", F.col("_n").alias("nb")
-    )
-    pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
     sim = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         pairs.select("a", "b", sim.alias("cosine"))
