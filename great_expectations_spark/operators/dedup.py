@@ -435,12 +435,16 @@ def token_jaccard_pairs(
     else:
         rare = tok
         hot_sets = None
-    ta = rare.select(F.col(id_col).alias("a"), "tok")
-    tb = rare.select(F.col(id_col).alias("b"), "tok")
+    # self-join via alias (renames above the join) — identical join-input
+    # subtrees let AQE reuse the token-explode side's shuffle exchange
+    # instead of recomputing the explode per side (see simhash_near_pairs)
     inter = (
-        ta.join(tb, "tok")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        rare.alias("ja")
+        .join(rare.alias("jb"), "tok")
+        .filter(F.col(f"ja.{id_col}") < F.col(f"jb.{id_col}"))
+        .groupBy(
+            F.col(f"ja.{id_col}").alias("a"), F.col(f"jb.{id_col}").alias("b")
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     if hot_sets is not None:
