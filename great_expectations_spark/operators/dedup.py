@@ -43,18 +43,39 @@ def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
 
 
 def exact_duplicate_groups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_group_ids: int | None = 10_000,
 ) -> DataFrame:
     """Groups of exact duplicates (after normalization).
 
-    → (fp, n_docs, keep_id, doc_ids) for groups with n_docs > 1."""
+    → (fp, n_docs, keep_id, doc_ids) for groups with n_docs > 1.
+    ``n_docs``/``keep_id`` are always exact; ``doc_ids`` lists the first
+    ``max_group_ids`` member ids (ascending). The cap is applied BEFORE the
+    collect via a per-fp row_number, so the aggregation buffer is bounded
+    even for pathological groups (e.g. millions of empty documents sharing
+    one fingerprint) — a post-agg slice would still materialize the full
+    list per group. The row_number window partitions by fp (never a global
+    ordering), and the groupBy reuses the window's hash distribution — one
+    shuffle total. ``max_group_ids=None`` restores the unbounded list."""
+    fp = df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
+    if max_group_ids is None:
+        collected = F.sort_array(F.collect_list(id_col))
+    else:
+        from pyspark.sql import Window
+
+        fp = fp.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy(F.col(id_col))),
+        )
+        collected = F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_group_ids, F.col(id_col)))
+        )
     return (
-        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp"))
-        .groupBy("fp")
+        fp.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            collected.alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )

@@ -111,6 +111,22 @@ def test_exact_duplicate_groups(docs_small):
     assert g["doc_ids"] == [1, 2, 3]
 
 
+def test_exact_duplicate_groups_id_cap(spark):
+    # one pathological group (7 identical docs) + a distinct doc; cap at 3:
+    # n_docs stays exact, doc_ids holds the 3 smallest ids, and the capped
+    # plan has no unbounded collect (row_number window reuses the groupBy's
+    # hash distribution — exactly one exchange on fp)
+    rows = [(i, "same text") for i in range(10, 17)] + [(1, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = dedup.exact_duplicate_groups(df, max_group_ids=3).collect()
+    assert len(g) == 1
+    assert g[0]["n_docs"] == 7
+    assert g[0]["keep_id"] == 10
+    assert g[0]["doc_ids"] == [10, 11, 12]
+    plan = dedup.exact_duplicate_groups(df, max_group_ids=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_exact_dedup_keeps_one(docs_small):
     kept = dedup.exact_dedup(docs_small)
     ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
