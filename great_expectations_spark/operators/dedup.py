@@ -583,15 +583,21 @@ def duplicate_clusters(
     Returns (node, cluster_id) for every id that appears in ``pairs``;
     cluster_id = the minimum member id of the component.
 
-    Algorithm: distributed min-label propagation — per iteration every node
-    adopts min(own label, neighbors' labels). Each iteration is
-    shuffle-bounded (a union of two projected joins + one groupBy-min; no
-    windows, no driver-side graph). Convergence is O(component diameter)
-    iterations; near-dup components are near-cliques via LSH bucketing
-    (diameter 2-3), so this typically converges in <5 rounds even at corpus
-    scale. ``localCheckpoint`` truncates the per-iteration lineage so the
-    plan stays flat. Convergence is detected with one scalar per iteration
-    (hash-sum of (node,label) — no extra join)."""
+    Algorithm: distributed min-label propagation with pointer jumping —
+    per iteration every node adopts min(own label, neighbors' labels), then
+    shortcuts to its label's label (L(v) <- L(L(v)), path compression).
+    Each iteration is shuffle-bounded (a union of two projected joins + one
+    groupBy-min + one label self-join; no windows, no driver-side graph).
+    Labels are monotonically non-increasing and both steps are stable
+    exactly at the true components, so the fingerprint convergence test is
+    exact. Near-dup components from LSH bucketing are near-cliques
+    (diameter 2-3, <5 rounds); the jump step bounds chain-shaped components
+    (templated pages with drifting boilerplate can link A~B~C~... at corpus
+    scale) at O(log diameter) rounds instead of O(diameter), so the default
+    max_iterations covers any realistic component. ``localCheckpoint``
+    truncates the per-iteration lineage so the plan stays flat. Convergence
+    is detected with one scalar per iteration (xor-hash of (node,label) —
+    no extra join)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -627,9 +633,27 @@ def duplicate_clusters(
             )
             .union(labels)
         )
-        new_labels = (
+        propagated = (
             msgs.groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
+            # checkpoint BEFORE the jump self-join: the two join sides hash
+            # on different keys (cluster_id vs node), so without a
+            # materialization the groupBy subtree would run twice
+            .localCheckpoint()
+        )
+        # pointer jump: every label is itself a node id, so adopt the
+        # label's label (left+coalesce is defensive; the join always hits)
+        ptr = propagated.select(
+            F.col("node").alias("_ptr"), F.col("cluster_id").alias("_ptr_label")
+        )
+        new_labels = (
+            propagated.join(ptr, propagated["cluster_id"] == ptr["_ptr"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_ptr_label"), F.col("cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
             .localCheckpoint()
         )
         new_fp = _fingerprint(new_labels)

@@ -398,17 +398,18 @@ def test_clusters_from_minhash_pipeline(spark):
 
 
 def test_duplicate_clusters_long_chain_louds_or_converges(spark):
-    """A path graph needs O(diameter) propagation rounds: with enough
-    iterations the whole chain collapses to cluster 0; with too few the
-    operator RAISES instead of returning silently-wrong labels."""
+    """Pointer jumping makes a path graph converge in O(log diameter)
+    rounds: a 41-node chain (diameter 40) collapses to cluster 0 within 10
+    iterations (plain propagation would need 40). With too few iterations
+    the operator RAISES instead of returning silently-wrong labels."""
     from great_expectations_spark.operators.dedup import duplicate_clusters
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["a", "b"])
-    out = duplicate_clusters(chain, max_iterations=60).collect()
+    out = duplicate_clusters(chain, max_iterations=10).collect()
     assert all(r["cluster_id"] == 0 for r in out) and len(out) == 41
 
     with pytest.raises(ValueError, match="did not converge"):
-        duplicate_clusters(chain, max_iterations=5)
+        duplicate_clusters(chain, max_iterations=2)
 
 
 def test_similarity_zero_norm_and_null_embeddings(spark):
