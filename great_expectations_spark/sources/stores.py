@@ -261,6 +261,75 @@ class WebhookNotificationAction:
             pass  # notification failure must not fail the run
 
 
+def render_slack_payload(event: dict) -> dict:
+    """Slack Block-Kit payload for a checkpoint event — the observable shape
+    of the reference's SlackRenderer.render
+    (render/renderer/slack_renderer.py:19-140): one mrkdwn section block
+    with status / suite / run-id / summary lines, an abbreviated root-level
+    ``text`` (what Slack shows in the notification banner), a divider, and a
+    context footer. Data-docs link blocks are out of scope (no data-docs
+    surface in this engine)."""
+    success = event.get("success")
+    status = "Success :tada:" if success else "Failed :x:"
+    suite = event.get("suite_name", "__no_expectation_suite_name__")
+    run_id = event.get("run_id", "__no_run_id__")
+    lines = [
+        f"*Batch Validation Status*: {status}",
+        f"*Expectation suite name*: `{suite}`",
+        f"*Run ID*: `{run_id}`",
+    ]
+    if event.get("event_type") == "partition_validated":
+        lines.append(
+            f"*Partition*: `{json.dumps(event.get('partition'), default=str)}`"
+        )
+        stats = event.get("statistics") or {}
+        n = stats.get("evaluated_expectations")
+        if n is not None:
+            lines.append(
+                f"*Summary*: *{stats.get('successful_expectations')}* of "
+                f"*{n}* expectations were met"
+            )
+    elif event.get("event_type") == "run_completed":
+        lines.append(
+            f"*Summary*: {event.get('partitions_run', 0)} partitions run, "
+            f"{event.get('partitions_skipped', 0)} skipped, "
+            f"{event.get('partitions_failed', 0)} failed"
+        )
+    blocks = [
+        {"type": "section", "text": {"type": "mrkdwn", "text": "\n".join(lines)}},
+        {"type": "divider"},
+        {
+            "type": "context",
+            "elements": [
+                {
+                    "type": "mrkdwn",
+                    "text": f"great_expectations_spark checkpoint — suite `{suite}`",
+                }
+            ],
+        },
+    ]
+    return {"blocks": blocks, "text": f"{suite}: {status}"}
+
+
+class SlackNotificationAction(WebhookNotificationAction):
+    """Reference SlackNotificationAction (checkpoint/actions.py:114-260):
+    POSTs the SlackRenderer Block-Kit payload to a Slack webhook, gated by
+    ``notify_on`` exactly like the reference (:229-233). Same injectable
+    ``transport`` as WebhookNotificationAction; rendering happens only when
+    the gate passes."""
+
+    def run(self, event: dict) -> None:
+        success = event.get("success")
+        if self.notify_on == "success" and success is not True:
+            return
+        if self.notify_on == "failure" and success is not False:
+            return
+        try:
+            self.transport(self.url, render_slack_payload(event))
+        except Exception:
+            pass  # notification failure must not fail the run
+
+
 class CheckpointRunner:
     """Partition-wise validation with resume.
 

@@ -201,6 +201,54 @@ def test_checkpoint_actions_and_failed_partitions(spark, lineitem, tmp_path):
     assert store.failed_partitions(suite2.id, "fp-2") == set()
 
 
+def test_slack_notification_action_payload_and_gating():
+    """SlackNotificationAction renders the reference SlackRenderer shape
+    (blocks + abbreviated root text, status emoji, n-of-m summary) and gates
+    on notify_on like the reference (actions.py:229-233). No Spark needed."""
+    from great_expectations_spark.sources.stores import (
+        SlackNotificationAction,
+        render_slack_payload,
+    )
+
+    ok_event = {
+        "event_type": "partition_validated",
+        "run_id": "r-1",
+        "suite_name": "nightly",
+        "partition": {"l_returnflag": "A"},
+        "success": True,
+        "statistics": {"evaluated_expectations": 6, "successful_expectations": 5},
+    }
+    payload = render_slack_payload(ok_event)
+    assert payload["text"] == "nightly: Success :tada:"
+    body = payload["blocks"][0]["text"]["text"]
+    assert "*Batch Validation Status*: Success :tada:" in body
+    assert "`nightly`" in body and "`r-1`" in body
+    assert "*5* of *6* expectations were met" in body
+    assert payload["blocks"][1] == {"type": "divider"}
+    assert payload["blocks"][2]["type"] == "context"
+
+    done = dict(ok_event, event_type="run_completed", success=False,
+                partitions_run=2, partitions_skipped=1, partitions_failed=1)
+    p2 = render_slack_payload(done)
+    assert p2["text"] == "nightly: Failed :x:"
+    assert "2 partitions run, 1 skipped, 1 failed" in p2["blocks"][0]["text"]["text"]
+
+    sent = []
+    act = SlackNotificationAction(
+        "https://hooks.slack.invalid/T000/B000",
+        notify_on="failure",
+        transport=lambda url, payload: sent.append(payload),
+    )
+    act.run(ok_event)          # success, failure-only gate -> suppressed
+    assert sent == []
+    act.run(done)
+    assert len(sent) == 1 and sent[0]["text"].endswith("Failed :x:")
+    # transport errors never propagate into the checkpoint
+    def boom(url, payload):
+        raise RuntimeError("slack down")
+    SlackNotificationAction("u", transport=boom).run(done)
+
+
 def test_checkpoint_global_rollup_urn_chaining(spark, lineitem, tmp_path):
     """Partition-wise checkpoint runs write global (partition_key-NULL) rows
     so validations-URN chaining resolves against checkpoint flows too:
