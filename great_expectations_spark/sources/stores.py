@@ -330,6 +330,77 @@ class SlackNotificationAction(WebhookNotificationAction):
             pass  # notification failure must not fail the run
 
 
+def render_email_message(event: dict) -> dict:
+    """(subject, html) for a checkpoint event — the observable shape of the
+    reference's EmailRenderer.render (render/renderer/email_renderer.py:
+    14-63): subject '<suite>: <status emoji>' and an HTML body of
+    <p><strong>k</strong>: v</p> lines with the n-of-m summary."""
+    success = event.get("success")
+    status = "Success 🎉" if success else "Failed ❌"
+    suite = event.get("suite_name", "__no_expectation_suite_name__")
+    run_id = event.get("run_id", "__no_run_id__")
+    lines = [
+        f"<p><strong>Batch Validation Status</strong>: {status}</p>",
+        f"<p><strong>Expectation suite name</strong>: {suite}</p>",
+        f"<p><strong>Run ID</strong>: {run_id}</p>",
+    ]
+    if event.get("event_type") == "partition_validated":
+        lines.append(
+            "<p><strong>Partition</strong>: "
+            f"{json.dumps(event.get('partition'), default=str)}</p>"
+        )
+        stats = event.get("statistics") or {}
+        n = stats.get("evaluated_expectations")
+        if n is not None:
+            lines.append(
+                "<p><strong>Summary</strong>: "
+                f"<strong>{stats.get('successful_expectations')}</strong> of "
+                f"<strong>{n}</strong> expectations were met</p>"
+            )
+    elif event.get("event_type") == "run_completed":
+        lines.append(
+            "<p><strong>Summary</strong>: "
+            f"{event.get('partitions_run', 0)} partitions run, "
+            f"{event.get('partitions_skipped', 0)} skipped, "
+            f"{event.get('partitions_failed', 0)} failed</p>"
+        )
+    return {"subject": f"{suite}: {status}", "html": "\n".join(lines)}
+
+
+class EmailNotificationAction(WebhookNotificationAction):
+    """Reference EmailAction (checkpoint/actions.py:262-430) minus SMTP:
+    renders the EmailRenderer message and hands {subject, html, to} to the
+    injectable ``transport`` (an SMTP sender in production, a recorder in
+    tests — this container has no network, same reason the reference's
+    smtplib path can't run here). Same notify_on gate as the reference."""
+
+    def __init__(
+        self,
+        to: list[str],
+        notify_on: str = "all",
+        transport=None,
+    ) -> None:
+        if transport is None:
+            raise ValueError(
+                "EmailNotificationAction needs an explicit transport "
+                "(an SMTP sender); there is no default network path"
+            )
+        super().__init__(url="", notify_on=notify_on, transport=transport)
+        self.to = list(to)
+
+    def run(self, event: dict) -> None:
+        success = event.get("success")
+        if self.notify_on == "success" and success is not True:
+            return
+        if self.notify_on == "failure" and success is not False:
+            return
+        try:
+            msg = dict(render_email_message(event), to=self.to)
+            self.transport(self.to, msg)
+        except Exception:
+            pass  # notification failure must not fail the run
+
+
 class CheckpointRunner:
     """Partition-wise validation with resume.
 

@@ -249,6 +249,47 @@ def test_slack_notification_action_payload_and_gating():
     SlackNotificationAction("u", transport=boom).run(done)
 
 
+def test_email_notification_action_payload_and_gating():
+    """EmailNotificationAction renders the reference EmailRenderer shape
+    (subject '<suite>: <status>', <p><strong> HTML lines) and requires an
+    explicit transport (no network in this container)."""
+    from great_expectations_spark.sources.stores import (
+        EmailNotificationAction,
+        render_email_message,
+    )
+
+    event = {
+        "event_type": "run_completed",
+        "run_id": "r-9",
+        "suite_name": "nightly",
+        "success": True,
+        "partitions_run": 3,
+        "partitions_skipped": 0,
+        "partitions_failed": 0,
+    }
+    msg = render_email_message(event)
+    assert msg["subject"] == "nightly: Success 🎉"
+    assert "<p><strong>Batch Validation Status</strong>: Success 🎉</p>" in msg["html"]
+    assert "3 partitions run, 0 skipped, 0 failed" in msg["html"]
+
+    with pytest.raises(ValueError, match="transport"):
+        EmailNotificationAction(to=["a@b.c"])
+
+    sent = []
+    act = EmailNotificationAction(
+        to=["oncall@example.invalid"],
+        notify_on="success",
+        transport=lambda to, msg: sent.append((to, msg)),
+    )
+    act.run(dict(event, success=False))  # success-only gate -> suppressed
+    assert sent == []
+    act.run(event)
+    assert len(sent) == 1
+    to, m = sent[0]
+    assert to == ["oncall@example.invalid"] and m["to"] == to
+    assert m["subject"].endswith("Success 🎉")
+
+
 def test_checkpoint_global_rollup_urn_chaining(spark, lineitem, tmp_path):
     """Partition-wise checkpoint runs write global (partition_key-NULL) rows
     so validations-URN chaining resolves against checkpoint flows too:
