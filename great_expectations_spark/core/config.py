@@ -84,10 +84,12 @@ class ExpectationConfiguration:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ExpectationConfiguration":
+        # kwargs/meta are allow_none in the reference schema
+        # (ExpectationConfigurationSchema, expectation_configuration.py:1452-1467)
         return cls(
             expectation_type=d["expectation_type"],
-            kwargs=dict(d.get("kwargs", {})),
-            meta=dict(d.get("meta", {})),
+            kwargs=dict(d.get("kwargs") or {}),
+            meta=dict(d.get("meta") or {}),
         )
 
 
@@ -122,17 +124,57 @@ class ExpectationSuite:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ExpectationSuite":
+        """Build a suite from either this engine's dict shape or the
+        reference's on-disk serialization.
+
+        The reference writes suites with ``expectation_suite_name`` plus
+        optional ``data_asset_type`` / ``ge_cloud_id`` top-level keys
+        (ExpectationSuiteSchema, core/expectation_suite.py:970-976); both
+        spellings are accepted so a reference user's existing suite JSON
+        files load unchanged. Unknown reference-side keys are preserved in
+        ``meta["reference_extras"]`` so a round-trip through
+        ``to_reference_dict`` is lossless.
+        """
+        name = d.get("expectation_suite_name", d.get("name", "unnamed"))
+        meta = dict(d.get("meta") or {})
+        extras = {
+            k: d[k]
+            for k in ("data_asset_type", "ge_cloud_id")
+            if d.get(k) is not None
+        }
+        if extras:
+            meta.setdefault("reference_extras", {}).update(extras)
         return cls(
-            name=d.get("name", "unnamed"),
+            name=name,
             expectations=[
-                ExpectationConfiguration.from_dict(c) for c in d.get("expectations", [])
+                ExpectationConfiguration.from_dict(c) for c in d.get("expectations") or []
             ],
-            meta=dict(d.get("meta", {})),
-            evaluation_parameters=dict(d.get("evaluation_parameters", {})),
+            meta=meta,
+            evaluation_parameters=dict(d.get("evaluation_parameters") or {}),
         )
+
+    def to_reference_dict(self) -> dict[str, Any]:
+        """Serialize in the reference's ExpectationSuiteSchema key layout
+        (``expectation_suite_name``; empty meta/evaluation_parameters
+        dropped, matching the schema's clean_empty behavior)."""
+        meta = dict(self.meta)
+        extras = meta.pop("reference_extras", {})
+        out: dict[str, Any] = {
+            "expectation_suite_name": self.name,
+            "expectations": [c.to_dict() for c in self.expectations],
+        }
+        out.update(extras)
+        if self.evaluation_parameters:
+            out["evaluation_parameters"] = dict(self.evaluation_parameters)
+        if meta:
+            out["meta"] = meta
+        return out
 
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), indent=2, default=_json_default)
+
+    def to_reference_json(self) -> str:
+        return json.dumps(self.to_reference_dict(), indent=2, default=_json_default)
 
     @classmethod
     def from_json(cls, s: str) -> "ExpectationSuite":

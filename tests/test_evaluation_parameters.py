@@ -433,3 +433,62 @@ def test_urn_resolver_skips_null_field_rows(spark, lineitem, tmp_path):
     )
     vmax = lineitem.agg({"l_quantity": "max"}).collect()[0][0]
     assert ResultsStoreUrnResolver(store)(urn) == vmax
+
+
+def test_reference_format_suite_loads_and_runs(spark, lineitem, tmp_path):
+    """A suite JSON written by the reference (ExpectationSuiteSchema key
+    layout: expectation_suite_name / data_asset_type / ge_cloud_id, with
+    $PARAMETER-URN kwargs — core/expectation_suite.py:970-976) loads
+    unchanged, runs end-to-end against a store, and round-trips back to the
+    reference key layout."""
+    import json
+
+    from great_expectations_spark.core.eval_params import ResultsStoreUrnResolver
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "refstore"))
+    eng = SparkValidationEngine(spark)
+    seed = ExpectationSuite(name="upstream.default")
+    seed.add("expect_table_row_count_to_be_between", min_value=1, max_value=10**12)
+    store.write_results(eng.validate(lineitem, seed), run_id="run-1")
+
+    ref_json = json.dumps(
+        {
+            "expectation_suite_name": "downstream.default",
+            "data_asset_type": "Dataset",
+            "ge_cloud_id": None,
+            "meta": {"great_expectations_version": "0.15.21"},
+            "expectations": [
+                {
+                    "expectation_type": "expect_table_row_count_to_equal",
+                    "kwargs": {
+                        "value": {
+                            "$PARAMETER": (
+                                "urn:great_expectations:validations:upstream.default:"
+                                "expect_table_row_count_to_be_between.result.observed_value"
+                            )
+                        }
+                    },
+                },
+                {
+                    "expectation_type": "expect_column_values_to_not_be_null",
+                    "kwargs": {"column": "l_orderkey"},
+                    "meta": None,
+                },
+            ],
+        }
+    )
+    suite = ExpectationSuite.from_json(ref_json)
+    assert suite.name == "downstream.default"
+    assert suite.meta["reference_extras"] == {"data_asset_type": "Dataset"}
+
+    res = eng.validate(lineitem, suite, urn_resolver=ResultsStoreUrnResolver(store))
+    assert res.success is True
+    assert res.results[0].result["observed_value"] == lineitem.count()
+
+    out = suite.to_reference_dict()
+    assert out["expectation_suite_name"] == "downstream.default"
+    assert out["data_asset_type"] == "Dataset"
+    assert "name" not in out and "reference_extras" not in out.get("meta", {})
+    # round-trip is stable
+    assert ExpectationSuite.from_dict(out).to_reference_dict() == out
