@@ -691,3 +691,143 @@ def dedup_by_clusters(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---- substring-span dedup (duplicated n-gram spans) ----------------------
+
+
+def _rot_xor_fold(cols: list[Column]) -> Column:
+    """xor-fold of per-offset bit-rotations of k 64-bit columns
+    (order-sensitive, ANSI-safe — no multiply/add overflow)."""
+    out = None
+    for j, v in enumerate(cols):
+        r = (13 * j + 5) % 63 + 1
+        rot = F.shiftleft(v, r).bitwiseOR(F.shiftrightunsigned(v, 64 - r))
+        out = rot if out is None else out.bitwiseXOR(rot)
+    return out
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — substring-level exact
+    dedup in the style of the published train-data dedup recipe (suffix
+    duplicates ≈ repeated k-grams; public literature, e.g. Lee et al. 2022,
+    arXiv:2107.06499): a token k-gram occurring ``min_count``+ times
+    anywhere in the corpus (across documents OR repeated within one) marks
+    its positions duplicated; overlapping/adjacent duplicated grams merge
+    into maximal spans.
+
+    Returns (id_col, start_token, end_token, dup_grams): token-index span
+    [start, end) over the normalized-whitespace tokenization, and the count
+    of duplicated k-grams merged into the span. Duplicated token count for
+    a doc = Σ (end - start) — spans are maximal, so no double counting.
+
+    Plan shape (scales to corpus size, no all-pairs anything):
+      1. posexplode token hashes to (id, pos, th) — only longs, never gram
+         strings — then build each gram hash from k-1 ``lead`` window
+         columns over (id, pos) and a codegen'd rot/xor projection. A
+         transform-lambda with k ``F.get``s per element runs interpreted at
+         ~0.5 ms/gram (measured 130 s for 270k tokens at sf0.1); this
+         window shape is 40×+ faster and its doc-keyed shuffle replaces the
+         repartition the explode needed anyway;
+      2. gram occurrence counts: groupBy(gh) with map-side combine; the
+         positions←counts inner join re-keys by gh, so AQE reuses the
+         exchange; hot grams (boilerplate) inflate a COUNT, not a pair
+         count — unlike a self-join there is no df² term;
+      3. span merge: partition-local window over (id, pos) — keyed by
+         document, never a global ordering.
+
+    Gram identity is the 64-bit hash, not the gram text: a collision could
+    mark a span duplicated spuriously (~2⁻⁶⁴ per gram pair; negligible at
+    any corpus size where this matters). min_count counts OCCURRENCES, so
+    a k-gram repeated min_count times inside a single document also
+    qualifies — that is the semantics that removes boilerplate.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    toked = norm.select(id_col, tokens(F.col("_norm")).alias("_toks"))
+    tok_pos = _ensure_parallelism(
+        toked.select(id_col, F.posexplode(F.col("_toks")).alias("pos", "_tok")),
+        id_col,
+    ).select(id_col, "pos", F.xxhash64("_tok").alias("_th"))
+    wlead = Window.partitionBy(id_col).orderBy("pos")
+    with_leads = tok_pos.select(
+        id_col,
+        "pos",
+        "_th",
+        *[F.lead("_th", j).over(wlead).alias(f"_th{j}") for j in range(1, k)],
+    )
+    gh_in = [F.col("_th")] + [F.col(f"_th{j}") for j in range(1, k)]
+    pos = (
+        # tail positions have no full k-gram (lead ran off the document)
+        with_leads.filter(
+            F.col(f"_th{k - 1}").isNotNull() if k > 1 else F.lit(True)
+        ).select(id_col, "pos", _rot_xor_fold(gh_in).alias("gh"))
+    )
+    counts = pos.groupBy("gh").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup = (
+        pos.join(counts.filter(F.col("_cnt") >= min_count), "gh")
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn("_span", F.sum("_new").over(w))
+        .groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").alias("start_token"),
+            (F.max("pos") + F.lit(k)).alias("end_token"),
+            F.count(F.lit(1)).alias("dup_grams"),
+        )
+        .select(id_col, "start_token", "end_token", "dup_grams")
+    )
+    return spans
+
+
+def duplicated_token_stats(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-token totals from ``duplicate_ngram_spans``
+    output: (id, n_tokens, dup_tokens, dup_fraction, n_spans). Docs with no
+    duplicated span report 0 / 0.0 — one small aggregate joined back to the
+    doc-length projection, no re-scan of span inputs."""
+    lens = df.select(
+        F.col(id_col),
+        F.size(tokens(normalize_text(F.col(text_col)))).alias("n_tokens"),
+    )
+    per = spans.groupBy(id_col).agg(
+        F.sum(F.col("end_token") - F.col("start_token")).alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        lens.join(per, id_col, "left")
+        .na.fill({"dup_tokens": 0, "n_spans": 0})
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_tokens",
+            # spans are maximal and non-overlapping with end ≤ n_tokens,
+            # so the ratio is already bounded to [0, 1]
+            F.when(F.col("n_tokens") > 0, F.col("dup_tokens") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+            "n_spans",
+        )
+    )

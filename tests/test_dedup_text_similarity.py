@@ -441,3 +441,83 @@ def test_similarity_zero_norm_and_null_embeddings(spark):
 
     with pytest.raises(ValueError, match="zero norm"):
         brute_force_topk(df, [0.0, 0.0], k=3)
+
+
+# ---- substring-span dedup (duplicated n-gram spans) ---------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_spans_cross_doc_exact_boundaries(spark):
+    # docs 1 and 2 share tokens 2..7 (6 tokens, "c d e f g h"); k=4 means
+    # shared 4-grams at starts 2,3,4 in doc 1 → merged span [2, 8)
+    d1 = "a b c d e f g h x y z w q r"          # 14 tokens
+    d2 = "p q2 c d e f g h m n o"               # shared run at positions 2..7
+    df = _mk_docs(spark, [(1, d1), (2, d2)])
+    spans = dedup.duplicate_ngram_spans(df, k=4).collect()
+    by_id = {(r["doc_id"]): (r["start_token"], r["end_token"], r["dup_grams"]) for r in spans}
+    assert by_id[1] == (2, 8, 3)
+    assert by_id[2] == (2, 8, 3)
+
+
+def test_ngram_spans_within_doc_repetition(spark):
+    # one doc repeating an 8-token boilerplate twice, different filler around
+    boiler = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = _mk_docs(spark, [(1, f"s1 s2 {boiler} m1 m2 m3 {boiler} e1 e2")])
+    spans = dedup.duplicate_ngram_spans(df, k=8).collect()
+    got = sorted((r["start_token"], r["end_token"]) for r in spans)
+    # boilerplate occupies tokens [2,10) and [13,21)
+    assert got == [(2, 10), (13, 21)]
+
+
+def test_ngram_spans_no_dups_and_short_docs(spark):
+    df = _mk_docs(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "one two"), (3, ""), (4, "x")],
+    )
+    assert dedup.duplicate_ngram_spans(df, k=3).count() == 0
+
+
+def test_ngram_spans_adjacent_spans_merge(spark):
+    # two docs sharing two runs separated by exactly k tokens of unique
+    # filler per doc: gap > k → two distinct spans, not one
+    run1, run2 = "c1 c2 c3 c4", "d1 d2 d3 d4"
+    df = _mk_docs(
+        spark,
+        [
+            (1, f"{run1} u1 u2 u3 u4 u5 {run2}"),
+            (2, f"z1 z2 {run1} v1 v2 v3 v4 v5 {run2} z3"),
+        ],
+    )
+    rows = dedup.duplicate_ngram_spans(df, k=4).collect()
+    d1 = sorted((r["start_token"], r["end_token"]) for r in rows if r["doc_id"] == 1)
+    assert d1 == [(0, 4), (9, 13)]
+
+
+def test_duplicated_token_stats(spark):
+    d1 = "a b c d e f g h x y z w q r"
+    d2 = "p q2 c d e f g h m n o"
+    df = _mk_docs(spark, [(1, d1), (2, d2), (3, "unique only here")])
+    spans = dedup.duplicate_ngram_spans(df, k=4)
+    stats = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_token_stats(df, spans).collect()
+    }
+    assert stats[1]["n_tokens"] == 14 and stats[1]["dup_tokens"] == 6
+    assert stats[1]["dup_fraction"] == pytest.approx(6 / 14)
+    assert stats[2]["dup_tokens"] == 6 and stats[2]["n_spans"] == 1
+    assert stats[3]["dup_tokens"] == 0 and stats[3]["dup_fraction"] == 0.0
+
+
+def test_ngram_spans_min_count_threshold(spark):
+    # a run shared by exactly 2 docs disappears at min_count=3, stays with a
+    # third copy present
+    run = "r1 r2 r3 r4 r5"
+    df2 = _mk_docs(spark, [(1, f"{run} a1 a2"), (2, f"b1 {run} b2")])
+    assert dedup.duplicate_ngram_spans(df2, k=5, min_count=3).count() == 0
+    df3 = _mk_docs(
+        spark, [(1, f"{run} a1 a2"), (2, f"b1 {run} b2"), (3, f"c1 c2 {run}")]
+    )
+    assert dedup.duplicate_ngram_spans(df3, k=5, min_count=3).count() == 3
