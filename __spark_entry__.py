@@ -1381,6 +1381,59 @@ GROUP BY vec_id
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Substring-span dedup (operators/dedup.py duplicate_ngram_spans, k=8):
+    maximal duplicated token spans per document. Gram identity is a 64-bit
+    rot/xor hash of token xxhash64s; the oracle compares literal gram
+    strings — identical output barring ~2^-64-per-pair hash collisions."""
+    spans = dd.duplicate_ngram_spans(_load(spark, sf_dir, "documents"), k=8)
+    return spans.select(
+        "doc_id",
+        F.col("start_token").cast("bigint").alias("start_token"),
+        F.col("end_token").cast("bigint").alias("end_token"),
+        F.col("dup_grams").cast("bigint").alias("dup_grams"),
+    )
+
+
+def _sql_dedup_spans(k: int = 8) -> str:
+    gram = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, k)]
+    )
+    return f"""
+WITH arrs AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+')
+         END AS arr
+  FROM documents),
+tp AS (
+  SELECT doc_id, unnest(range(len(arr))) AS pos, unnest(arr) AS tok FROM arrs),
+grams AS (
+  SELECT doc_id, pos, {gram} AS gram, lead(tok, {k - 1}) OVER w AS tlast
+  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (SELECT doc_id, pos, gram FROM grams WHERE tlast IS NOT NULL),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM g JOIN hot USING (gram)),
+flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w2 IS NULL OR pos > lag(pos) OVER w2 + {k}
+              THEN 1 ELSE 0 END AS newspan
+  FROM dup WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (
+  SELECT doc_id, pos,
+         sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+  FROM flag)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_token,
+       CAST(max(pos) + {k} AS BIGINT) AS end_token,
+       CAST(count(*) AS BIGINT) AS dup_grams
+FROM sp GROUP BY doc_id, span
+"""
+
+
+SQL_DEDUP_SPANS = _sql_dedup_spans(8)
+
+
 # ---------------------------------------------------------------------------
 # violations table / partition builders / samplers / streaming
 # ---------------------------------------------------------------------------
@@ -1949,7 +2002,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pairs": q_sim_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
-    "embed_norm": q_embed_norm,
+    "dedup_spans": q_dedup_spans,
 }
 
 def _multimodal_oracles() -> dict[str, str]:
@@ -2008,7 +2061,7 @@ _ORACLES: dict[str, str] = {
     "sim_topk": SQL_SIM_TOPK,
     "sim_pairs": SQL_SIM_PAIRS,
     "sim_ivf_topk": SQL_SIM_TOPK,
-    "embed_norm": SQL_EMBED_NORM,
+    "dedup_spans": SQL_DEDUP_SPANS,
     **_multimodal_oracles(),
     # rows-only (non-SQL-expressible): param_ks, dedup_minhash,
     # dedup_simhash, sim_lsh_topk (seeded-hash / approximate)
