@@ -707,6 +707,38 @@ def _rot_xor_fold(cols: list[Column]) -> Column:
     return out
 
 
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gh): the 64-bit hash of the token k-gram starting at each
+    0-based position of the normalized-whitespace tokenization. Built as
+    posexplode(token hashes) → k-1 ``lead`` window columns → codegen'd
+    rot/xor projection; a transform-lambda with k ``F.get``s per element
+    runs interpreted at ~0.5 ms/gram (measured 130 s for 270k tokens at
+    sf0.1) — this shape is 40×+ faster and its doc-keyed shuffle replaces
+    the repartition the explode needed anyway. Tail positions (no full
+    k-gram) are dropped."""
+    from pyspark.sql import Window
+
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    toked = norm.select(id_col, tokens(F.col("_norm")).alias("_toks"))
+    tok_pos = _ensure_parallelism(
+        toked.select(id_col, F.posexplode(F.col("_toks")).alias("pos", "_tok")),
+        id_col,
+    ).select(id_col, "pos", F.xxhash64("_tok").alias("_th"))
+    wlead = Window.partitionBy(id_col).orderBy("pos")
+    with_leads = tok_pos.select(
+        id_col,
+        "pos",
+        "_th",
+        *[F.lead("_th", j).over(wlead).alias(f"_th{j}") for j in range(1, k)],
+    )
+    gh_in = [F.col("_th")] + [F.col(f"_th{j}") for j in range(1, k)]
+    return with_leads.filter(
+        F.col(f"_th{k - 1}").isNotNull() if k > 1 else F.lit(True)
+    ).select(id_col, "pos", _rot_xor_fold(gh_in).alias("gh"))
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -752,26 +784,7 @@ def duplicate_ngram_spans(
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
-    toked = norm.select(id_col, tokens(F.col("_norm")).alias("_toks"))
-    tok_pos = _ensure_parallelism(
-        toked.select(id_col, F.posexplode(F.col("_toks")).alias("pos", "_tok")),
-        id_col,
-    ).select(id_col, "pos", F.xxhash64("_tok").alias("_th"))
-    wlead = Window.partitionBy(id_col).orderBy("pos")
-    with_leads = tok_pos.select(
-        id_col,
-        "pos",
-        "_th",
-        *[F.lead("_th", j).over(wlead).alias(f"_th{j}") for j in range(1, k)],
-    )
-    gh_in = [F.col("_th")] + [F.col(f"_th{j}") for j in range(1, k)]
-    pos = (
-        # tail positions have no full k-gram (lead ran off the document)
-        with_leads.filter(
-            F.col(f"_th{k - 1}").isNotNull() if k > 1 else F.lit(True)
-        ).select(id_col, "pos", _rot_xor_fold(gh_in).alias("gh"))
-    )
+    pos = _gram_positions(df, id_col, text_col, k)
     counts = pos.groupBy("gh").agg(F.count(F.lit(1)).alias("_cnt"))
     dup = (
         pos.join(counts.filter(F.col("_cnt") >= min_count), "gh")
@@ -829,5 +842,63 @@ def duplicated_token_stats(
             .otherwise(F.lit(0.0))
             .alias("dup_fraction"),
             "n_spans",
+        )
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of a training
+    document's token k-grams that also occur anywhere in an evaluation
+    ("benchmark") corpus — the standard n-gram-overlap decontamination
+    check for training data (public practice, e.g. the GPT-3 and Dolma
+    decontamination recipes).
+
+    Returns (id_col, n_grams, contaminated_grams, contamination_fraction).
+    Documents shorter than k tokens report 0 grams and fraction 0.0.
+
+    Plan shape: both sides run the shared explode + lead-window + codegen
+    gram-hash pipeline (``_gram_positions``); the benchmark side collapses
+    to its DISTINCT gram-hash set (groupBy with map-side combine) before an
+    equi-join against corpus gram positions — hot boilerplate grams meet a
+    distinct set, so the join output is bounded by corpus gram count, never
+    a cross product. The benchmark set is typically orders of magnitude
+    smaller than the corpus; AQE broadcasts it when it fits, and the join
+    degrades to a plain shuffle join when it does not — both correct.
+    Gram identity is the 64-bit rot/xor hash (collision odds ~2⁻⁶⁴ per
+    gram pair, negligible at any realistic corpus size).
+    """
+    corp = _gram_positions(df, id_col, text_col, k)
+    bench = _gram_positions(benchmark, bench_id_col, bench_text_col, k).select(
+        "gh"
+    ).distinct()
+    per_doc = corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        corp.join(bench, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    lens = df.select(id_col)
+    return (
+        lens.join(per_doc, id_col, "left")
+        .join(hit, id_col, "left")
+        .na.fill({"n_grams": 0, "contaminated_grams": 0})
+        .select(
+            id_col,
+            "n_grams",
+            "contaminated_grams",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("contaminated_grams") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_fraction"),
         )
     )

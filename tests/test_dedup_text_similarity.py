@@ -521,3 +521,36 @@ def test_ngram_spans_min_count_threshold(spark):
         spark, [(1, f"{run} a1 a2"), (2, f"b1 {run} b2"), (3, f"c1 c2 {run}")]
     )
     assert dedup.duplicate_ngram_spans(df3, k=5, min_count=3).count() == 3
+
+
+def test_benchmark_contamination(spark):
+    bench = _mk_docs(spark, [(100, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")])
+    corpus = _mk_docs(
+        spark,
+        [
+            # contains bench tokens 0..9 verbatim → grams 5..14 of this doc
+            # hit; doc has 20 tokens → 13 grams, 3 contaminated (the 10-token
+            # run yields 3 k=8 grams)
+            (1, "a1 a2 a3 a4 a5 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 b1 b2 b3 b4 b5"),
+            (2, "clean doc with no benchmark overlap at all whatsoever here"),
+            (3, "tiny"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.benchmark_contamination(corpus, bench, k=8).collect()
+    }
+    assert out[1]["n_grams"] == 13
+    assert out[1]["contaminated_grams"] == 3
+    assert out[1]["contamination_fraction"] == pytest.approx(3 / 13)
+    assert out[2]["contaminated_grams"] == 0 and out[2]["contamination_fraction"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["contamination_fraction"] == 0.0
+
+
+def test_benchmark_contamination_full_overlap(spark):
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    bench = _mk_docs(spark, [(1, text)])
+    corpus = _mk_docs(spark, [(7, text)])
+    row = dedup.benchmark_contamination(corpus, bench, k=8).collect()[0]
+    assert row["n_grams"] == 2 and row["contaminated_grams"] == 2
+    assert row["contamination_fraction"] == 1.0
