@@ -241,6 +241,15 @@ def _json_parseable(col: Column, kw: dict) -> Column:
     return F.expr(f"try_parse_json(`{kw['column']}`) IS NOT NULL")
 
 
+def _no_pii(col: Column, kw: dict) -> Column:
+    # beyond-reference: row passes iff no PII pattern matches; optional
+    # kwargs pii_types selects a subset of operators/text.py PII_PATTERNS
+    from great_expectations_spark.operators.text import pii_total
+
+    types = kw.get("pii_types")
+    return pii_total(col, list(types) if types is not None else None) == 0
+
+
 def _maybe_datetime_bound(v: Any, kw: dict) -> Any:
     """Legacy ``parse_strings_as_datetimes`` support: string bounds against a
     timestamp column parse via dateutil (reference column_values_between.py
@@ -333,6 +342,8 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     "expect_column_values_to_match_strftime_format": _col_map(_strftime),
     "expect_column_values_to_be_dateutil_parseable": _col_map(_dateutil_parseable),
     "expect_column_values_to_be_json_parseable": _col_map(_json_parseable),
+    # --- PII gate (beyond-reference surface; operators/text.py patterns) ---
+    "expect_column_values_to_not_contain_pii": _col_map(_no_pii),
     # --- column pair ---
     "expect_column_pair_values_to_be_equal": lambda kw: _pair_cond(
         kw,

@@ -162,3 +162,64 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_lang(c).alias("lang_detected"),
         fingerprint(c).alias("fp"),
     )
+
+
+# --- PII detection / scrubbing -------------------------------------------
+
+# Standard public detection patterns (Java regex; all JVM-side regexp_count/
+# regexp_replace — no Python in the hot path). Detection-grade, not
+# validation-grade: a matched "credit_card" is 13-19 digits in card
+# grouping, not a Luhn-checked number. Order matters for scrubbing:
+# longer/more-specific number shapes run before the generic phone shape so
+# a card number is not half-eaten by the phone pattern first.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,7}\b",
+    "phone": r"(?:\+\d{1,3}[ .-]?)?(?:\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_counts(col: Column, pii_types: list[str] | None = None) -> Column:
+    """struct<email:int, ssn:int, ...> of per-type PII match counts."""
+    types = list(PII_PATTERNS) if pii_types is None else list(pii_types)
+    unknown = set(types) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown pii_types: {sorted(unknown)}")
+    return F.struct(
+        *[F.regexp_count(col, F.lit(PII_PATTERNS[t])).alias(t) for t in types]
+    )
+
+
+def pii_total(col: Column, pii_types: list[str] | None = None) -> Column:
+    """Total PII matches across the selected types (0 for clean text).
+
+    Counts can overlap between types (an SSN-shaped string inside a longer
+    digit run may also match the card pattern) — suitable for a
+    contains-PII-or-not gate, not an exact entity census."""
+    types = list(PII_PATTERNS) if pii_types is None else list(pii_types)
+    counts = pii_counts(col, types)
+    total = None
+    for t in types:
+        c = counts.getField(t)
+        total = c if total is None else total + c
+    return total
+
+
+def scrub_pii(
+    col: Column,
+    replacement: str = "[PII]",
+    pii_types: list[str] | None = None,
+) -> Column:
+    """Replace every PII match with ``replacement``, applying patterns in
+    PII_PATTERNS order (specific digit shapes before the generic phone
+    shape). Chained JVM regexp_replace — one projection, no UDFs."""
+    types = [t for t in PII_PATTERNS if pii_types is None or t in set(pii_types)]
+    unknown = (set(pii_types) - set(PII_PATTERNS)) if pii_types is not None else set()
+    if unknown:
+        raise ValueError(f"unknown pii_types: {sorted(unknown)}")
+    out = col
+    for t in types:
+        out = F.regexp_replace(out, PII_PATTERNS[t], replacement)
+    return out

@@ -554,3 +554,80 @@ def test_benchmark_contamination_full_overlap(spark):
     row = dedup.benchmark_contamination(corpus, bench, k=8).collect()[0]
     assert row["n_grams"] == 2 and row["contaminated_grams"] == 2
     assert row["contamination_fraction"] == 1.0
+
+
+# ---- PII detection / scrubbing ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or (555) 123-4567"),
+        (2, "ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.255.1"),
+        (3, "perfectly clean text with numbers like 42 and 2026"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_counts_and_total(pii_docs):
+    out = {
+        r["doc_id"]: r
+        for r in pii_docs.select(
+            "doc_id",
+            text.pii_counts(F.col("text")).alias("c"),
+            text.pii_total(F.col("text")).alias("total"),
+        ).collect()
+    }
+    assert out[1]["c"]["email"] == 1 and out[1]["c"]["phone"] == 1
+    assert out[1]["c"]["ssn"] == 0
+    assert out[2]["c"]["ssn"] == 1
+    assert out[2]["c"]["credit_card"] == 1
+    assert out[2]["c"]["ipv4"] == 1
+    assert out[3]["total"] == 0 and out[4]["total"] == 0
+    assert out[1]["total"] >= 2
+
+
+def test_pii_scrub(pii_docs):
+    out = {
+        r["doc_id"]: r["s"]
+        for r in pii_docs.select(
+            "doc_id", text.scrub_pii(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert "example.co.uk" not in out[1] and "[PII]" in out[1]
+    assert "123-45-6789" not in out[2] and "4111" not in out[2]
+    assert out[3] == "perfectly clean text with numbers like 42 and 2026"
+    # subset scrub leaves other types in place
+    only_email = pii_docs.filter("doc_id = 1").select(
+        text.scrub_pii(F.col("text"), pii_types=["email"]).alias("s")
+    ).collect()[0]["s"]
+    assert "123-4567" in only_email and "@" not in only_email
+
+
+def test_pii_unknown_type_raises(pii_docs):
+    with pytest.raises(ValueError, match="unknown pii_types"):
+        pii_docs.select(text.pii_total(F.col("text"), ["email", "nope"]))
+    with pytest.raises(ValueError, match="unknown pii_types"):
+        pii_docs.select(text.scrub_pii(F.col("text"), pii_types=["nope"]))
+
+
+def test_expect_no_pii_expectation(spark, pii_docs):
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    suite = ExpectationSuite(name="pii")
+    suite.add("expect_column_values_to_not_contain_pii", column="text", mostly=0.5)
+    suite.add(
+        "expect_column_values_to_not_contain_pii",
+        column="text",
+        pii_types=["ssn"],
+    )
+    res = SparkValidationEngine(spark).validate(pii_docs, suite)
+    r_all, r_ssn = res.results
+    # docs 1 and 2 contain PII → 2/4 unexpected, mostly=0.5 passes
+    assert r_all.result["unexpected_count"] == 2
+    assert r_all.success is True
+    # only doc 2 has an SSN → 1 unexpected, default mostly=1.0 fails
+    assert r_ssn.result["unexpected_count"] == 1
+    assert r_ssn.success is False
