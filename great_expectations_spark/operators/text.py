@@ -223,3 +223,93 @@ def scrub_pii(
     for t in types:
         out = F.regexp_replace(out, PII_PATTERNS[t], replacement)
     return out
+
+
+# --- URL canonicalization -------------------------------------------------
+
+# Tracking query parameters stripped during canonicalization (public
+# convention: UTM campaign tags + common click ids).
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref",
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for dedup/grouping: lowercase scheme+host,
+    default ports and fragments stripped, tracking query params removed,
+    remaining query left in original order, trailing slash on the bare root
+    path dropped. Pure JVM regexp/string ops — detection-grade
+    normalization (no IDN/percent-encoding resolution)."""
+    u = F.trim(col)
+    # lowercase scheme://host[:port] prefix only (path/query are case-sensitive)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+    )
+    # fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # default ports
+    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(?:80|443)(?=[/?#]|$)", r"$1")
+    # tracking params: drop "param=value&" (keeping the preceding ?/& for
+    # the successor) or a trailing "param=value", then tidy the leftover
+    # separator a trailing removal can strand
+    tracking = "|".join(TRACKING_PARAMS)
+    u = F.regexp_replace(u, r"(?<=[?&])(?:" + tracking + r")=[^&#]*&", "")
+    u = F.regexp_replace(u, r"(?<=[?&])(?:" + tracking + r")=[^&#]*$", "")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # bare-path trailing slash (https://x.com/ -> https://x.com)
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (registrable-domain analysis, per-site caps)."""
+    return F.lower(F.regexp_extract(F.trim(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 1,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level most-frequent token n-grams: (ngram, occurrences),
+    count-descending then ngram-ascending, limited to k.
+
+    Unigrams are one explode + count groupBy (map-side combine). For n>1
+    the gram strings come from n-1 ``lead`` window columns over the
+    doc-exploded tokens (partition-local, codegen'd concat) — never a
+    per-element transform lambda. The final top-k is a
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    c = F.col(text_col)
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(normalize_text(c))).alias("pos", "tok")
+    )
+    if n == 1:
+        grams = toks.select(F.col("tok").alias("ngram"))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy("pos")
+        leads = [F.col("tok")] + [
+            F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, n)
+        ]
+        grams = (
+            toks.select(F.col(id_col), F.col("pos"), *leads)
+            .filter(F.col(f"_t{n - 1}").isNotNull())
+            .select(
+                F.concat_ws(
+                    " ", F.col("tok"), *[F.col(f"_t{j}") for j in range(1, n)]
+                ).alias("ngram")
+            )
+        )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -631,3 +631,39 @@ def test_expect_no_pii_expectation(spark, pii_docs):
     # only doc 2 has an SSN → 1 unexpected, default mostly=1.0 fails
     assert r_ssn.result["unexpected_count"] == 1
     assert r_ssn.success is False
+
+
+# ---- URL canonicalization / corpus n-grams ------------------------------
+
+
+def test_canonical_url(spark):
+    rows = [
+        ("HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag", "https://example.com/Path/?q=1"),
+        ("http://example.com:80/", "http://example.com"),
+        ("https://example.com/path?a=1&utm_campaign=c&b=2", "https://example.com/path?a=1&b=2"),
+        ("https://example.com/path?utm_source=a&gclid=b&q=1", "https://example.com/path?q=1"),
+        ("https://example.com/?utm_source=only", "https://example.com"),
+        ("https://example.com/p?q=1&fbclid=zz", "https://example.com/p?q=1"),
+    ]
+    df = spark.createDataFrame(rows, "u string, want string")
+    bad = df.filter(text.canonical_url(F.col("u")) != F.col("want")).count()
+    assert bad == 0
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://Sub.Example.com:8443/x?y=1",)], "u string"
+    )
+    assert df.select(text.url_host(F.col("u")).alias("h")).collect()[0]["h"] == "sub.example.com"
+
+
+def test_top_ngrams(spark, docs_small):
+    uni = text.top_ngrams(docs_small, n=1, k=3).collect()
+    assert uni[0]["ngram"] == "the" and uni[0]["occurrences"] == 8
+    # docs 1-4 share the sentence → every bigram in it occurs 4x; ties break
+    # ngram-ascending
+    bi = text.top_ngrams(docs_small, n=2, k=2).collect()
+    assert [r["ngram"] for r in bi] == ["brown fox", "fox jumps"]
+    assert all(r["occurrences"] == 4 for r in bi)
+    with pytest.raises(ValueError):
+        text.top_ngrams(docs_small, n=0)
