@@ -196,6 +196,33 @@ def main() -> int:
     else:
         print("ok   partition_top (map-side combine; window over post-agg counts only)")
 
+    # Span dedup / contamination: the gram-hash stage must be the codegen'd
+    # lead-window shape — no interpreted transform() lambda or F.get chain
+    # in the hot path (measured 49x slower), and no cartesian anywhere.
+    check(
+        "span_dedup_codegen_grams",
+        dedup.duplicate_ngram_spans(docs, k=8),
+        must=["Window", "xxhash64"],
+        must_not=["CartesianProduct", "lambdafunction"],
+    )
+    check(
+        "contamination_no_cartesian",
+        dedup.benchmark_contamination(
+            docs, docs.filter(F.col("doc_id") % 7 == 0), k=8
+        ),
+        must=["Window"],
+        must_not=["CartesianProduct", "lambdafunction"],
+    )
+
+    # top_ngrams: partial agg before the gram shuffle + heap top-k, no
+    # global Sort node.
+    plan = _plan(text.top_ngrams(docs, n=2, k=10))
+    if "TakeOrderedAndProject" not in plan or "partial_count" not in plan:
+        FAILURES.append("top_ngrams_heap_topk")
+        print("FAIL top_ngrams_heap_topk: expected TakeOrderedAndProject + partial agg")
+    else:
+        print("ok   top_ngrams (map-side combine + TakeOrderedAndProject)")
+
     spark.stop()
     print(f"\n{len(FAILURES)} failures: {FAILURES}" if FAILURES else "\nALL PLANS OK")
     return 1 if FAILURES else 0
