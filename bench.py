@@ -199,6 +199,12 @@ def run_headline(spark) -> dict[str, float]:
         "dedup_simhash",
         lambda: dd.simhash_near_pairs(dd.simhash_signatures(documents), max_hamming=8).count(),
     )
+    # added for round 2: substring-span dedup (headline sum gains one ~2-3s
+    # query vs round 1 — noted in BENCH.md when comparing totals)
+    timed(
+        "dedup_spans",
+        lambda: dd.duplicate_ngram_spans(documents, k=8).count(),
+    )
     timed(
         "sim_lsh_pairs",
         lambda: sim.embedding_near_duplicate_pairs(

@@ -144,6 +144,7 @@ def profile(
     exact: bool = True,
     drift_baselines: bool = False,
     kl_threshold: float = 0.1,
+    pii_checks: bool = False,
 ) -> ExpectationSuite:
     """``drift_baselines=True`` additionally emits
     ``expect_column_kl_divergence_to_be_less_than`` per profiled column with
@@ -153,7 +154,13 @@ def profile(
     profiled suite scores ~0 KL against the profiled batch itself and trips
     when a later batch's distribution moves by more than ``kl_threshold``.
     Opt-in because each baseline costs one extra bounded pass per column and
-    the default emission rules are oracle-pinned by the driver contract."""
+    the default emission rules are oracle-pinned by the driver contract.
+
+    ``pii_checks=True`` scans string columns in one extra bundled aggregate
+    and emits ``expect_column_values_to_not_contain_pii`` for columns that
+    are PII-free in this batch (or nearly so, with the same mostly floor as
+    the null rule) — a privacy gate bootstrapped from observed data.
+    Opt-in for the same oracle-pinning reason."""
     cols = columns or df.columns
     dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
@@ -255,4 +262,28 @@ def profile(
                     partition_object=po,
                     threshold=kl_threshold,
                 )
+
+    if pii_checks:
+        from great_expectations_spark.operators.text import pii_total
+
+        str_cols = [c for c in cols if dtypes[c] == "string"]
+        if str_cols and n:
+            pii_stats = df.agg(
+                *[
+                    F.sum(
+                        F.when(pii_total(F.col(c)) > 0, 1).otherwise(0)
+                    ).alias(f"pii__{c}")
+                    for c in str_cols
+                ]
+            ).collect()[0].asDict()
+            for c in str_cols:
+                hit_frac = int(pii_stats[f"pii__{c}"] or 0) / n
+                if hit_frac == 0.0:
+                    suite.add("expect_column_values_to_not_contain_pii", column=c)
+                elif hit_frac <= mostly_floor:
+                    suite.add(
+                        "expect_column_values_to_not_contain_pii",
+                        column=c,
+                        mostly=math.floor((1 - hit_frac) * 100) / 100,
+                    )
     return suite

@@ -146,3 +146,32 @@ def test_profile_drift_baselines(spark, lineitem):
     assert all(r.success is False for r in drifted.results), [
         r.result for r in drifted.results
     ]
+
+
+def test_profile_pii_checks_opt_in(spark):
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.profiler import profile
+
+    rows = [
+        (1, "clean text", "reach me: a@b.io"),
+        (2, "more clean text", "clean here"),
+        (3, "still clean", "also clean"),
+        (4, "fine", "ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, clean string, mixed string")
+    # default: no PII expectations emitted (oracle-pinned default unchanged)
+    types_default = {c.expectation_type for c in profile(df).expectations}
+    assert "expect_column_values_to_not_contain_pii" not in types_default
+
+    suite = profile(df, pii_checks=True)
+    pii = {
+        c.kwargs["column"]: c.kwargs
+        for c in suite.expectations
+        if c.expectation_type == "expect_column_values_to_not_contain_pii"
+    }
+    assert "clean" in pii and "mostly" not in pii["clean"]
+    # 1/4 rows of "mixed" contain an email → mostly floor at 0.75
+    assert pii["mixed"]["mostly"] == 0.75
+    # the profiled suite validates its own batch green
+    res = SparkValidationEngine(spark).validate(df, suite)
+    assert res.success is True
