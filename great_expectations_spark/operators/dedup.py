@@ -404,6 +404,59 @@ def simhash_near_pairs(
     )
 
 
+def simhash_cross_matches(
+    signatures: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int | None = None,
+) -> DataFrame:
+    """Closest benchmark signature (min Hamming, tie → min benchmark id)
+    for every input signature within ``max_hamming`` — the cross-set
+    counterpart of ``simhash_near_pairs`` for decontamination: which corpus
+    items near-match an evaluation set. Both inputs need a ``simhash``
+    column. Returns (id_col, matched_id, hamming); unmatched inputs are
+    absent (inner semantics — anti-join the result for the clean set).
+
+    Same pigeonhole-complete combination banding and exact
+    bit_count(xor) verify as the self-join path; the benchmark side is
+    usually small enough that AQE broadcasts its banded form."""
+    band_exprs = _hamming_band_exprs(max_hamming, chunks)
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col("simhash"),
+            F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
+        )
+
+    cand = (
+        banded(signatures, id_col)
+        .alias("l")
+        .join(banded(benchmark, bench_id_col).alias("r"), ["band_idx", "band_val"])
+        .select(
+            F.col(f"l.{id_col}").alias("_cid"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col(f"r.{bench_id_col}").alias("_bid"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["_cid", "_bid"])
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hits = cand.select("_cid", "_bid", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+    best = hits.groupBy("_cid").agg(
+        F.min(F.struct(F.col("hamming"), F.col("_bid"))).alias("_best")
+    )
+    return best.select(
+        F.col("_cid").alias(id_col),
+        F.col("_best._bid").alias("matched_id"),
+        F.col("_best.hamming").alias("hamming"),
+    )
+
+
 # ---- token-set jaccard --------------------------------------------------
 
 

@@ -219,3 +219,32 @@ def image_near_duplicate_pairs(
     return pairs.select(
         F.col("a").alias("image_a"), F.col("b").alias("image_b"), "hamming"
     )
+
+
+def image_benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bench_id_col: str = "image_id",
+    bench_phash_col: str = "phash",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Corpus images that perceptually near-match an evaluation image set
+    (phash Hamming ≤ max_hamming) — image decontamination, the payload
+    counterpart of text benchmark_contamination (operators/dedup.py).
+    Returns (image_id, benchmark_id, hamming) with the closest benchmark
+    match per contaminated image; anti-join the result against the corpus
+    for the clean set. Works off stored phash columns — bytes never read."""
+    from great_expectations_spark.operators.dedup import simhash_cross_matches
+
+    sigs = df.select(F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash"))
+    bsigs = benchmark.select(
+        F.col(bench_id_col).alias("doc_id"), F.col(bench_phash_col).alias("simhash")
+    )
+    m = simhash_cross_matches(sigs, bsigs, max_hamming=max_hamming)
+    return m.select(
+        F.col("doc_id").alias(id_col),
+        F.col("matched_id").alias("benchmark_id"),
+        "hamming",
+    )

@@ -667,3 +667,76 @@ def test_top_ngrams(spark, docs_small):
     assert all(r["occurrences"] == 4 for r in bi)
     with pytest.raises(ValueError):
         text.top_ngrams(docs_small, n=0)
+
+
+def test_simhash_cross_matches(spark):
+    spread = 0
+    for bit in (0, 8, 16, 24, 32, 40, 48, 56):
+        spread |= 1 << bit
+    sigs = spark.createDataFrame(
+        [(1, 0), (2, spread), (3, -1)], "doc_id long, simhash long"
+    )
+    bench = spark.createDataFrame(
+        [(10, 0), (11, 3)], "doc_id long, simhash long"
+    )
+    out = {
+        r["doc_id"]: (r["matched_id"], r["hamming"])
+        for r in dedup.simhash_cross_matches(sigs, bench, max_hamming=8).collect()
+    }
+    assert out[1] == (10, 0)
+    # doc 2 is hamming 8 from BOTH benchmarks → tie breaks to min id
+    assert out[2] == (10, 8)
+    # all-ones signature is 56+ bits from every benchmark → absent
+    assert 3 not in out
+
+
+def test_ngram_spans_randomized_vs_python_reference(spark):
+    """Differential test: 40 random small corpora (tokens drawn from a tiny
+    vocab to force repeats) checked against a brute-force Python
+    implementation of the span semantics. Corpora share one Spark job —
+    per-corpus token prefixes keep their gram universes disjoint, so
+    corpus-global occurrence counts stay independent."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(6)]
+    k = 3
+    rows, expected = [], {}
+    for corpus in range(40):
+        docs = {}
+        for d in range(rng.randint(1, 6)):
+            n = rng.randint(0, 18)
+            docs[d] = [f"c{corpus}_{rng.choice(vocab)}" for _ in range(n)]
+        # brute force: count k-gram occurrences, mark positions, merge spans
+        from collections import Counter
+
+        grams: Counter = Counter()
+        glists = {}
+        for d, toks in docs.items():
+            glists[d] = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            grams.update(glists[d])
+        for d, gl in glists.items():
+            doc_id = corpus * 100 + d
+            rows.append((doc_id, " ".join(docs[d])))
+            spans, last, start, cnt = [], None, None, 0
+            for p, g in enumerate(gl):
+                if grams[g] < 2:
+                    continue
+                if last is not None and p <= last + k:
+                    last, cnt = p, cnt + 1
+                else:
+                    if last is not None:
+                        spans.append((start, last + k, cnt))
+                    start, last, cnt = p, p, 1
+            if last is not None:
+                spans.append((start, last + k, cnt))
+            if spans:
+                expected[doc_id] = sorted(spans)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in dedup.duplicate_ngram_spans(df, k=k).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["start_token"], r["end_token"], r["dup_grams"])
+        )
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == expected

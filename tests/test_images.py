@@ -6,8 +6,11 @@ import numpy as np
 import pytest
 
 from great_expectations_spark import ExpectationSuite
+from pyspark.sql import functions as F
+
 from great_expectations_spark.operators.images import (
     enrich_images,
+    image_benchmark_contamination,
     validate_images,
 )
 from great_expectations_spark.testing.images import (
@@ -182,3 +185,14 @@ def test_caption_equality_vs_ref(spark, fixture):
     res = validate(joined, suite, result_format="BASIC")
     # drifted captions differ; null captions (both null) are ignored rows
     assert res.results[0].result["unexpected_count"] == len(truth.caption_drift)
+
+
+def test_image_benchmark_contamination(spark, fixture):
+    df, ref, truth = fixture
+    hashes = df.select("image_id", "phash")
+    # benchmark = a slice of the corpus itself → those images match at 0
+    bench = hashes.filter(F.abs(F.xxhash64("image_id")) % 11 == 0)
+    out = image_benchmark_contamination(hashes, bench, max_hamming=0)
+    got = {r["image_id"]: r["benchmark_id"] for r in out.collect()}
+    for r in bench.collect():
+        assert got[r["image_id"]] == r["image_id"]
