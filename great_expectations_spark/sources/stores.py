@@ -401,6 +401,238 @@ class EmailNotificationAction(WebhookNotificationAction):
             pass  # notification failure must not fail the run
 
 
+def render_pagerduty_event(event: dict, routing_key: str) -> dict:
+    """PagerDuty Events-API-v2 enqueue body — the observable shape the
+    reference builds through pypd (checkpoint/actions.py:336-349):
+    routing_key, dedup_key = suite name, event_action 'trigger', and a
+    payload with critical severity."""
+    suite = event.get("suite_name", "__no_expectation_suite_name__")
+    return {
+        "routing_key": routing_key,
+        "dedup_key": suite,
+        "event_action": "trigger",
+        "payload": {
+            "summary": f"expectation suite check {suite} has failed",
+            "severity": "critical",
+            "source": "great_expectations_spark",
+        },
+    }
+
+
+class PagerdutyAlertAction(WebhookNotificationAction):
+    """Reference PagerdutyAlertAction (checkpoint/actions.py:252-350):
+    triggers a PagerDuty Events-v2 event, default gate notify_on='failure'
+    like the reference. POSTs directly to the public enqueue endpoint
+    (the reference's pypd client does the same under the hood) via the
+    injectable ``transport``."""
+
+    DEFAULT_URL = "https://events.pagerduty.com/v2/enqueue"
+
+    def __init__(
+        self,
+        routing_key: str,
+        notify_on: str = "failure",
+        url: str = DEFAULT_URL,
+        transport=None,
+    ) -> None:
+        if not routing_key:
+            raise ValueError("No Pagerduty routing_key found in action config.")
+        super().__init__(url=url, notify_on=notify_on, transport=transport)
+        self.routing_key = routing_key
+
+    def run(self, event: dict) -> None:
+        success = event.get("success")
+        if self.notify_on == "success" and success is not True:
+            return
+        if self.notify_on == "failure" and success is not False:
+            return
+        try:
+            self.transport(self.url, render_pagerduty_event(event, self.routing_key))
+        except Exception:
+            pass  # notification failure must not fail the run
+
+
+def render_opsgenie_payload(
+    event: dict, priority: str = "P3", tags: Optional[list] = None
+) -> dict:
+    """Opsgenie v2 alert body — the observable shape of the reference's
+    OpsgenieRenderer.render + send_opsgenie_alert (checkpoint/util.py:62-76):
+    message names the suite, description is the multi-line summary text,
+    plus priority and tags."""
+    success = event.get("success")
+    status = "Success 🎉" if success else "Failed ❌"
+    suite = event.get("suite_name", "__no_expectation_suite_name__")
+    run_id = event.get("run_id", "__no_run_id__")
+    lines = [
+        f"Batch Validation Status: {status}",
+        f"Expectation suite name: {suite}",
+        f"Run ID: {run_id}",
+    ]
+    if event.get("event_type") == "partition_validated":
+        lines.append(f"Partition: {json.dumps(event.get('partition'), default=str)}")
+        stats = event.get("statistics") or {}
+        n = stats.get("evaluated_expectations")
+        if n is not None:
+            lines.append(
+                f"Summary: {stats.get('successful_expectations')} of {n} "
+                "expectations were met"
+            )
+    return {
+        "message": f"expectation suite {suite} {'succeeded' if success else 'failed'}",
+        "description": "\n".join(lines),
+        "priority": priority,
+        "tags": list(tags or []),
+    }
+
+
+class OpsgenieAlertAction(WebhookNotificationAction):
+    """Reference OpsgenieAlertAction (checkpoint/actions.py:471-588): posts
+    an Opsgenie v2 alert, region-aware URL, GenieKey auth header, default
+    gate notify_on='failure'. The default transport adds the Authorization
+    header the reference sets in send_opsgenie_alert
+    (checkpoint/util.py:69)."""
+
+    def __init__(
+        self,
+        api_key: str,
+        region: Optional[str] = None,
+        priority: str = "P3",
+        tags: Optional[list] = None,
+        notify_on: str = "failure",
+        transport=None,
+    ) -> None:
+        if not api_key:
+            raise ValueError("No Opsgenie api_key found in action config.")
+        url = (
+            f"https://api.{region}.opsgenie.com/v2/alerts"
+            if region
+            else "https://api.opsgenie.com/v2/alerts"
+        )
+        if transport is None:
+            transport = self._auth_post
+        super().__init__(url=url, notify_on=notify_on, transport=transport)
+        self.api_key = api_key
+        self.priority = priority
+        self.tags = list(tags or [])
+
+    def _auth_post(self, url: str, payload: dict) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload, default=str).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"GenieKey {self.api_key}",
+            },
+        )
+        urllib.request.urlopen(req, timeout=10).read()
+
+    def run(self, event: dict) -> None:
+        success = event.get("success")
+        if self.notify_on == "success" and success is not True:
+            return
+        if self.notify_on == "failure" and success is not False:
+            return
+        try:
+            self.transport(
+                self.url, render_opsgenie_payload(event, self.priority, self.tags)
+            )
+        except Exception:
+            pass  # notification failure must not fail the run
+
+
+def render_teams_payload(event: dict) -> dict:
+    """Microsoft Teams AdaptiveCard message — the observable shape of the
+    reference's MicrosoftTeamsRenderer.render
+    (render/renderer/microsoft_teams_renderer.py:18-150): type 'message',
+    one application/vnd.microsoft.card.adaptive attachment whose body is a
+    'Validation results' header container plus one TextBlock per fact."""
+    success = event.get("success")
+    status = "Success !!!" if success else "Failed :("
+    suite = event.get("suite_name", "__no_expectation_suite_name__")
+    run_id = event.get("run_id", "__no_run_id__")
+    facts = [
+        ("Batch validation status", status),
+        ("Expectation suite name", suite),
+        ("Run id", str(run_id)),
+    ]
+    if event.get("event_type") == "partition_validated":
+        stats = event.get("statistics") or {}
+        n = stats.get("evaluated_expectations")
+        if n is not None:
+            facts.append(
+                (
+                    "Summary",
+                    f"{stats.get('successful_expectations')} of {n} "
+                    "expectations were met",
+                )
+            )
+    body = [
+        {
+            "type": "Container",
+            "height": "auto",
+            "separator": "true",
+            "items": [
+                {
+                    "type": "TextBlock",
+                    "text": "Validation results",
+                    "weight": "bolder",
+                    "size": "large",
+                    "wrap": "true",
+                }
+            ],
+        }
+    ] + [
+        {
+            "type": "Container",
+            "height": "auto",
+            "separator": "true",
+            "items": [
+                {
+                    "type": "TextBlock",
+                    "text": f"**{k}:** {v}",
+                    "horizontalAlignment": "left",
+                    "wrap": "true",
+                }
+            ],
+        }
+        for k, v in facts
+    ]
+    return {
+        "type": "message",
+        "attachments": [
+            {
+                "contentType": "application/vnd.microsoft.card.adaptive",
+                "content": {
+                    "$schema": "http://adaptivecards.io/schemas/adaptive-card.json",
+                    "type": "AdaptiveCard",
+                    "version": "1.0",
+                    "body": body,
+                    "actions": [],
+                },
+            }
+        ],
+    }
+
+
+class MicrosoftTeamsNotificationAction(WebhookNotificationAction):
+    """Reference MicrosoftTeamsNotificationAction
+    (checkpoint/actions.py:351-469): POSTs the AdaptiveCard message to a
+    Teams webhook, same notify_on gate."""
+
+    def run(self, event: dict) -> None:
+        success = event.get("success")
+        if self.notify_on == "success" and success is not True:
+            return
+        if self.notify_on == "failure" and success is not False:
+            return
+        try:
+            self.transport(self.url, render_teams_payload(event))
+        except Exception:
+            pass  # notification failure must not fail the run
+
+
 class CheckpointRunner:
     """Partition-wise validation with resume.
 

@@ -492,3 +492,98 @@ def test_reference_format_suite_loads_and_runs(spark, lineitem, tmp_path):
     assert "name" not in out and "reference_extras" not in out.get("meta", {})
     # round-trip is stable
     assert ExpectationSuite.from_dict(out).to_reference_dict() == out
+
+
+def test_pagerduty_action_payload_and_gating():
+    """PagerdutyAlertAction builds the reference's Events-v2 enqueue body
+    (routing_key / dedup_key=suite / trigger / critical payload,
+    actions.py:336-349) and defaults to notify_on='failure'."""
+    from great_expectations_spark.sources.stores import (
+        PagerdutyAlertAction,
+        render_pagerduty_event,
+    )
+
+    ev_fail = {"event_type": "run_completed", "suite_name": "s1", "success": False}
+    body = render_pagerduty_event(ev_fail, routing_key="rk-123")
+    assert body["routing_key"] == "rk-123"
+    assert body["dedup_key"] == "s1"
+    assert body["event_action"] == "trigger"
+    assert body["payload"]["severity"] == "critical"
+
+    sent = []
+    act = PagerdutyAlertAction(
+        "rk-123", transport=lambda url, p: sent.append((url, p))
+    )
+    act.run({"suite_name": "s1", "success": True})  # default failure gate
+    assert sent == []
+    act.run(ev_fail)
+    assert len(sent) == 1 and sent[0][0] == PagerdutyAlertAction.DEFAULT_URL
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PagerdutyAlertAction("")
+
+
+def test_opsgenie_action_payload_and_gating():
+    from great_expectations_spark.sources.stores import (
+        OpsgenieAlertAction,
+        render_opsgenie_payload,
+    )
+
+    ev = {
+        "event_type": "partition_validated",
+        "suite_name": "s2",
+        "run_id": "r-9",
+        "partition": {"fmt": "png"},
+        "success": False,
+        "statistics": {"evaluated_expectations": 4, "successful_expectations": 1},
+    }
+    p = render_opsgenie_payload(ev, priority="P2", tags=["etl"])
+    assert p["message"] == "expectation suite s2 failed"
+    assert "1 of 4 expectations were met" in p["description"]
+    assert p["priority"] == "P2" and p["tags"] == ["etl"]
+
+    sent = []
+    act = OpsgenieAlertAction(
+        "key-1", region="eu", transport=lambda url, payload: sent.append(url)
+    )
+    act.run(dict(ev, success=True))
+    assert sent == []
+    act.run(ev)
+    assert sent == ["https://api.eu.opsgenie.com/v2/alerts"]
+
+
+def test_teams_action_payload_and_gating():
+    from great_expectations_spark.sources.stores import (
+        MicrosoftTeamsNotificationAction,
+        render_teams_payload,
+    )
+
+    ev = {
+        "event_type": "partition_validated",
+        "suite_name": "s3",
+        "run_id": "r-2",
+        "success": True,
+        "statistics": {"evaluated_expectations": 3, "successful_expectations": 3},
+    }
+    msg = render_teams_payload(ev)
+    assert msg["type"] == "message"
+    card = msg["attachments"][0]
+    assert card["contentType"] == "application/vnd.microsoft.card.adaptive"
+    texts = [
+        item["items"][0]["text"] for item in card["content"]["body"]
+    ]
+    assert texts[0] == "Validation results"
+    assert any("Success !!!" in t for t in texts)
+    assert any("3 of 3 expectations were met" in t for t in texts)
+
+    sent = []
+    act = MicrosoftTeamsNotificationAction(
+        "https://outlook.office.invalid/webhook",
+        notify_on="success",
+        transport=lambda url, payload: sent.append(payload),
+    )
+    act.run(dict(ev, success=False))
+    assert sent == []
+    act.run(ev)
+    assert len(sent) == 1
