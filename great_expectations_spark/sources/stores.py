@@ -633,6 +633,62 @@ class MicrosoftTeamsNotificationAction(WebhookNotificationAction):
             pass  # notification failure must not fail the run
 
 
+def render_sns_message(event: dict, topic_arn: str, subject: Optional[str]) -> dict:
+    """boto3 sns.publish kwargs — the observable shape of the reference's
+    send_sns_notification (checkpoint/util.py:517-525): TopicArn, Subject
+    (explicit, else suite name, else run id), JSON Message, the
+    ValidationResults MessageAttributes marker, MessageStructure 'json'."""
+    if subject is None:
+        subject = event.get("suite_name") or str(event.get("run_id", ""))
+    return {
+        "TopicArn": topic_arn,
+        "Subject": subject,
+        "Message": json.dumps(event, default=str),
+        "MessageAttributes": {
+            "String": {"DataType": "String.Array", "StringValue": "ValidationResults"},
+        },
+        "MessageStructure": "json",
+    }
+
+
+class SNSNotificationAction(WebhookNotificationAction):
+    """Reference SNSNotificationAction (checkpoint/actions.py:1147-1192):
+    publishes each event to an SNS topic. The transport must be an SNS
+    publisher (``lambda arn, publish_kwargs: ...`` wrapping
+    boto3 sns.publish in production) — required explicitly, like
+    EmailNotificationAction, because this engine carries no AWS client."""
+
+    def __init__(
+        self,
+        sns_topic_arn: str,
+        sns_message_subject: Optional[str] = None,
+        notify_on: str = "all",
+        transport=None,
+    ) -> None:
+        if transport is None:
+            raise ValueError(
+                "SNSNotificationAction needs an explicit transport "
+                "(an sns.publish wrapper); there is no default AWS client"
+            )
+        super().__init__(url="", notify_on=notify_on, transport=transport)
+        self.sns_topic_arn = sns_topic_arn
+        self.sns_message_subject = sns_message_subject
+
+    def run(self, event: dict) -> None:
+        success = event.get("success")
+        if self.notify_on == "success" and success is not True:
+            return
+        if self.notify_on == "failure" and success is not False:
+            return
+        try:
+            self.transport(
+                self.sns_topic_arn,
+                render_sns_message(event, self.sns_topic_arn, self.sns_message_subject),
+            )
+        except Exception:
+            pass  # notification failure must not fail the run
+
+
 class CheckpointRunner:
     """Partition-wise validation with resume.
 

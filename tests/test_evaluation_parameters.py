@@ -587,3 +587,37 @@ def test_teams_action_payload_and_gating():
     assert sent == []
     act.run(ev)
     assert len(sent) == 1
+
+
+def test_sns_action_message_and_gating():
+    """SNSNotificationAction renders the reference send_sns_notification
+    publish kwargs (checkpoint/util.py:517-525) and requires an explicit
+    transport (no AWS client in this engine)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from great_expectations_spark.sources.stores import (
+        SNSNotificationAction,
+        render_sns_message,
+    )
+
+    ev = {"event_type": "run_completed", "suite_name": "s4", "run_id": "r-7", "success": True}
+    msg = render_sns_message(ev, "arn:aws:sns:us-east-1:1:topic", None)
+    assert msg["Subject"] == "s4"  # falls back to suite name
+    assert msg["MessageStructure"] == "json"
+    assert msg["MessageAttributes"]["String"]["StringValue"] == "ValidationResults"
+    assert _json.loads(msg["Message"])["run_id"] == "r-7"
+    assert render_sns_message({"run_id": "r-9"}, "arn", None)["Subject"] == "r-9"
+
+    with _pytest.raises(ValueError, match="explicit transport"):
+        SNSNotificationAction("arn")
+    sent = []
+    act = SNSNotificationAction(
+        "arn", sns_message_subject="daily", notify_on="failure",
+        transport=lambda arn, kw: sent.append((arn, kw)),
+    )
+    act.run(ev)
+    assert sent == []
+    act.run(dict(ev, success=False))
+    assert len(sent) == 1 and sent[0][1]["Subject"] == "daily"
