@@ -1,0 +1,134 @@
+"""End-to-end training-corpus cleaning: one composition of the pipeline
+operators (quality filter → language filter → PII scrub → dedup →
+benchmark decontamination) with a per-stage audit trail.
+
+This is glue, not new semantics — every stage is one of the
+operators/{text,dedup}.py primitives, so the whole pipeline stays a lazy
+DataFrame composition: nothing executes until the caller acts on the
+result, and Catalyst fuses the projection stages into the scan. The audit
+counts cost one extra aggregate job per enabled stage (they share the
+cleaned lineage, not re-derivations) and are returned lazily as callables
+unless ``count_stages=True``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from great_expectations_spark.operators import dedup as dd
+from great_expectations_spark.operators import text as tx
+
+
+@dataclass
+class CorpusCleanResult:
+    """Cleaned corpus + what each stage did. ``df`` is the final lazy
+    DataFrame; ``stage_counts`` maps stage name → rows surviving it
+    (populated only when ``clean_corpus(count_stages=True)``; each count is
+    one Spark job)."""
+
+    df: DataFrame
+    stages: list[str] = field(default_factory=list)
+    stage_counts: dict[str, int] = field(default_factory=dict)
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: Optional[float] = 0.3,
+    min_tokens: Optional[int] = 5,
+    languages: Optional[list[str]] = None,
+    scrub_pii: bool = False,
+    dedup: Optional[str] = "exact",
+    dedup_threshold: float = 0.9,
+    benchmark: Optional[DataFrame] = None,
+    max_contamination: float = 0.1,
+    contamination_k: int = 8,
+    count_stages: bool = False,
+) -> CorpusCleanResult:
+    """Standard training-data cleaning recipe over a documents table:
+
+    1. quality gate: ``quality_score >= min_quality`` and
+       ``token_count >= min_tokens`` (one fused projection+filter);
+    2. language gate: ``detect_lang in languages``;
+    3. PII scrub: rewrite ``text_col`` through ``scrub_pii`` (rows kept,
+       payload redacted);
+    4. dedup: 'exact' (md5-normalized, keeps min id),
+       'minhash' (LSH near-dup pairs → connected components → keep one
+       canonical doc per cluster at ``dedup_threshold`` est-Jaccard), or
+       None;
+    5. decontamination: drop docs whose k-gram overlap with ``benchmark``
+       exceeds ``max_contamination`` (anti-join against the contaminated
+       id set).
+
+    Every stage is optional (None/False disables it) and shuffle-bounded;
+    the only joins are the dedup semi/anti-joins and the contamination
+    gram join, all bounded by corpus size (see the operator docstrings for
+    the 100-TB arguments).
+    """
+    out = df
+    stages: list[str] = []
+    counts: dict[str, int] = {}
+
+    def record(stage: str) -> None:
+        stages.append(stage)
+        if count_stages:
+            counts[stage] = out.count()
+
+    c = F.col(text_col)
+    if min_quality is not None or min_tokens is not None:
+        cond = F.lit(True)
+        if min_quality is not None:
+            cond = cond & (tx.quality_score(c) >= min_quality)
+        if min_tokens is not None:
+            cond = cond & (tx.token_count(c) >= min_tokens)
+        out = out.filter(cond)
+        record("quality")
+    if languages:
+        out = out.filter(tx.detect_lang(c).isin(list(languages)))
+        record("language")
+    if scrub_pii:
+        out = out.withColumn(text_col, tx.scrub_pii(c))
+        record("pii_scrub")
+    if dedup == "exact":
+        out = dd.exact_dedup(out, id_col=id_col, text_col=text_col)
+        record("dedup_exact")
+    elif dedup == "minhash":
+        pairs = dd.minhash_dedup_pairs(
+            out, id_col=id_col, text_col=text_col, threshold=dedup_threshold
+        )
+        out = dd.dedup_by_clusters(out, pairs, id_col=id_col)
+        record("dedup_minhash")
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup strategy: {dedup!r}")
+    if benchmark is not None:
+        contaminated = (
+            dd.benchmark_contamination(
+                out, benchmark, id_col=id_col, text_col=text_col, k=contamination_k
+            )
+            .filter(F.col("contamination_fraction") > max_contamination)
+            .select(id_col)
+        )
+        out = out.join(contaminated, on=id_col, how="left_anti")
+        record("decontaminate")
+
+    return CorpusCleanResult(
+        df=out,
+        stages=stages,
+        stage_counts=counts,
+        params={
+            "min_quality": min_quality,
+            "min_tokens": min_tokens,
+            "languages": list(languages) if languages else None,
+            "scrub_pii": scrub_pii,
+            "dedup": dedup,
+            "dedup_threshold": dedup_threshold,
+            "max_contamination": max_contamination if benchmark is not None else None,
+            "contamination_k": contamination_k,
+        },
+    )

@@ -1,0 +1,70 @@
+"""End-to-end corpus-cleaning composition (great_expectations_spark.pipeline)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.pipeline import clean_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    long_en = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in the warm sun for a long time with great joy " * 3
+    )
+    rows = [
+        (1, long_en),
+        (2, long_en),                                   # exact dup of 1
+        (3, "el gato esta en la casa de los abuelos y la familia come pan con queso en la mesa grande todos los dias del ano para celebrar"),
+        (4, "x"),                                        # too short
+        (5, "the data team ships the model and the eval set is in the "
+            "vault so that nobody trains on it by accident ever again ok " * 3),
+        (6, "contact the admin at admin@example.com for the keys to the "
+            "cluster and the storage and the backup vault today please now " * 3),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_corpus_stages(spark, corpus):
+    bench = corpus.filter("doc_id = 5")
+    res = clean_corpus(
+        corpus,
+        min_quality=0.2,
+        min_tokens=5,
+        languages=["en"],
+        scrub_pii=True,
+        dedup="exact",
+        benchmark=bench,
+        max_contamination=0.1,
+        count_stages=True,
+    )
+    assert res.stages == [
+        "quality", "language", "pii_scrub", "dedup_exact", "decontaminate"
+    ]
+    rows = {r["doc_id"]: r["text"] for r in res.df.collect()}
+    # spanish doc 3 dropped by language gate; short doc 4 by quality gate;
+    # dup doc 2 dropped (1 kept); doc 5 dropped as contaminated
+    assert set(rows) == {1, 6}
+    assert "admin@example.com" not in rows[6] and "[PII]" in rows[6]
+    # audit counts are monotone non-increasing along the funnel
+    seq = [res.stage_counts[s] for s in res.stages]
+    assert seq == sorted(seq, reverse=True)
+    assert res.params["dedup"] == "exact"
+
+
+def test_clean_corpus_minhash_and_disable_stages(spark, corpus):
+    res = clean_corpus(
+        corpus,
+        min_quality=None,
+        min_tokens=None,
+        languages=None,
+        dedup="minhash",
+        dedup_threshold=0.8,
+    )
+    assert res.stages == ["dedup_minhash"]
+    ids = {r["doc_id"] for r in res.df.select("doc_id").collect()}
+    assert 1 in ids and 2 not in ids  # near-dup cluster keeps the min id
+    assert {3, 4, 5, 6} <= ids
+
+    with pytest.raises(ValueError, match="unknown dedup"):
+        clean_corpus(corpus, dedup="nope")
