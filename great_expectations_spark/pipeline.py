@@ -46,6 +46,8 @@ def clean_corpus(
     scrub_pii: bool = False,
     dedup: Optional[str] = "exact",
     dedup_threshold: float = 0.9,
+    max_dup_fraction: Optional[float] = None,
+    dup_span_k: int = 8,
     benchmark: Optional[DataFrame] = None,
     max_contamination: float = 0.1,
     contamination_k: int = 8,
@@ -62,7 +64,11 @@ def clean_corpus(
        'minhash' (LSH near-dup pairs → connected components → keep one
        canonical doc per cluster at ``dedup_threshold`` est-Jaccard), or
        None;
-    5. decontamination: drop docs whose k-gram overlap with ``benchmark``
+    5. span filter: drop docs whose corpus-duplicated-span token fraction
+       (``duplicate_ngram_spans`` at ``dup_span_k``) exceeds
+       ``max_dup_fraction`` — removes boilerplate-dominated documents that
+       whole-doc dedup keeps;
+    6. decontamination: drop docs whose k-gram overlap with ``benchmark``
        exceeds ``max_contamination`` (anti-join against the contaminated
        id set).
 
@@ -106,6 +112,17 @@ def clean_corpus(
         record("dedup_minhash")
     elif dedup is not None:
         raise ValueError(f"unknown dedup strategy: {dedup!r}")
+    if max_dup_fraction is not None:
+        spans = dd.duplicate_ngram_spans(
+            out, id_col=id_col, text_col=text_col, k=dup_span_k
+        )
+        over = (
+            dd.duplicated_token_stats(out, spans, id_col=id_col, text_col=text_col)
+            .filter(F.col("dup_fraction") > max_dup_fraction)
+            .select(id_col)
+        )
+        out = out.join(over, on=id_col, how="left_anti")
+        record("span_filter")
     if benchmark is not None:
         contaminated = (
             dd.benchmark_contamination(
@@ -128,6 +145,8 @@ def clean_corpus(
             "scrub_pii": scrub_pii,
             "dedup": dedup,
             "dedup_threshold": dedup_threshold,
+            "max_dup_fraction": max_dup_fraction,
+            "dup_span_k": dup_span_k if max_dup_fraction is not None else None,
             "max_contamination": max_contamination if benchmark is not None else None,
             "contamination_k": contamination_k,
         },

@@ -68,3 +68,22 @@ def test_clean_corpus_minhash_and_disable_stages(spark, corpus):
 
     with pytest.raises(ValueError, match="unknown dedup"):
         clean_corpus(corpus, dedup="nope")
+
+
+def test_clean_corpus_span_filter(spark):
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, f"{boiler} unique tail one two three"),
+        (2, f"{boiler} other ending four five six"),   # shares the 12-token run
+        (3, "a wholly original document with no repeats anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = clean_corpus(
+        df, min_quality=None, min_tokens=None, dedup=None,
+        max_dup_fraction=0.5, dup_span_k=8, count_stages=True,
+    )
+    assert res.stages == ["span_filter"]
+    ids = {r["doc_id"] for r in res.df.collect()}
+    # docs 1,2 are ~70% covered by the shared boilerplate run → dropped
+    assert ids == {3}
+    assert res.params["max_dup_fraction"] == 0.5
