@@ -52,6 +52,7 @@ def clean_corpus(
     max_contamination: float = 0.1,
     contamination_k: int = 8,
     count_stages: bool = False,
+    persist_intermediate: bool = False,
 ) -> CorpusCleanResult:
     """Standard training-data cleaning recipe over a documents table:
 
@@ -101,6 +102,17 @@ def clean_corpus(
     if scrub_pii:
         out = out.withColumn(text_col, tx.scrub_pii(c))
         record("pii_scrub")
+    # dedup / span-filter / decontamination FORK the lineage (the corpus
+    # feeds both the pair/span/overlap computation and the final
+    # semi/anti-join), so without a persist Spark recomputes the gate
+    # stages once per fork. Opt-in: correct either way, and at scale the
+    # caller chooses storage level / checkpointing policy.
+    forks = (dedup is not None) + (max_dup_fraction is not None) + (
+        benchmark is not None
+    )
+    if persist_intermediate and forks:
+        out = out.persist()
+        record("persist")
     if dedup == "exact":
         out = dd.exact_dedup(out, id_col=id_col, text_col=text_col)
         record("dedup_exact")

@@ -87,3 +87,13 @@ def test_clean_corpus_span_filter(spark):
     # docs 1,2 are ~70% covered by the shared boilerplate run → dropped
     assert ids == {3}
     assert res.params["max_dup_fraction"] == 0.5
+
+
+def test_clean_corpus_persist_intermediate(spark, corpus):
+    res = clean_corpus(
+        corpus, min_quality=None, min_tokens=None, dedup="exact",
+        persist_intermediate=True, count_stages=True,
+    )
+    assert res.stages[0] == "persist"
+    assert {r["doc_id"] for r in res.df.collect()} == {1, 3, 4, 5, 6}
+    spark.catalog.clearCache()
