@@ -1369,18 +1369,6 @@ def q_sim_lsh_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
-def q_embed_norm(spark, sf_dir):
-    e = _load(spark, sf_dir, "embeddings")
-    return e.select("vec_id", F.round(sim.norm(F.col("embedding")), 4).alias("l2_norm"))
-
-
-SQL_EMBED_NORM = """
-SELECT vec_id, round(sqrt(sum(x*x)), 4) AS l2_norm
-FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
-GROUP BY vec_id
-"""
-
-
 def q_dedup_spans(spark, sf_dir):
     """Substring-span dedup (operators/dedup.py duplicate_ngram_spans, k=8):
     maximal duplicated token spans per document. Gram identity is a 64-bit

@@ -143,7 +143,12 @@ class ExpectationSuite:
             if d.get(k) is not None
         }
         if extras:
-            meta.setdefault("reference_extras", {}).update(extras)
+            # copy the nested dict: meta is only a shallow copy of the
+            # caller's dict, and update() in place would mutate their input
+            meta["reference_extras"] = {
+                **(meta.get("reference_extras") or {}),
+                **extras,
+            }
         return cls(
             name=name,
             expectations=[

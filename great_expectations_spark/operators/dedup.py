@@ -28,15 +28,7 @@ from pyspark.sql import functions as F
 from great_expectations_spark.operators.text import normalize_text, tokens
 
 
-def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
-    """Small inputs often arrive as one or two file partitions — every
-    CPU-heavy operator here would then run on one core. Repartition by the
-    id up to default parallelism when the input has fewer partitions (no-op
-    on well-partitioned production tables)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+from great_expectations_spark.operators.text import ensure_parallelism as _ensure_parallelism  # noqa: E501  (shared with text.py operators; defined in the leaf module to avoid a cycle)
 
 
 # ---- exact dedup --------------------------------------------------------

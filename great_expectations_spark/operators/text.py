@@ -12,6 +12,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Small inputs often arrive as one or two file partitions — every
+    CPU-heavy operator would then run on one core. Repartition by the key
+    up to default parallelism when the input has fewer partitions (no-op on
+    well-partitioned production tables). Lives here (the leaf module) so
+    text and dedup operators share one definition without an import cycle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 # --- tokenization --------------------------------------------------------
 
 
@@ -184,6 +196,10 @@ PII_PATTERNS: dict[str, str] = {
 def pii_counts(col: Column, pii_types: list[str] | None = None) -> Column:
     """struct<email:int, ssn:int, ...> of per-type PII match counts."""
     types = list(PII_PATTERNS) if pii_types is None else list(pii_types)
+    if not types:
+        # an empty struct / a None fold result would silently degrade to a
+        # Python bool downstream (e.g. pii_total(...) == 0 → literal False)
+        raise ValueError("pii_types must be non-empty")
     unknown = set(types) - set(PII_PATTERNS)
     if unknown:
         raise ValueError(f"unknown pii_types: {sorted(unknown)}")
@@ -215,10 +231,12 @@ def scrub_pii(
     """Replace every PII match with ``replacement``, applying patterns in
     PII_PATTERNS order (specific digit shapes before the generic phone
     shape). Chained JVM regexp_replace — one projection, no UDFs."""
-    types = [t for t in PII_PATTERNS if pii_types is None or t in set(pii_types)]
     unknown = (set(pii_types) - set(PII_PATTERNS)) if pii_types is not None else set()
     if unknown:
         raise ValueError(f"unknown pii_types: {sorted(unknown)}")
+    types = [t for t in PII_PATTERNS if pii_types is None or t in set(pii_types)]
+    if not types:
+        raise ValueError("pii_types must be non-empty")
     out = col
     for t in types:
         out = F.regexp_replace(out, PII_PATTERNS[t], replacement)
@@ -286,7 +304,7 @@ def top_ngrams(
     if n < 1:
         raise ValueError("n must be >= 1")
     c = F.col(text_col)
-    toks = df.select(
+    toks = ensure_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.posexplode(tokens(normalize_text(c))).alias("pos", "tok")
     )
     if n == 1:

@@ -5,10 +5,9 @@ benchmark decontamination) with a per-stage audit trail.
 This is glue, not new semantics — every stage is one of the
 operators/{text,dedup}.py primitives, so the whole pipeline stays a lazy
 DataFrame composition: nothing executes until the caller acts on the
-result, and Catalyst fuses the projection stages into the scan. The audit
-counts cost one extra aggregate job per enabled stage (they share the
-cleaned lineage, not re-derivations) and are returned lazily as callables
-unless ``count_stages=True``.
+result, and Catalyst fuses the projection stages into the scan. Stage
+counts are opt-in (``count_stages=True``; one aggregate job per enabled
+stage) and omitted otherwise.
 """
 
 from __future__ import annotations
@@ -34,6 +33,15 @@ class CorpusCleanResult:
     stages: list[str] = field(default_factory=list)
     stage_counts: dict[str, int] = field(default_factory=dict)
     params: dict[str, Any] = field(default_factory=dict)
+    # the cached intermediate when persist_intermediate=True, so the caller
+    # can release it (result.unpersist()) once the cleaned corpus is
+    # materialized — otherwise the cache stays pinned for the app lifetime
+    persisted: Optional[DataFrame] = None
+
+    def unpersist(self) -> None:
+        if self.persisted is not None:
+            self.persisted.unpersist()
+            self.persisted = None
 
 
 def clean_corpus(
@@ -110,8 +118,9 @@ def clean_corpus(
     forks = (dedup is not None) + (max_dup_fraction is not None) + (
         benchmark is not None
     )
+    persisted = None
     if persist_intermediate and forks:
-        out = out.persist()
+        out = persisted = out.persist()
         record("persist")
     if dedup == "exact":
         out = dd.exact_dedup(out, id_col=id_col, text_col=text_col)
@@ -150,6 +159,7 @@ def clean_corpus(
         df=out,
         stages=stages,
         stage_counts=counts,
+        persisted=persisted,
         params={
             "min_quality": min_quality,
             "min_tokens": min_tokens,

@@ -277,7 +277,14 @@ def profile(
                 ]
             ).collect()[0].asDict()
             for c in str_cols:
-                hit_frac = int(pii_stats[f"pii__{c}"] or 0) / n
+                # denominator = NON-NULL rows: the expectation's considered
+                # set excludes nulls (conditions._col_map default), unlike
+                # the not_be_null rule where every row is considered — using
+                # n here would emit a mostly the profiled batch itself fails
+                nonnull = int(stats[f"nn__{c}"] or 0)
+                if not nonnull:
+                    continue
+                hit_frac = int(pii_stats[f"pii__{c}"] or 0) / nonnull
                 if hit_frac == 0.0:
                     suite.add("expect_column_values_to_not_contain_pii", column=c)
                 elif hit_frac <= mostly_floor:

@@ -249,14 +249,28 @@ class WebhookNotificationAction:
         )
         urllib.request.urlopen(req, timeout=10).read()
 
+    def _render(self, event: dict):
+        """Payload for this event — subclasses override with their
+        renderer; the base webhook posts the event verbatim."""
+        return event
+
+    def _send(self, payload) -> None:
+        """Deliver a rendered payload — subclasses with a non-(url, payload)
+        transport signature (email, SNS) override."""
+        self.transport(self.url, payload)
+
     def run(self, event: dict) -> None:
+        # one gate + failure-swallow for every action subclass: rendering
+        # happens only when the gate passes, and neither rendering nor
+        # delivery errors may fail the validation run (reference actions
+        # catch-and-log the same way)
         success = event.get("success")
         if self.notify_on == "success" and success is not True:
             return
         if self.notify_on == "failure" and success is not False:
             return
         try:
-            self.transport(self.url, event)
+            self._send(self._render(event))
         except Exception:
             pass  # notification failure must not fail the run
 
@@ -318,16 +332,8 @@ class SlackNotificationAction(WebhookNotificationAction):
     ``transport`` as WebhookNotificationAction; rendering happens only when
     the gate passes."""
 
-    def run(self, event: dict) -> None:
-        success = event.get("success")
-        if self.notify_on == "success" and success is not True:
-            return
-        if self.notify_on == "failure" and success is not False:
-            return
-        try:
-            self.transport(self.url, render_slack_payload(event))
-        except Exception:
-            pass  # notification failure must not fail the run
+    def _render(self, event: dict) -> dict:
+        return render_slack_payload(event)
 
 
 def render_email_message(event: dict) -> dict:
@@ -388,17 +394,11 @@ class EmailNotificationAction(WebhookNotificationAction):
         super().__init__(url="", notify_on=notify_on, transport=transport)
         self.to = list(to)
 
-    def run(self, event: dict) -> None:
-        success = event.get("success")
-        if self.notify_on == "success" and success is not True:
-            return
-        if self.notify_on == "failure" and success is not False:
-            return
-        try:
-            msg = dict(render_email_message(event), to=self.to)
-            self.transport(self.to, msg)
-        except Exception:
-            pass  # notification failure must not fail the run
+    def _render(self, event: dict) -> dict:
+        return dict(render_email_message(event), to=self.to)
+
+    def _send(self, payload) -> None:
+        self.transport(self.to, payload)
 
 
 def render_pagerduty_event(event: dict, routing_key: str) -> dict:
@@ -440,16 +440,8 @@ class PagerdutyAlertAction(WebhookNotificationAction):
         super().__init__(url=url, notify_on=notify_on, transport=transport)
         self.routing_key = routing_key
 
-    def run(self, event: dict) -> None:
-        success = event.get("success")
-        if self.notify_on == "success" and success is not True:
-            return
-        if self.notify_on == "failure" and success is not False:
-            return
-        try:
-            self.transport(self.url, render_pagerduty_event(event, self.routing_key))
-        except Exception:
-            pass  # notification failure must not fail the run
+    def _render(self, event: dict) -> dict:
+        return render_pagerduty_event(event, self.routing_key)
 
 
 def render_opsgenie_payload(
@@ -515,6 +507,9 @@ class OpsgenieAlertAction(WebhookNotificationAction):
         self.priority = priority
         self.tags = list(tags or [])
 
+    def _render(self, event: dict) -> dict:
+        return render_opsgenie_payload(event, self.priority, self.tags)
+
     def _auth_post(self, url: str, payload: dict) -> None:
         import urllib.request
 
@@ -527,19 +522,6 @@ class OpsgenieAlertAction(WebhookNotificationAction):
             },
         )
         urllib.request.urlopen(req, timeout=10).read()
-
-    def run(self, event: dict) -> None:
-        success = event.get("success")
-        if self.notify_on == "success" and success is not True:
-            return
-        if self.notify_on == "failure" and success is not False:
-            return
-        try:
-            self.transport(
-                self.url, render_opsgenie_payload(event, self.priority, self.tags)
-            )
-        except Exception:
-            pass  # notification failure must not fail the run
 
 
 def render_teams_payload(event: dict) -> dict:
@@ -621,16 +603,8 @@ class MicrosoftTeamsNotificationAction(WebhookNotificationAction):
     (checkpoint/actions.py:351-469): POSTs the AdaptiveCard message to a
     Teams webhook, same notify_on gate."""
 
-    def run(self, event: dict) -> None:
-        success = event.get("success")
-        if self.notify_on == "success" and success is not True:
-            return
-        if self.notify_on == "failure" and success is not False:
-            return
-        try:
-            self.transport(self.url, render_teams_payload(event))
-        except Exception:
-            pass  # notification failure must not fail the run
+    def _render(self, event: dict) -> dict:
+        return render_teams_payload(event)
 
 
 def render_sns_message(event: dict, topic_arn: str, subject: Optional[str]) -> dict:
@@ -674,19 +648,11 @@ class SNSNotificationAction(WebhookNotificationAction):
         self.sns_topic_arn = sns_topic_arn
         self.sns_message_subject = sns_message_subject
 
-    def run(self, event: dict) -> None:
-        success = event.get("success")
-        if self.notify_on == "success" and success is not True:
-            return
-        if self.notify_on == "failure" and success is not False:
-            return
-        try:
-            self.transport(
-                self.sns_topic_arn,
-                render_sns_message(event, self.sns_topic_arn, self.sns_message_subject),
-            )
-        except Exception:
-            pass  # notification failure must not fail the run
+    def _render(self, event: dict) -> dict:
+        return render_sns_message(event, self.sns_topic_arn, self.sns_message_subject)
+
+    def _send(self, payload) -> None:
+        self.transport(self.sns_topic_arn, payload)
 
 
 class CheckpointRunner:

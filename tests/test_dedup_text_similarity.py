@@ -740,3 +740,10 @@ def test_ngram_spans_randomized_vs_python_reference(spark):
         )
     got = {d: sorted(v) for d, v in got.items()}
     assert got == expected
+
+
+def test_pii_empty_types_raise(pii_docs):
+    with pytest.raises(ValueError, match="non-empty"):
+        text.pii_total(F.col("text"), [])
+    with pytest.raises(ValueError, match="non-empty"):
+        text.scrub_pii(F.col("text"), pii_types=[])

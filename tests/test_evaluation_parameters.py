@@ -621,3 +621,19 @@ def test_sns_action_message_and_gating():
     assert sent == []
     act.run(dict(ev, success=False))
     assert len(sent) == 1 and sent[0][1]["Subject"] == "daily"
+
+
+def test_from_dict_does_not_mutate_input():
+    d = {
+        "expectation_suite_name": "s",
+        "ge_cloud_id": "G",
+        "meta": {"reference_extras": {"data_asset_type": "D"}},
+        "expectations": [],
+    }
+    import copy
+
+    snapshot = copy.deepcopy(d)
+    suite = ExpectationSuite.from_dict(d)
+    assert d == snapshot  # caller's dict untouched
+    suite.meta["reference_extras"]["x"] = 1
+    assert d == snapshot  # no aliasing of the nested dict either

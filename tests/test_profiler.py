@@ -175,3 +175,27 @@ def test_profile_pii_checks_opt_in(spark):
     # the profiled suite validates its own batch green
     res = SparkValidationEngine(spark).validate(df, suite)
     assert res.success is True
+
+
+def test_profile_pii_mostly_uses_nonnull_denominator(spark):
+    """A column with nulls AND some PII must profile to a suite that its own
+    batch passes: the expectation considers only non-null rows, so the
+    mostly floor must be computed over the non-null count."""
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.profiler import profile
+
+    rows = [
+        (1, None), (2, None), (3, None), (4, None), (5, None),
+        (6, "mail me a@b.io"), (7, "also c@d.io"),
+        (8, "clean"), (9, "clean"), (10, "clean"),
+    ]
+    df = spark.createDataFrame(rows, "id long, mixed string")
+    suite = profile(df, pii_checks=True)
+    pii = [
+        c for c in suite.expectations
+        if c.expectation_type == "expect_column_values_to_not_contain_pii"
+    ]
+    assert len(pii) == 1
+    # 2 of 5 NON-NULL rows have PII → mostly 0.6 (0.8 over all rows would fail)
+    assert pii[0].kwargs["mostly"] == pytest.approx(0.6)
+    assert SparkValidationEngine(spark).validate(df, suite).success is True
