@@ -173,3 +173,101 @@ def clean_corpus(
             "contamination_k": contamination_k,
         },
     )
+
+
+def clean_image_corpus(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: Optional[str] = "phash",
+    drop_undecodable: bool = True,
+    dedup_max_hamming: Optional[int] = 4,
+    benchmark: Optional[DataFrame] = None,
+    bench_phash_col: str = "phash",
+    benchmark_max_hamming: int = 8,
+    count_stages: bool = False,
+    persist_intermediate: bool = False,
+) -> CorpusCleanResult:
+    """Image-payload counterpart of ``clean_corpus`` over an image+caption
+    table (image_id, bytes, ..., phash):
+
+    1. decodability gate: drop rows whose payload fails the codec (one
+       Arrow decode per image; skipped when ``drop_undecodable=False``).
+       When ``phash_col`` is None the recomputed phash from this decode is
+       used downstream, so the stage also runs (decode is what produces it);
+    2. perceptual dedup: phash near-dup pairs within ``dedup_max_hamming``
+       → connected components → keep the min-id canonical image per
+       cluster (pigeonhole-complete banding, no decode — stored phash);
+    3. decontamination: drop images whose phash is within
+       ``benchmark_max_hamming`` of any benchmark image
+       (``image_benchmark_contamination``).
+
+    Bytes are read exactly once (stage 1) and only if that stage runs;
+    dedup and decontamination work off the phash column alone.
+    """
+    from great_expectations_spark.operators.images import (
+        enrich_images,
+        image_benchmark_contamination,
+        image_near_duplicate_pairs,
+    )
+
+    out = df
+    stages: list[str] = []
+    counts: dict[str, int] = {}
+
+    def record(stage: str) -> None:
+        stages.append(stage)
+        if count_stages:
+            counts[stage] = out.count()
+
+    if drop_undecodable or phash_col is None:
+        enriched = enrich_images(out, bytes_col=bytes_col)
+        if drop_undecodable:
+            enriched = enriched.filter(F.col("_decoded.ok"))
+        if phash_col is None:
+            phash_col = "_recomputed_phash"
+            enriched = enriched.withColumn(phash_col, F.col("_decoded.phash"))
+        out = enriched.drop("_decoded")
+        record("decodable")
+
+    forks = (dedup_max_hamming is not None) + (benchmark is not None)
+    persisted = None
+    if persist_intermediate and forks:
+        out = persisted = out.persist()
+        record("persist")
+
+    if dedup_max_hamming is not None:
+        pairs = image_near_duplicate_pairs(
+            out, id_col=id_col, phash_col=phash_col, max_hamming=dedup_max_hamming
+        )
+        out = dd.dedup_by_clusters(
+            out, pairs, id_col=id_col, id_a="image_a", id_b="image_b"
+        )
+        record("dedup_phash")
+
+    if benchmark is not None:
+        contaminated = image_benchmark_contamination(
+            out,
+            benchmark,
+            id_col=id_col,
+            phash_col=phash_col,
+            bench_phash_col=bench_phash_col,
+            max_hamming=benchmark_max_hamming,
+        ).select(id_col)
+        out = out.join(contaminated, on=id_col, how="left_anti")
+        record("decontaminate")
+
+    return CorpusCleanResult(
+        df=out,
+        stages=stages,
+        stage_counts=counts,
+        persisted=persisted,
+        params={
+            "drop_undecodable": drop_undecodable,
+            "phash_col": phash_col,
+            "dedup_max_hamming": dedup_max_hamming,
+            "benchmark_max_hamming": (
+                benchmark_max_hamming if benchmark is not None else None
+            ),
+        },
+    )

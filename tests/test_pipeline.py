@@ -97,3 +97,39 @@ def test_clean_corpus_persist_intermediate(spark, corpus):
     assert res.stages[0] == "persist"
     assert {r["doc_id"] for r in res.df.collect()} == {1, 3, 4, 5, 6}
     spark.catalog.clearCache()
+
+
+def test_clean_image_corpus(spark):
+    import numpy as np
+
+    from great_expectations_spark.testing.images import encode_image
+
+    rng = np.random.RandomState(9)
+
+    def enc(i):
+        px = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+        return bytearray(encode_image(px, "png"))
+
+    # phashes need WIDE Hamming separation between groups (small ints are
+    # all within a few bits of each other — 100 vs 2^62 is hamming 4!)
+    a, c, d = 0, 0x5555555555555555, 0x3333333333333333
+    rows = [
+        (1, enc(1), a),            # canonical of cluster {1, 2}
+        (2, enc(2), a ^ 1),        # hamming 1 from image 1 → deduped
+        (3, bytearray(b"not an image"), 200),   # undecodable → dropped
+        (4, enc(3), c),            # hamming 2 from the benchmark → decontaminated
+        (5, enc(4), d),            # hamming ≥ 30 from everything → survives
+    ]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary, phash long")
+    bench = spark.createDataFrame([(90, c ^ 3)], "image_id long, phash long")
+
+    from great_expectations_spark.pipeline import clean_image_corpus
+
+    res = clean_image_corpus(
+        df, dedup_max_hamming=4, benchmark=bench, benchmark_max_hamming=8,
+        count_stages=True,
+    )
+    assert res.stages == ["decodable", "dedup_phash", "decontaminate"]
+    ids = {r["image_id"] for r in res.df.collect()}
+    assert ids == {1, 5}
+    assert res.stage_counts["decodable"] == 4
