@@ -294,3 +294,55 @@ def profile(
                         mostly=math.floor((1 - hit_frac) * 100) / 100,
                     )
     return suite
+
+
+def volume_assistant(
+    store,
+    suite_name: Optional[str] = None,
+    name: str = "volume",
+    quantiles: tuple[float, float] = (0.025, 0.975),
+    min_runs: int = 2,
+) -> ExpectationSuite:
+    """Volume data assistant: bootstrap a row-count expectation from batch
+    HISTORY instead of a single batch — the reference's
+    VolumeDataAssistant (rule_based_profiler/data_assistant/
+    volume_data_assistant.py: table.row_count over recent batches through a
+    numeric-range estimator → expect_table_row_count_to_be_between).
+
+    Reads the global ``table.row_count`` rows this engine's stores layer
+    persists per run (sources/stores.py write_metrics), takes the empirical
+    ``quantiles`` of the historical counts, and emits one
+    expect_table_row_count_to_be_between with those bounds. One small
+    aggregate over the metrics table; the history is one row per run, so
+    the driver-side collect is bounded by run count.
+    """
+    lo_q, hi_q = quantiles
+    if not (0.0 <= lo_q < hi_q <= 1.0):
+        raise ValueError("quantiles must satisfy 0 <= lo < hi <= 1")
+    m = store.read_metrics().filter(
+        (F.col("metric_key") == '["table.row_count"]')
+        & F.col("partition_key").isNull()
+    )
+    if suite_name is not None:
+        m = m.filter(F.col("suite_name") == suite_name)
+    row = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"percentile_approx(CAST(value AS BIGINT), array({lo_q}, {hi_q}), 10000)"
+        ).alias("q"),
+    ).collect()[0]
+    if int(row["n"] or 0) < min_runs:
+        raise ValueError(
+            f"volume_assistant needs >= {min_runs} historical runs, found {row['n']}"
+        )
+    lo, hi = int(math.floor(row["q"][0])), int(math.ceil(row["q"][1]))
+    suite = ExpectationSuite(
+        name=name,
+        meta={
+            "assistant": "volume",
+            "history_runs": int(row["n"]),
+            "quantiles": [lo_q, hi_q],
+        },
+    )
+    suite.add("expect_table_row_count_to_be_between", min_value=lo, max_value=hi)
+    return suite

@@ -199,3 +199,34 @@ def test_profile_pii_mostly_uses_nonnull_denominator(spark):
     # 2 of 5 NON-NULL rows have PII → mostly 0.6 (0.8 over all rows would fail)
     assert pii[0].kwargs["mostly"] == pytest.approx(0.6)
     assert SparkValidationEngine(spark).validate(df, suite).success is True
+
+
+def test_volume_assistant_from_metrics_history(spark, tmp_path):
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.profiler import volume_assistant
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "volstore"))
+    eng = SparkValidationEngine(spark)
+    s = ExpectationSuite(name="daily")
+    s.add("expect_table_row_count_to_be_between", min_value=0, max_value=10**12)
+    base = spark.range(0, 1000).withColumnRenamed("id", "x")
+    for i, n in enumerate((950, 1000, 1050)):
+        store.write_metrics(eng.validate(base.limit(n), s), run_id=f"r{i}")
+
+    suite = volume_assistant(store, suite_name="daily")
+    (cfg,) = suite.expectations
+    assert cfg.expectation_type == "expect_table_row_count_to_be_between"
+    assert 950 <= cfg.kwargs["min_value"] <= 1000
+    assert 1000 <= cfg.kwargs["max_value"] <= 1050
+    assert suite.meta["history_runs"] == 3
+    # today's batch inside the historical band passes
+    assert eng.validate(base.limit(1000), suite).success is True
+    # a collapsed batch fails
+    assert eng.validate(base.limit(100), suite).success is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="historical runs"):
+        volume_assistant(store, suite_name="other-suite")
