@@ -890,3 +890,34 @@ class CheckpointRunner:
             }
         )
         return out
+
+
+# the instantiable action roster for config-driven checkpoints (reference:
+# checkpoint action_list entries {"name": ..., "action": {"class_name": ...}})
+ACTION_CLASSES = {
+    "WebhookNotificationAction": WebhookNotificationAction,
+    "SlackNotificationAction": SlackNotificationAction,
+    "EmailNotificationAction": EmailNotificationAction,
+    "PagerdutyAlertAction": PagerdutyAlertAction,
+    "OpsgenieAlertAction": OpsgenieAlertAction,
+    "MicrosoftTeamsNotificationAction": MicrosoftTeamsNotificationAction,
+    "SNSNotificationAction": SNSNotificationAction,
+}
+
+
+def action_from_config(cfg: dict):
+    """Instantiate a notification action from a config dict — either the
+    bare ``{"class_name": ..., **kwargs}`` or the reference's action_list
+    entry shape ``{"name": ..., "action": {"class_name": ..., **kwargs}}``
+    (checkpoint/checkpoint.py action_list). Actions whose transport cannot
+    default (email SMTP, SNS publish) raise their own explicit error."""
+    if "action" in cfg and "class_name" not in cfg:
+        cfg = cfg["action"]
+    kwargs = {k: v for k, v in cfg.items() if k not in ("class_name", "name")}
+    cls_name = cfg.get("class_name")
+    if cls_name not in ACTION_CLASSES:
+        raise ValueError(
+            f"unknown action class_name {cls_name!r}; "
+            f"known: {sorted(ACTION_CLASSES)}"
+        )
+    return ACTION_CLASSES[cls_name](**kwargs)

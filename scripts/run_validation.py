@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-resume", action="store_true", help="revalidate completed partitions")
     p.add_argument("--persist", action="store_true", help="cache the batch across passes")
     p.add_argument(
+        "--actions", default=None,
+        help="JSON file with a list of notification-action configs "
+             "(either {'class_name': ..., **kwargs} or the reference's "
+             "action_list entry {'name': ..., 'action': {...}}); fired per "
+             "validated partition and at run completion",
+    )
+    p.add_argument(
         "--global-rollup", default="conjunction",
         choices=["conjunction", "validate", "none"],
         help="global (partition_key-NULL) rows for URN chaining: driver-side "
@@ -52,7 +59,11 @@ def main(argv=None) -> int:
     from great_expectations_spark.core.config import ExpectationSuite
     from great_expectations_spark.engine import SparkValidationEngine
     from great_expectations_spark.sources.batch import BatchSpec, load_batch
-    from great_expectations_spark.sources.stores import CheckpointRunner, ResultsStore
+    from great_expectations_spark.sources.stores import (
+        CheckpointRunner,
+        ResultsStore,
+        action_from_config,
+    )
 
     spark = SparkSession.builder.appName("ges-validation").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,6 +78,10 @@ def main(argv=None) -> int:
     df = load_batch(spark, spec)
     partition_by = args.partition_by.split(",") if args.partition_by else None
     run_id = args.run_id or str(uuid.uuid4())
+    actions = []
+    if args.actions:
+        with open(args.actions) as f:
+            actions = [action_from_config(cfg) for cfg in json.load(f)]
 
     if args.store and partition_by:
         store = ResultsStore(spark, args.store)
@@ -75,7 +90,7 @@ def main(argv=None) -> int:
             fingerprint = f"{spec.batch_id}-{run_id}"
         else:
             fingerprint = spec.batch_id
-        out = CheckpointRunner(spark, store).run(
+        out = CheckpointRunner(spark, store, actions=actions).run(
             df,
             suite,
             partition_by=partition_by,
@@ -125,6 +140,16 @@ def main(argv=None) -> int:
         store = ResultsStore(spark, args.store)
         store.write_results(result, run_id)
         store.write_metrics(result, run_id)
+    for a in actions:
+        a.run(
+            {
+                "event_type": "run_completed",
+                "run_id": run_id,
+                "suite_name": suite.name,
+                "success": result.success,
+                "statistics": result.statistics,
+            }
+        )
     print(
         json.dumps(
             {

@@ -637,3 +637,30 @@ def test_from_dict_does_not_mutate_input():
     assert d == snapshot  # caller's dict untouched
     suite.meta["reference_extras"]["x"] = 1
     assert d == snapshot  # no aliasing of the nested dict either
+
+
+def test_action_from_config_shapes():
+    from great_expectations_spark.sources.stores import (
+        OpsgenieAlertAction,
+        SlackNotificationAction,
+        action_from_config,
+    )
+
+    bare = action_from_config(
+        {"class_name": "SlackNotificationAction", "url": "https://h", "notify_on": "failure"}
+    )
+    assert isinstance(bare, SlackNotificationAction) and bare.notify_on == "failure"
+    # the reference's action_list entry shape
+    wrapped = action_from_config(
+        {
+            "name": "send_opsgenie_alert_on_validation_result",
+            "action": {"class_name": "OpsgenieAlertAction", "api_key": "k", "region": "eu"},
+        }
+    )
+    assert isinstance(wrapped, OpsgenieAlertAction)
+    assert wrapped.url == "https://api.eu.opsgenie.com/v2/alerts"
+    with pytest.raises(ValueError, match="unknown action class_name"):
+        action_from_config({"class_name": "UpdateDataDocsAction"})
+    # transport-required actions surface their own explicit error
+    with pytest.raises(ValueError, match="explicit transport"):
+        action_from_config({"class_name": "SNSNotificationAction", "sns_topic_arn": "arn"})
