@@ -765,7 +765,12 @@ def _gram_positions(
     k-gram) are dropped."""
     from pyspark.sql import Window
 
-    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    # a NULL id would coalesce every null-id document into ONE window
+    # partition, fabricating grams that span unrelated documents — drop
+    # such rows rather than emit garbage
+    norm = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
     toked = norm.select(id_col, tokens(F.col("_norm")).alias("_toks"))
     tok_pos = _ensure_parallelism(
         toked.select(id_col, F.posexplode(F.col("_toks")).alias("pos", "_tok")),

@@ -747,3 +747,16 @@ def test_pii_empty_types_raise(pii_docs):
         text.pii_total(F.col("text"), [])
     with pytest.raises(ValueError, match="non-empty"):
         text.scrub_pii(F.col("text"), pii_types=[])
+
+
+def test_ngram_spans_null_ids_dropped(spark):
+    """NULL doc ids must not coalesce into one pseudo-document: two null-id
+    docs sharing no content would otherwise fabricate grams spanning both
+    (window partition NULL groups together)."""
+    run = "r1 r2 r3"
+    rows = [(None, f"{run} a b c"), (None, f"x y z {run}"), (7, f"{run} tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_ngram_spans(df, k=3).collect()
+    # null-id rows dropped → the run occurs once (doc 7 only) → no spans;
+    # the pre-fix pseudo-document made it count 3x and emitted spans
+    assert out == []
