@@ -250,6 +250,15 @@ def _no_pii(col: Column, kw: dict) -> Column:
     return pii_total(col, list(types) if types is not None else None) == 0
 
 
+def _valid_urls(col: Column, kw: dict) -> Column:
+    # beyond-reference: absolute-URL shape check (operators/text.py
+    # is_valid_url); optional kwargs schemes restricts accepted schemes
+    from great_expectations_spark.operators.text import is_valid_url
+
+    schemes = kw.get("schemes")
+    return is_valid_url(col, list(schemes) if schemes is not None else None)
+
+
 def _maybe_datetime_bound(v: Any, kw: dict) -> Any:
     """Legacy ``parse_strings_as_datetimes`` support: string bounds against a
     timestamp column parse via dateutil (reference column_values_between.py
@@ -342,8 +351,9 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     "expect_column_values_to_match_strftime_format": _col_map(_strftime),
     "expect_column_values_to_be_dateutil_parseable": _col_map(_dateutil_parseable),
     "expect_column_values_to_be_json_parseable": _col_map(_json_parseable),
-    # --- PII gate (beyond-reference surface; operators/text.py patterns) ---
+    # --- PII / URL gates (beyond-reference surface; operators/text.py) ---
     "expect_column_values_to_not_contain_pii": _col_map(_no_pii),
+    "expect_column_values_to_be_valid_urls": _col_map(_valid_urls),
     # --- column pair ---
     "expect_column_pair_values_to_be_equal": lambda kw: _pair_cond(
         kw,

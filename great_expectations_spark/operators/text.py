@@ -331,3 +331,17 @@ def top_ngrams(
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def is_valid_url(col: Column, schemes: list[str] | None = None) -> Column:
+    """True where the value parses as an absolute URL (scheme://host with
+    optional path/query/fragment, no embedded whitespace). Detection-grade
+    single-regex check, JVM-side; ``schemes`` restricts the accepted scheme
+    list (e.g. ["http", "https"])."""
+    if schemes is not None:
+        if not schemes:
+            raise ValueError("schemes must be non-empty")
+        scheme = "(?:" + "|".join(schemes) + ")"
+    else:
+        scheme = "[A-Za-z][A-Za-z0-9+.-]*"
+    return col.rlike(r"^" + scheme + r"://[^\s/?#]+(?:[/?#]\S*)?$")

@@ -35,12 +35,17 @@ def validation_sink(
     result_format: Any = "BASIC",
     partition_by: Optional[list[str]] = None,
     on_result: Optional[Callable[[Any, int], None]] = None,
+    actions: Optional[list] = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback: validate each micro-batch with the full engine.
 
     ``store``: ResultsStore — results/lineage appended per batch with
     run_id = "stream-<batch_id>" (idempotent on retries of the same batch).
     ``on_result(result, batch_id)``: in-process hook (alerting, metrics).
+    ``actions``: notification actions (sources/stores.py roster) fired once
+    per micro-batch with an event_type='micro_batch_validated' event —
+    the streaming counterpart of the checkpoint action_list; action
+    failures never fail the batch (same guarantee as CheckpointRunner).
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -53,6 +58,20 @@ def validation_sink(
         result.meta["batch_id"] = batch_id
         if store is not None:
             store.write_results(result, run_id=f"stream-{batch_id}")
+        for a in actions or []:
+            try:
+                a.run(
+                    {
+                        "event_type": "micro_batch_validated",
+                        "run_id": f"stream-{batch_id}",
+                        "suite_name": suite.name,
+                        "batch_id": batch_id,
+                        "success": result.success,
+                        "statistics": result.statistics,
+                    }
+                )
+            except Exception:
+                pass  # notification failure must not fail the stream
         if on_result is not None:
             on_result(result, batch_id)
 

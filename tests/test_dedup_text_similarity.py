@@ -760,3 +760,41 @@ def test_ngram_spans_null_ids_dropped(spark):
     # null-id rows dropped → the run occurs once (doc 7 only) → no spans;
     # the pre-fix pseudo-document made it count 3x and emitted spans
     assert out == []
+
+
+def test_is_valid_url_and_expectation(spark):
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    rows = [
+        (1, "https://example.com/a?b=1#c"),
+        (2, "ftp://files.example.com/pub"),
+        (3, "not a url"),
+        (4, "https://bad host/x"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {
+        r["i"]: (r["any"], r["web"])
+        for r in df.select(
+            "i",
+            text.is_valid_url(F.col("u")).alias("any"),
+            text.is_valid_url(F.col("u"), schemes=["http", "https"]).alias("web"),
+        ).collect()
+    }
+    assert got[1] == (True, True)
+    assert got[2] == (True, False)
+    assert got[3] == (False, False) and got[4] == (False, False)
+
+    suite = ExpectationSuite(name="urls")
+    suite.add("expect_column_values_to_be_valid_urls", column="u", mostly=0.5)
+    suite.add(
+        "expect_column_values_to_be_valid_urls",
+        column="u",
+        schemes=["http", "https"],
+    )
+    res = SparkValidationEngine(spark).validate(df, suite)
+    # nulls excluded: 2/4 non-null are valid → mostly 0.5 passes
+    assert res.results[0].success is True
+    assert res.results[1].result["unexpected_count"] == 3
+    assert res.results[1].success is False

@@ -317,3 +317,39 @@ def test_streaming_drift_metrics_per_partition(spark, events_stream_dir):
         ]
         assert r["nonnull_count"] == len(vals)
         assert r["psi"] == pytest.approx(psi(counts, [0.0, 0.5, 0.5, 0.0]), rel=1e-9)
+
+
+def test_validate_stream_fires_actions_per_micro_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """Notification actions attach to the streaming sink exactly like the
+    checkpoint action_list: one micro_batch_validated event per batch,
+    notify_on-gated, failures swallowed."""
+    from great_expectations_spark.sources.stores import WebhookNotificationAction
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    sent, results = [], []
+
+    def boom(url, payload):
+        raise RuntimeError("webhook down")
+
+    q = validate_stream(
+        stream,
+        _suite(),
+        checkpoint_location=str(tmp_path / "ckpt-act"),
+        trigger={"availableNow": True},
+        on_result=lambda r, bid: results.append(bid),
+        actions=[
+            WebhookNotificationAction(
+                "https://h.invalid", transport=lambda u, p: sent.append(p)
+            ),
+            WebhookNotificationAction("https://h.invalid", transport=boom),
+        ],
+    )
+    q.awaitTermination(120)
+    assert results and len(sent) == len(results)  # boom never killed a batch
+    ev = sent[0]
+    assert ev["event_type"] == "micro_batch_validated"
+    assert ev["run_id"].startswith("stream-")
+    assert "statistics" in ev and isinstance(ev["success"], bool)
