@@ -173,6 +173,7 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         detect_lang(c).alias("lang_detected"),
         fingerprint(c).alias("fp"),
+        pii_total(c).alias("pii_hits"),
     )
 
 
