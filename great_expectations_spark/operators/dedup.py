@@ -829,6 +829,11 @@ def duplicate_ngram_spans(
     any corpus size where this matters). min_count counts OCCURRENCES, so
     a k-gram repeated min_count times inside a single document also
     qualifies — that is the semantics that removes boilerplate.
+
+    Rows with a NULL ``id_col`` are DROPPED (they cannot be reported
+    per-document, and keeping them would coalesce every null-id doc into
+    one bogus window partition); their grams therefore do not contribute
+    to occurrence counts — assign surrogate ids upstream if they should.
     """
     from pyspark.sql import Window
 
@@ -915,7 +920,9 @@ def benchmark_contamination(
     Documents shorter than k tokens report 0 grams and fraction 0.0.
 
     Plan shape: both sides run the shared explode + lead-window + codegen
-    gram-hash pipeline (``_gram_positions``); the benchmark side collapses
+    gram-hash pipeline (``_gram_positions``); the benchmark side gets
+    surrogate row ids (``bench_id_col`` is accepted for symmetry but its
+    values never influence the result) and collapses
     to its DISTINCT gram-hash set (groupBy with map-side combine) before an
     equi-join against corpus gram positions — hot boilerplate grams meet a
     distinct set, so the join output is bounded by corpus gram count, never
@@ -926,9 +933,15 @@ def benchmark_contamination(
     gram pair, negligible at any realistic corpus size).
     """
     corp = _gram_positions(df, id_col, text_col, k)
-    bench = _gram_positions(benchmark, bench_id_col, bench_text_col, k).select(
-        "gh"
-    ).distinct()
+    # the benchmark side only contributes its distinct gram SET — ids are
+    # semantically irrelevant there, so assign surrogates rather than let
+    # _gram_positions's null-id drop silently fail-open the check on an
+    # eval set loaded without ids
+    bench_src = benchmark.select(
+        F.monotonically_increasing_id().alias("_bid"),
+        F.col(bench_text_col).alias("_btext"),
+    )
+    bench = _gram_positions(bench_src, "_bid", "_btext", k).select("gh").distinct()
     per_doc = corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hit = (
         corp.join(bench, "gh")

@@ -342,7 +342,11 @@ def is_valid_url(col: Column, schemes: list[str] | None = None) -> Column:
     if schemes is not None:
         if not schemes:
             raise ValueError("schemes must be non-empty")
-        scheme = "(?:" + "|".join(schemes) + ")"
+        import re as _re
+
+        # escape metacharacters: a scheme like "git+ssh" must not turn its
+        # '+' into a quantifier (Java regex accepts these escapes too)
+        scheme = "(?:" + "|".join(_re.escape(x) for x in schemes) + ")"
     else:
         scheme = "[A-Za-z][A-Za-z0-9+.-]*"
     return col.rlike(r"^" + scheme + r"://[^\s/?#]+(?:[/?#]\S*)?$")

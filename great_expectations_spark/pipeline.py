@@ -221,7 +221,11 @@ def clean_image_corpus(
             counts[stage] = out.count()
 
     if drop_undecodable or phash_col is None:
-        enriched = enrich_images(out, bytes_col=bytes_col)
+        # single-file inputs decode on one core otherwise (the Arrow decode
+        # is the most expensive stage of this pipeline)
+        enriched = enrich_images(
+            tx.ensure_parallelism(out, id_col), bytes_col=bytes_col
+        )
         if drop_undecodable:
             enriched = enriched.filter(F.col("_decoded.ok"))
         if phash_col is None:

@@ -319,17 +319,27 @@ def volume_assistant(
     lo_q, hi_q = quantiles
     if not (0.0 <= lo_q < hi_q <= 1.0):
         raise ValueError("quantiles must satisfy 0 <= lo < hi <= 1")
-    m = store.read_metrics().filter(
+    try:
+        metrics = store.read_metrics()
+    except Exception:
+        # no metrics table yet — same guard as the store's own readers
+        raise ValueError(
+            f"volume_assistant needs >= {min_runs} historical runs, found 0"
+        )
+    m = metrics.filter(
         (F.col("metric_key") == '["table.row_count"]')
         & F.col("partition_key").isNull()
     )
     if suite_name is not None:
         m = m.filter(F.col("suite_name") == suite_name)
-    row = m.agg(
+    # one value PER RUN: the store is append-only, so a retried run can have
+    # appended the same row twice — raw rows would double-weight it
+    per_run = m.groupBy("run_id").agg(
+        F.max(F.col("value").cast("bigint")).alias("_rc")
+    )
+    row = per_run.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(
-            f"percentile_approx(CAST(value AS BIGINT), array({lo_q}, {hi_q}), 10000)"
-        ).alias("q"),
+        F.expr(f"percentile_approx(_rc, array({lo_q}, {hi_q}), 10000)").alias("q"),
     ).collect()[0]
     if int(row["n"] or 0) < min_runs:
         raise ValueError(

@@ -304,11 +304,22 @@ def render_slack_payload(event: dict) -> dict:
                 f"*{n}* expectations were met"
             )
     elif event.get("event_type") == "run_completed":
-        lines.append(
-            f"*Summary*: {event.get('partitions_run', 0)} partitions run, "
-            f"{event.get('partitions_skipped', 0)} skipped, "
-            f"{event.get('partitions_failed', 0)} failed"
-        )
+        if "partitions_run" in event:
+            lines.append(
+                f"*Summary*: {event.get('partitions_run', 0)} partitions run, "
+                f"{event.get('partitions_skipped', 0)} skipped, "
+                f"{event.get('partitions_failed', 0)} failed"
+            )
+        else:
+            # single-run (non-checkpoint) completion: report the suite
+            # statistics instead of a misleading '0 partitions' line
+            stats = event.get("statistics") or {}
+            n = stats.get("evaluated_expectations")
+            if n is not None:
+                lines.append(
+                    f"*Summary*: *{stats.get('successful_expectations')}* of "
+                    f"*{n}* expectations were met"
+                )
     blocks = [
         {"type": "section", "text": {"type": "mrkdwn", "text": "\n".join(lines)}},
         {"type": "divider"},
@@ -364,12 +375,22 @@ def render_email_message(event: dict) -> dict:
                 f"<strong>{n}</strong> expectations were met</p>"
             )
     elif event.get("event_type") == "run_completed":
-        lines.append(
-            "<p><strong>Summary</strong>: "
-            f"{event.get('partitions_run', 0)} partitions run, "
-            f"{event.get('partitions_skipped', 0)} skipped, "
-            f"{event.get('partitions_failed', 0)} failed</p>"
-        )
+        if "partitions_run" in event:
+            lines.append(
+                "<p><strong>Summary</strong>: "
+                f"{event.get('partitions_run', 0)} partitions run, "
+                f"{event.get('partitions_skipped', 0)} skipped, "
+                f"{event.get('partitions_failed', 0)} failed</p>"
+            )
+        else:
+            stats = event.get("statistics") or {}
+            n = stats.get("evaluated_expectations")
+            if n is not None:
+                lines.append(
+                    "<p><strong>Summary</strong>: "
+                    f"<strong>{stats.get('successful_expectations')}</strong> of "
+                    f"<strong>{n}</strong> expectations were met</p>"
+                )
     return {"subject": f"{suite}: {status}", "html": "\n".join(lines)}
 
 
@@ -679,11 +700,7 @@ class CheckpointRunner:
         self.actions = list(actions or [])
 
     def _notify(self, event: dict) -> None:
-        for a in self.actions:
-            try:
-                a.run(event)
-            except Exception:
-                pass  # action errors never fail the checkpoint
+        fire_actions(self.actions, event)
 
     def _latest_completed_runs(
         self, suite_id: str, input_fingerprint: str, skipped_json: list[str]
@@ -892,6 +909,18 @@ class CheckpointRunner:
         return out
 
 
+def fire_actions(actions, event: dict) -> None:
+    """Dispatch one event to every action, swallowing per-action failures —
+    THE single encoding of the 'notification failure must not fail the run'
+    guarantee (actions also swallow internally; this guards non-conforming
+    user-supplied action objects too)."""
+    for a in actions or []:
+        try:
+            a.run(event)
+        except Exception:
+            pass
+
+
 # the instantiable action roster for config-driven checkpoints (reference:
 # checkpoint action_list entries {"name": ..., "action": {"class_name": ...}})
 ACTION_CLASSES = {
@@ -913,7 +942,12 @@ def action_from_config(cfg: dict):
     default (email SMTP, SNS publish) raise their own explicit error."""
     if "action" in cfg and "class_name" not in cfg:
         cfg = cfg["action"]
-    kwargs = {k: v for k, v in cfg.items() if k not in ("class_name", "name")}
+    # strip the reference's structural keys, not just ours: real 0.15.x
+    # action dicts carry module_name (and Slack entries renderer /
+    # notify_with for data-docs sites, which this engine has no surface
+    # for) — only behavioral kwargs reach the constructor
+    structural = ("class_name", "name", "module_name", "renderer", "notify_with")
+    kwargs = {k: v for k, v in cfg.items() if k not in structural}
     cls_name = cfg.get("class_name")
     if cls_name not in ACTION_CLASSES:
         raise ValueError(

@@ -58,20 +58,20 @@ def validation_sink(
         result.meta["batch_id"] = batch_id
         if store is not None:
             store.write_results(result, run_id=f"stream-{batch_id}")
-        for a in actions or []:
-            try:
-                a.run(
-                    {
-                        "event_type": "micro_batch_validated",
-                        "run_id": f"stream-{batch_id}",
-                        "suite_name": suite.name,
-                        "batch_id": batch_id,
-                        "success": result.success,
-                        "statistics": result.statistics,
-                    }
-                )
-            except Exception:
-                pass  # notification failure must not fail the stream
+        if actions:
+            from great_expectations_spark.sources.stores import fire_actions
+
+            fire_actions(
+                actions,
+                {
+                    "event_type": "micro_batch_validated",
+                    "run_id": f"stream-{batch_id}",
+                    "suite_name": suite.name,
+                    "batch_id": batch_id,
+                    "success": result.success,
+                    "statistics": result.statistics,
+                },
+            )
         if on_result is not None:
             on_result(result, batch_id)
 

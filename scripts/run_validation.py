@@ -63,6 +63,7 @@ def main(argv=None) -> int:
         CheckpointRunner,
         ResultsStore,
         action_from_config,
+        fire_actions,
     )
 
     spark = SparkSession.builder.appName("ges-validation").getOrCreate()
@@ -140,16 +141,16 @@ def main(argv=None) -> int:
         store = ResultsStore(spark, args.store)
         store.write_results(result, run_id)
         store.write_metrics(result, run_id)
-    for a in actions:
-        a.run(
-            {
-                "event_type": "run_completed",
-                "run_id": run_id,
-                "suite_name": suite.name,
-                "success": result.success,
-                "statistics": result.statistics,
-            }
-        )
+    fire_actions(
+        actions,
+        {
+            "event_type": "run_completed",
+            "run_id": run_id,
+            "suite_name": suite.name,
+            "success": result.success,
+            "statistics": result.statistics,
+        },
+    )
     print(
         json.dumps(
             {

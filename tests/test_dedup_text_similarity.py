@@ -798,3 +798,25 @@ def test_is_valid_url_and_expectation(spark):
     assert res.results[0].success is True
     assert res.results[1].result["unexpected_count"] == 3
     assert res.results[1].success is False
+
+
+def test_is_valid_url_scheme_escaping(spark):
+    df = spark.createDataFrame(
+        [(1, "git+ssh://host/repo"), (2, "gitXssh://host/x")], "i long, u string"
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i", text.is_valid_url(F.col("u"), schemes=["git+ssh"]).alias("v")
+        ).collect()
+    }
+    assert got[1] is True and got[2] is False
+
+
+def test_benchmark_contamination_null_benchmark_ids(spark):
+    """An eval set loaded WITHOUT ids must still contaminate — the benchmark
+    side uses surrogate ids, never the null id column."""
+    bench = _mk_docs(spark, [(None, "q1 q2 q3 q4 q5 q6 q7 q8")])
+    corpus = _mk_docs(spark, [(1, "x1 q1 q2 q3 q4 q5 q6 q7 q8 x2")])
+    row = dedup.benchmark_contamination(corpus, bench, k=8).collect()[0]
+    assert row["contaminated_grams"] == 1 and row["contamination_fraction"] > 0

@@ -664,3 +664,47 @@ def test_action_from_config_shapes():
     # transport-required actions surface their own explicit error
     with pytest.raises(ValueError, match="explicit transport"):
         action_from_config({"class_name": "SNSNotificationAction", "sns_topic_arn": "arn"})
+
+
+def test_action_from_config_strips_reference_structural_keys():
+    from great_expectations_spark.sources.stores import (
+        SlackNotificationAction,
+        action_from_config,
+    )
+
+    a = action_from_config(
+        {
+            "name": "send_slack",
+            "action": {
+                "class_name": "SlackNotificationAction",
+                "module_name": "great_expectations.checkpoint",
+                "renderer": {"class_name": "SlackRenderer"},
+                "notify_with": None,
+                "url": "https://h",
+            },
+        }
+    )
+    assert isinstance(a, SlackNotificationAction) and a.url == "https://h"
+
+
+def test_run_completed_render_without_partition_counts():
+    from great_expectations_spark.sources.stores import (
+        render_email_message,
+        render_slack_payload,
+    )
+
+    ev = {
+        "event_type": "run_completed",
+        "suite_name": "s",
+        "run_id": "r",
+        "success": False,
+        "statistics": {"evaluated_expectations": 4, "successful_expectations": 1},
+    }
+    body = render_slack_payload(ev)["blocks"][0]["text"]["text"]
+    assert "partitions run" not in body
+    assert "*1* of *4* expectations were met" in body
+    html = render_email_message(ev)["html"]
+    assert "partitions run" not in html and "of <strong>4</strong>" in html
+    # checkpoint-shaped events keep the partitions line
+    ck = dict(ev, partitions_run=3, partitions_skipped=1, partitions_failed=1)
+    assert "3 partitions run" in render_slack_payload(ck)["blocks"][0]["text"]["text"]

@@ -230,3 +230,28 @@ def test_volume_assistant_from_metrics_history(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="historical runs"):
         volume_assistant(store, suite_name="other-suite")
+
+
+def test_volume_assistant_empty_store_and_duplicate_rows(spark, tmp_path):
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.profiler import volume_assistant
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "emptystore"))
+    with pytest.raises(ValueError, match="historical runs"):
+        volume_assistant(store)  # no metrics table at all → clean error
+
+    eng = SparkValidationEngine(spark)
+    s = ExpectationSuite(name="d")
+    s.add("expect_table_row_count_to_be_between", min_value=0, max_value=10**12)
+    base = spark.range(0, 500).withColumnRenamed("id", "x")
+    r1 = eng.validate(base, s)
+    store.write_metrics(r1, run_id="r1")
+    store.write_metrics(r1, run_id="r1")  # retried run appends a duplicate
+    store.write_metrics(eng.validate(base.limit(400), s), run_id="r2")
+    suite = volume_assistant(store, min_runs=2)
+    # the duplicated r1 row counts once: 2 runs, bounds within [400, 500]
+    assert suite.meta["history_runs"] == 2
+    kw = suite.expectations[0].kwargs
+    assert 400 <= kw["min_value"] <= kw["max_value"] <= 500
