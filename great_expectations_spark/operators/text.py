@@ -350,3 +350,71 @@ def is_valid_url(col: Column, schemes: list[str] | None = None) -> Column:
     else:
         scheme = "[A-Za-z][A-Za-z0-9+.-]*"
     return col.rlike(r"^" + scheme + r"://[^\s/?#]+(?:[/?#]\S*)?$")
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Assign documents to training packs of at most ``max_tokens`` tokens
+    (sequence packing for LLM pre-training batches — public practice, e.g.
+    the T5/GPT packing recipes). Returns
+    (id_col, n_tokens, pack_id:string, pack_pos:int).
+
+    Docs longer than ``max_tokens`` get a singleton pack (the downstream
+    tokenizer truncates); order within a bucket is id-ascending, so output
+    is deterministic.
+
+    Scale shape: packing is inherently sequential, so it runs greedily
+    WITHIN hash buckets (``num_buckets`` defaults to 4× default
+    parallelism) via one Arrow ``applyInPandas`` pass — each bucket holds
+    only (id, n_tokens) pairs, ~16 bytes/doc, so even trillion-token
+    corpora bucket comfortably; no global ordering, no driver collect.
+    Cross-bucket packing efficiency loss is at most one under-filled pack
+    per bucket. Token counts ride a codegen'd projection
+    (``token_count``) unless a precomputed ``token_count_col`` is given.
+    """
+    import pandas as pd
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = spark.sparkContext.defaultParallelism * 4
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else token_count(F.col(text_col))
+    )
+    src = df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).alias("_bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(by=[id_col], kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["_bucket"].iloc[0]) if len(pdf) else 0
+        pack_ids, pack_pos = [], []
+        cur, used, pos = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > max_tokens:
+                cur, used, pos = cur + 1, 0, 0
+            pack_ids.append(f"{bucket}-{cur}")
+            pack_pos.append(pos)
+            used += n
+            pos += 1
+            if used >= max_tokens:
+                cur, used, pos = cur + 1, 0, 0
+        out = pdf[[id_col, "n_tokens"]].copy()
+        out["pack_id"] = pack_ids
+        out["pack_pos"] = pd.Series(pack_pos, dtype="int32")
+        return out
+
+    schema = f"{id_col} {dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[id_col]}, n_tokens long, pack_id string, pack_pos int"
+    return src.groupBy("_bucket").applyInPandas(pack, schema)

@@ -820,3 +820,47 @@ def test_benchmark_contamination_null_benchmark_ids(spark):
     corpus = _mk_docs(spark, [(1, "x1 q1 q2 q3 q4 q5 q6 q7 q8 x2")])
     row = dedup.benchmark_contamination(corpus, bench, k=8).collect()[0]
     assert row["contaminated_grams"] == 1 and row["contamination_fraction"] > 0
+
+
+# ---- sequence packing ----------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 7, 3, 9, 2, 8, 4, 6, 1, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup  # noqa: F841 (keep import pattern consistent)
+    packed = text.pack_sequences(df, max_tokens=10, num_buckets=2).collect()
+    assert len(packed) == 10  # every doc assigned exactly once
+    by_pack: dict = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m["n_tokens"] for m in members)
+        # no pack exceeds the budget unless it is a single oversize doc
+        assert total <= 10 or (len(members) == 1)
+        # pack_pos is 0..k-1 in id order
+        ordered = sorted(members, key=lambda m: m["doc_id"])
+        assert [m["pack_pos"] for m in ordered] == list(range(len(members)))
+    # determinism
+    again = {r["doc_id"]: r["pack_id"] for r in text.pack_sequences(df, max_tokens=10, num_buckets=2).collect()}
+    assert again == {r["doc_id"]: r["pack_id"] for r in packed}
+
+
+def test_pack_sequences_oversize_and_precomputed(spark):
+    df = spark.createDataFrame(
+        [(1, "irrelevant", 100), (2, "x", 3), (3, "y", 4)],
+        "doc_id long, text string, n long",
+    )
+    packed = {
+        r["doc_id"]: r
+        for r in text.pack_sequences(
+            df, max_tokens=8, token_count_col="n", num_buckets=1
+        ).collect()
+    }
+    # oversize doc 1 sits alone in its pack
+    p1 = packed[1]["pack_id"]
+    assert [d for d, r in packed.items() if r["pack_id"] == p1] == [1]
+    # docs 2+3 fit together (3+4 <= 8)
+    assert packed[2]["pack_id"] == packed[3]["pack_id"]
+    with pytest.raises(ValueError):
+        text.pack_sequences(df, max_tokens=0)
