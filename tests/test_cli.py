@@ -93,3 +93,39 @@ def test_cli_resume_exit_code_counts_skipped_failures(tmp_path):
     assert p2["partitions_run"] == 0 and p2["partitions_skipped"] == 3
     assert p2["skipped_partitions_with_failures"] == 3
     assert out2.returncode == 1, "re-run must not mask stored failures"
+
+
+def test_cli_clean_corpus(tmp_path):
+    out_path = str(tmp_path / "cleaned.parquet")
+    r = subprocess.run(
+        [
+            sys.executable, f"{REPO}/scripts/clean_corpus.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_path,
+            "--min-quality", "0.2", "--min-tokens", "3",
+            "--scrub-pii", "--dedup", "exact",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["stages"][:2] == ["quality", "pii_scrub"]
+    assert 0 < summary["output_rows"] <= summary["input_rows"]
+    assert summary["stage_counts"]["quality"] >= summary["output_rows"]
+
+
+def test_cli_actions_config(tmp_path):
+    actions = tmp_path / "actions.json"
+    actions.write_text(json.dumps([
+        {"name": "hook", "action": {
+            "class_name": "WebhookNotificationAction",
+            "module_name": "great_expectations.checkpoint",
+            "url": "https://h.invalid", "notify_on": "all"}}
+    ]))
+    out = _run([
+        "--input", "/root/testdata/sf0.001/lineitem.parquet",
+        "--suite", _suite_file(tmp_path, passing=True),
+        "--actions", str(actions),
+    ])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["success"] is True
