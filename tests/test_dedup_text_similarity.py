@@ -864,3 +864,21 @@ def test_pack_sequences_oversize_and_precomputed(spark):
     assert packed[2]["pack_id"] == packed[3]["pack_id"]
     with pytest.raises(ValueError):
         text.pack_sequences(df, max_tokens=0)
+
+
+def test_pack_sequences_randomized_invariants(spark):
+    import random
+
+    rng = random.Random(77)
+    rows = [(i, " ".join(["t"] * rng.randint(0, 30))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = text.pack_sequences(df, max_tokens=16, num_buckets=4).collect()
+    assert len(packed) == 60 and len({r["doc_id"] for r in packed}) == 60
+    by_pack: dict = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        total = sum(m["n_tokens"] for m in members)
+        assert total <= 16 or len(members) == 1
+        ordered = sorted(members, key=lambda m: m["doc_id"])
+        assert [m["pack_pos"] for m in ordered] == list(range(len(members)))
