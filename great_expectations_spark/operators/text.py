@@ -403,7 +403,10 @@ def pack_sequences(
         cur, used, pos = 0, 0, 0
         for n in pdf["n_tokens"]:
             n = int(n)
-            if used > 0 and used + n > max_tokens:
+            # membership (pos), not token usage, gates the new pack: a
+            # zero-token doc leaves used == 0, and an oversize doc must not
+            # join its pack (it is only allowed to be alone in one)
+            if pos > 0 and used + n > max_tokens:
                 cur, used, pos = cur + 1, 0, 0
             pack_ids.append(f"{bucket}-{cur}")
             pack_pos.append(pos)
