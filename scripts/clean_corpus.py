@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contamination-k", type=int, default=8)
     p.add_argument("--output-partitions", type=int, default=None,
                    help="coalesce/repartition the output file count")
+    p.add_argument("--pack-max-tokens", type=int, default=None,
+                   help="also write training-pack assignments for the "
+                        "cleaned corpus (pack_sequences) to "
+                        "<output>_packs.parquet")
     return p
 
 
@@ -78,6 +82,17 @@ def main(argv=None) -> int:
         out = out.repartition(args.output_partitions)
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
+    packs_path = None
+    if args.pack_max_tokens:
+        from great_expectations_spark.operators.text import pack_sequences
+
+        packs_path = args.output.rstrip("/") + "_packs.parquet"
+        pack_sequences(
+            spark.read.parquet(args.output),
+            max_tokens=args.pack_max_tokens,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        ).write.mode("overwrite").parquet(packs_path)
     res.unpersist()
     print(
         json.dumps(
@@ -87,6 +102,7 @@ def main(argv=None) -> int:
                 "stages": res.stages,
                 "stage_counts": res.stage_counts,
                 "output": args.output,
+                "packs_output": packs_path,
             }
         )
     )

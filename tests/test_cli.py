@@ -104,6 +104,7 @@ def test_cli_clean_corpus(tmp_path):
             "--output", out_path,
             "--min-quality", "0.2", "--min-tokens", "3",
             "--scrub-pii", "--dedup", "exact",
+            "--pack-max-tokens", "256",
         ],
         capture_output=True, text=True, timeout=300,
     )
@@ -112,6 +113,7 @@ def test_cli_clean_corpus(tmp_path):
     assert summary["stages"][:2] == ["quality", "pii_scrub"]
     assert 0 < summary["output_rows"] <= summary["input_rows"]
     assert summary["stage_counts"]["quality"] >= summary["output_rows"]
+    assert summary["packs_output"].endswith("_packs.parquet")
 
 
 def test_cli_actions_config(tmp_path):
