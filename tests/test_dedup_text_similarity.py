@@ -828,7 +828,6 @@ def test_benchmark_contamination_null_benchmark_ids(spark):
 def test_pack_sequences_invariants(spark):
     rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 7, 3, 9, 2, 8, 4, 6, 1, 10])]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = dedup  # noqa: F841 (keep import pattern consistent)
     packed = text.pack_sequences(df, max_tokens=10, num_buckets=2).collect()
     assert len(packed) == 10  # every doc assigned exactly once
     by_pack: dict = {}
