@@ -595,20 +595,16 @@ SELECT 'proportion_unique',
 
 
 def q_value_counts(spark, sf_dir):
+    """column.value_counts + column.most_common_value (ties semantics,
+    planner.py:902) + column.distinct_values (DISTINCT_CAP machinery,
+    planner.py:854), one labeled frame — three operators, one driver slot."""
     li = _load(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("value")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
-
-SQL_VALUE_COUNTS = """
-SELECT l_returnflag AS value, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def q_most_common(spark, sf_dir):
     o = _load(spark, sf_dir, "orders")
-    res = _run_suite(
+    vc = li.groupBy(F.col("l_returnflag").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("vc").alias("kind"), "value", "cnt")
+
+    mode_res = _run_suite(
         spark,
         o,
         [
@@ -619,19 +615,12 @@ def q_most_common(spark, sf_dir):
             )
         ],
     )
-    modes = res.results[0].result["observed_value"]
-    return spark.createDataFrame([(str(m),) for m in modes], "value string")
+    modes = mode_res.results[0].result["observed_value"]
+    mode_df = spark.createDataFrame(
+        [("mode", str(m), 0) for m in modes], "kind string, value string, cnt long"
+    )
 
-
-SQL_MOST_COMMON = """
-SELECT o_orderpriority AS value FROM orders GROUP BY o_orderpriority
-HAVING count(*) = (SELECT max(c) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderpriority))
-"""
-
-
-def q_distinct_set(spark, sf_dir):
-    li = _load(spark, sf_dir, "lineitem")
-    res = _run_suite(
+    dset_res = _run_suite(
         spark,
         li,
         [
@@ -642,11 +631,23 @@ def q_distinct_set(spark, sf_dir):
             )
         ],
     )
-    observed = res.results[0].result["observed_value"]
-    return spark.createDataFrame([(str(v),) for v in observed], "value string")
+    observed = dset_res.results[0].result["observed_value"]
+    dset_df = spark.createDataFrame(
+        [("distinct", str(v), 0) for v in observed],
+        "kind string, value string, cnt long",
+    )
+    return vc.unionAll(mode_df).unionAll(dset_df)
 
 
-SQL_DISTINCT_SET = "SELECT DISTINCT l_linestatus AS value FROM lineitem"
+SQL_VALUE_COUNTS = """
+SELECT 'vc' AS kind, l_returnflag AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'mode', o_orderpriority, CAST(0 AS BIGINT) FROM orders GROUP BY o_orderpriority
+HAVING count(*) = (SELECT max(c) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderpriority))
+UNION ALL
+SELECT 'distinct', l_linestatus, CAST(0 AS BIGINT) FROM (SELECT DISTINCT l_linestatus FROM lineitem)
+"""
 
 
 HIST_BINS = [1.0, 11.0, 21.0, 31.0, 41.0, 51.0]
@@ -1112,32 +1113,6 @@ FROM w
 """
 
 
-def q_query_no_rows(spark, sf_dir):
-    li = _load(spark, sf_dir, "lineitem")
-    res = _run_suite(
-        spark,
-        li,
-        [
-            (
-                "no_rows",
-                "expect_query_to_return_no_rows",
-                {"query": "SELECT * FROM {batch} WHERE l_quantity < 0 OR l_quantity > 50"},
-            )
-        ],
-    )
-    evr = res.results[0]
-    rows = [("no_rows", int(evr.result["observed_value"]), 1 if evr.success else 0)]
-    return spark.createDataFrame(rows, "expectation string, observed long, success long")
-
-
-SQL_QUERY_NO_ROWS = """
-SELECT 'no_rows' AS expectation,
-       CAST(count(*) AS BIGINT) AS observed,
-       CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
-FROM lineitem WHERE l_quantity < 0 OR l_quantity > 50
-"""
-
-
 def q_schema_checks(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     specs = [
@@ -1182,6 +1157,8 @@ UNION ALL SELECT 'column_count', CAST(1 AS BIGINT)
 
 
 def q_text_stats(spark, sf_dir):
+    """Token/char/bpe counts + mean word length + fingerprint + language ID
+    (operators/text.py) — the text-analysis surface in one frame."""
     d = _load(spark, sf_dir, "documents")
     c = F.col("text")
     return d.select(
@@ -1191,25 +1168,8 @@ def q_text_stats(spark, sf_dir):
         tx.bpe_ish_token_count(c).alias("n_bpe"),
         F.round(tx.mean_word_length(c), 4).alias("mean_word_len"),
         tx.fingerprint(c).alias("fp"),
+        tx.detect_lang(c).alias("lang_detected"),
     )
-
-
-SQL_TEXT_STATS = r"""
-SELECT doc_id,
-       CAST(length(text) AS INT) AS n_chars,
-       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe,
-       round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-             / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
-       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-FROM documents
-"""
-
-
-def q_text_lang(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
-    c = F.col("text")
-    return d.select("doc_id", tx.detect_lang(c).alias("lang_detected"))
 
 
 def _sql_marker(lang: str) -> str:
@@ -1220,48 +1180,293 @@ def _sql_marker(lang: str) -> str:
     )
 
 
-SQL_TEXT_LANG = f"""
-WITH m AS (
-  SELECT doc_id,
-         {_sql_marker('en')} AS en, {_sql_marker('es')} AS es,
-         {_sql_marker('fr')} AS fr, {_sql_marker('de')} AS de
-  FROM documents)
+SQL_LANG_CASE = f"""
+       CASE WHEN greatest({_sql_marker('en')}, {_sql_marker('es')},
+                          {_sql_marker('fr')}, {_sql_marker('de')}) = 0 THEN 'und'
+            WHEN {_sql_marker('en')} >= {_sql_marker('es')} AND {_sql_marker('en')} >= {_sql_marker('fr')} AND {_sql_marker('en')} >= {_sql_marker('de')} THEN 'en'
+            WHEN {_sql_marker('es')} >= {_sql_marker('fr')} AND {_sql_marker('es')} >= {_sql_marker('de')} THEN 'es'
+            WHEN {_sql_marker('fr')} >= {_sql_marker('de')} THEN 'fr'
+            ELSE 'de' END
+"""
+
+SQL_TEXT_STATS = rf"""
 SELECT doc_id,
-       CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
-            WHEN en >= es AND en >= fr AND en >= de THEN 'en'
-            WHEN es >= fr AND es >= de THEN 'es'
-            WHEN fr >= de THEN 'fr'
-            ELSE 'de' END AS lang_detected
-FROM m
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe,
+       round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       {SQL_LANG_CASE} AS lang_detected
+FROM documents
 """
 
 
-def q_dedup_exact(spark, sf_dir):
-    """Exact dedup over a doubled corpus (each text injected twice) — keep
-    min(doc_id) per md5(normalized text) group via groupBy + semi-join."""
-    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
-    return dd.exact_dedup(doubled).select("doc_id")
+# PII entities injected deterministically per doc (arm = doc_id % 5). The
+# oracle derives expected counts/deltas BY CONSTRUCTION (arm membership +
+# hand-computed entity lengths), independent of the Java regexes — the base
+# documents text contains no digits and no '@' (verified at sf0.01), so the
+# injected entity is the only match. entity-length delta = len(entity) -
+# len("[PII]") per scrubbed match.
+_PII_INJECT = [
+    ("email", "contact john.doe@example.com now", 15),
+    ("ssn", "ssn 123-45-6789 on file", 6),
+    ("phone", "call (415) 555-0123 today", 9),
+    ("credit_card", "card 4111 1111 1111 1111 here", 14),
+    ("ipv4", "server at 10.0.0.1 ok", 3),
+]
 
 
-SQL_DEDUP_EXACT = r"""
-WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents),
-f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM u)
-SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM f GROUP BY fp
+def q_pii_scan(spark, sf_dir):
+    """PII detection + scrubbing (operators/text.py:188-244): per-type match
+    totals, grand total, and the scrubbed-length delta over a corpus with one
+    deterministically injected entity per document."""
+    d = _load(spark, sf_dir, "documents")
+    arm = F.pmod(F.col("doc_id"), F.lit(len(_PII_INJECT)))
+    inject = F.when(arm == 0, F.lit(_PII_INJECT[0][1]))
+    for i in range(1, len(_PII_INJECT)):
+        inject = inject.when(arm == i, F.lit(_PII_INJECT[i][1]))
+    payload = F.concat(F.col("text"), F.lit(" "), inject)
+    per_doc = d.select(
+        tx.pii_counts(payload).alias("c"),
+        tx.pii_total(payload).alias("total"),
+        (F.length(payload) - F.length(tx.scrub_pii(payload))).alias("delta"),
+    )
+    agg = per_doc.agg(
+        *[
+            F.sum(F.col("c").getField(t)).cast("long").alias(t)
+            for t in tx.PII_PATTERNS
+        ],
+        F.sum("total").cast("long").alias("total"),
+        F.sum("delta").cast("long").alias("scrub_delta_chars"),
+    )
+    metrics = list(tx.PII_PATTERNS) + ["total", "scrub_delta_chars"]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return agg.select(F.expr(f"stack({len(metrics)}, {stack}) AS (metric, hits)"))
+
+
+SQL_PII_SCAN = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS metric, CAST(count(*) FILTER (WHERE doc_id % 5 = {i}) AS BIGINT) AS hits FROM documents"
+    for i, (name, _, _) in enumerate(_PII_INJECT)
+) + f"""
+UNION ALL SELECT 'total', CAST(count(*) AS BIGINT) FROM documents
+UNION ALL SELECT 'scrub_delta_chars',
+  CAST(sum(CASE doc_id % 5 {' '.join(f'WHEN {i} THEN {d}' for i, (_, _, d) in enumerate(_PII_INJECT))} END) AS BIGINT)
+FROM documents
+"""
+
+
+# URL fixtures: (raw, expected canonical, expected host, valid under
+# schemes=[http,https], valid under any scheme). Expected values are
+# hand-derived from the documented canonicalization contract — the oracle
+# replays the EXPECTATIONS, not the implementation regexes.
+_URL_ARMS = [
+    ("HTTPS://Example.COM:443/path?a=1&utm_source=x#frag",
+     "https://example.com/path?a=1", "example.com", 1, 1),
+    ("http://www.Foo.org:80/", "http://www.foo.org", "www.foo.org", 1, 1),
+    ("https://a.b.c/p?utm_campaign=z", "https://a.b.c/p", "a.b.c", 1, 1),
+    ("https://x.io/p?gclid=1&q=2&fbclid=3", "https://x.io/p?q=2", "x.io", 1, 1),
+    ("ftp://Files.example.com/data", "ftp://files.example.com/data",
+     "files.example.com", 0, 1),
+    ("not a url", "not a url", "", 0, 0),
+    ("https://Example.com/%7Euser?id=9#x", "https://example.com/%7Euser?id=9",
+     "example.com", 1, 1),
+    ("git+ssh://Host.Net/repo", "git+ssh://host.net/repo", "host.net", 0, 1),
+]
+
+
+def q_url_tools(spark, sf_dir):
+    """URL canonicalization + host extraction + validity expectations
+    (operators/text.py:257-352) over 8 deterministic URL shapes (case, default
+    ports, fragments, tracking params, trailing slash, non-URL junk)."""
+    d = _load(spark, sf_dir, "documents")
+    arm = F.pmod(F.col("doc_id"), F.lit(len(_URL_ARMS)))
+    url = F.when(arm == 0, F.lit(_URL_ARMS[0][0]))
+    for i in range(1, len(_URL_ARMS)):
+        url = url.when(arm == i, F.lit(_URL_ARMS[i][0]))
+    sel = d.select("doc_id", url.alias("url"))
+    return sel.select(
+        "doc_id",
+        tx.canonical_url(F.col("url")).alias("canon"),
+        tx.url_host(F.col("url")).alias("host"),
+        tx.is_valid_url(F.col("url"), schemes=["http", "https"])
+        .cast("long")
+        .alias("valid_http"),
+        tx.is_valid_url(F.col("url")).cast("long").alias("valid_any"),
+    )
+
+
+def _sql_url_case(field: int, quote: bool) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN " + (f"'{a[field]}'" if quote else str(a[field]))
+        for i, a in enumerate(_URL_ARMS)
+    )
+    return f"CASE doc_id % {len(_URL_ARMS)} {arms} END"
+
+
+SQL_URL_TOOLS = f"""
+SELECT doc_id,
+       {_sql_url_case(1, True)} AS canon,
+       {_sql_url_case(2, True)} AS host,
+       CAST({_sql_url_case(3, False)} AS BIGINT) AS valid_http,
+       CAST({_sql_url_case(4, False)} AS BIGINT) AS valid_any
+FROM documents
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus top-k bigrams (operators/text.py:290): explode + lead windows +
+    map-side-combined count + TakeOrderedAndProject; deterministic tie-break
+    (count desc, ngram asc)."""
+    d = _load(spark, sf_dir, "documents")
+    return tx.top_ngrams(d, n=2, k=20).select(
+        "ngram", F.col("occurrences").cast("long").alias("occurrences")
+    )
+
+
+SQL_TOP_NGRAMS = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS l
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1])) AS ngram
+  FROM toks)
+SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences FROM grams
+GROUP BY ngram ORDER BY occurrences DESC, ngram ASC LIMIT 20
+"""
+
+
+def q_pack_invariants(spark, sf_dir):
+    """Sequence packing (operators/text.py:355): pack documents into
+    ≤64-token training packs, then verify the packing invariants as counts —
+    every doc assigned exactly once, no multi-member pack over budget,
+    oversize docs isolated in singleton packs, pack positions contiguous
+    from 0. Totals (n_docs, total_tokens) are recomputed by the oracle; the
+    violation counts must be zero."""
+    d = _load(spark, sf_dir, "documents")
+    packed = tx.pack_sequences(d, max_tokens=64)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("members"),
+        F.sum("n_tokens").alias("tok"),
+        F.max("n_tokens").alias("max_tok"),
+        F.min("pack_pos").alias("min_pos"),
+        F.max("pack_pos").alias("max_pos"),
+    )
+    viol = per_pack.agg(
+        F.sum(
+            F.when((F.col("members") > 1) & (F.col("tok") > 64), 1).otherwise(0)
+        ).cast("long").alias("overfull_multi_packs"),
+        F.sum(
+            F.when((F.col("max_tok") > 64) & (F.col("members") > 1), 1).otherwise(0)
+        ).cast("long").alias("oversize_not_alone"),
+        F.sum(
+            F.when(
+                (F.col("min_pos") != 0) | (F.col("max_pos") != F.col("members") - 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("bad_pack_pos"),
+    )
+    dup = (
+        packed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("multi_assigned_docs")
+        )
+    )
+    tot = packed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    one = tot.crossJoin(viol).crossJoin(dup)
+    metrics = [
+        "n_docs", "total_tokens", "overfull_multi_packs",
+        "oversize_not_alone", "bad_pack_pos", "multi_assigned_docs",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return one.select(F.expr(f"stack({len(metrics)}, {stack}) AS (metric, value)"))
+
+
+SQL_PACK_INVARIANTS = r"""
+WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents)
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM t
+UNION ALL SELECT 'total_tokens', CAST(sum(n) AS BIGINT) FROM t
+UNION ALL SELECT 'overfull_multi_packs', CAST(0 AS BIGINT)
+UNION ALL SELECT 'oversize_not_alone', CAST(0 AS BIGINT)
+UNION ALL SELECT 'bad_pack_pos', CAST(0 AS BIGINT)
+UNION ALL SELECT 'multi_assigned_docs', CAST(0 AS BIGINT)
+"""
+
+
+def q_clean_funnel(spark, sf_dir):
+    """clean_corpus funnel (pipeline.py:47): quality gate → language gate →
+    exact dedup, with per-stage surviving-row counts. The oracle replays each
+    stage term-for-term in DuckDB (quality_score formula, marker-argmax
+    language ID, md5-normalized dedup groups)."""
+    from great_expectations_spark import pipeline as pl
+
+    d = _load(spark, sf_dir, "documents")
+    res = pl.clean_corpus(
+        d,
+        min_quality=0.5,
+        min_tokens=10,
+        languages=["en"],
+        dedup="exact",
+        count_stages=True,
+    )
+    rows = [(s, res.stage_counts[s]) for s in res.stages]
+    rows.append(("final", res.df.count()))
+    return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
+SQL_CLEAN_FUNNEL = rf"""
+WITH s AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS mwl,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text) AS punct
+  FROM documents),
+q AS (SELECT * FROM s
+      WHERE (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+             + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END
+             + (1.0 - least(punct * 4.0, 1.0))) / 3.0 >= 0.5
+        AND n_tok >= 10),
+l AS (SELECT * FROM q WHERE {SQL_LANG_CASE} = 'en'),
+dd AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM l GROUP BY 1)
+SELECT 'quality' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM q
+UNION ALL SELECT 'language', CAST(count(*) AS BIGINT) FROM l
+UNION ALL SELECT 'dedup_exact', CAST(count(*) AS BIGINT) FROM dd
+UNION ALL SELECT 'final', CAST(count(*) AS BIGINT) FROM dd
 """
 
 
 def q_dedup_groups(spark, sf_dir):
+    """Exact dedup over a doubled corpus (each text injected twice):
+    duplicate GROUPS (md5-normalized groupBy, dedup.py:76) plus the SURVIVOR
+    set from ``exact_dedup``'s groupBy + semi-join (dedup.py:37) — both exact
+    dedup operators in one frame."""
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
-    return dd.exact_duplicate_groups(doubled).select("fp", "n_docs", "keep_id")
+    groups = dd.exact_duplicate_groups(doubled).select(
+        F.lit("group").alias("kind"), "fp", "n_docs", "keep_id"
+    )
+    kept = dd.exact_dedup(doubled).select(
+        F.lit("kept").alias("kind"),
+        F.lit("").alias("fp"),
+        F.lit(1).cast("long").alias("n_docs"),
+        F.col("doc_id").cast("long").alias("keep_id"),
+    )
+    return groups.unionAll(kept)
 
 
 SQL_DEDUP_GROUPS = r"""
 WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents),
 f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM u)
-SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id
+SELECT 'group' AS kind, fp, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id
 FROM f GROUP BY fp HAVING count(*) > 1
+UNION ALL
+SELECT 'kept', '', CAST(1 AS BIGINT), CAST(min(doc_id) AS BIGINT) FROM f GROUP BY fp
 """
 
 
@@ -1757,13 +1962,19 @@ SQL_DRIFT_TESTS = (
 
 
 def q_query_column(spark, sf_dir):
-    """{col}/{col_A}/{col_B} placeholder substitution in query expectations
-    (reference query.column / query.column_pair metric semantics)."""
+    """query.table ({batch} substitution) + {col}/{col_A}/{col_B} placeholder
+    substitution in query expectations (reference query.column /
+    query.column_pair metric semantics) — one driver slot."""
     li = _load(spark, sf_dir, "lineitem")
     res = _run_suite(
         spark,
         li,
         [
+            (
+                "no_rows",
+                "expect_query_to_return_no_rows",
+                {"query": "SELECT * FROM {batch} WHERE l_quantity < 0 OR l_quantity > 50"},
+            ),
             (
                 "query_col_nulls",
                 "expect_query_to_return_no_rows",
@@ -1799,6 +2010,11 @@ def q_query_column(spark, sf_dir):
 
 
 SQL_QUERY_COLUMN = """
+SELECT 'no_rows' AS expectation,
+       CAST(count(*) AS BIGINT) AS observed,
+       CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM lineitem WHERE l_quantity < 0 OR l_quantity > 50
+UNION ALL
 SELECT 'query_col_nulls' AS expectation,
        CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS observed,
        CAST(CASE WHEN sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS success
@@ -1949,8 +2165,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_quantiles": q_agg_quantiles,
     "agg_distinct": q_agg_distinct,
     "value_counts": q_value_counts,
-    "most_common": q_most_common,
-    "distinct_set": q_distinct_set,
     "histogram": q_histogram,
     # uniqueness / referential
     "unique_column": q_unique_column,
@@ -1962,7 +2176,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "param_ks": q_param_ks,
     # special
     "monotonic": q_monotonic,
-    "query_no_rows": q_query_no_rows,
     "query_column": q_query_column,
     "eval_params": q_eval_params,
     "schema_checks": q_schema_checks,
@@ -1980,9 +2193,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames": q_video_frames,
     # text / dedup / similarity
     "text_stats": q_text_stats,
-    "text_lang": q_text_lang,
-    "dedup_exact": q_dedup_exact,
     "dedup_groups": q_dedup_groups,
+    "pii_scan": q_pii_scan,
+    "url_tools": q_url_tools,
+    "top_ngrams": q_top_ngrams,
+    "pack_invariants": q_pack_invariants,
+    "clean_funnel": q_clean_funnel,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2023,8 +2239,6 @@ _ORACLES: dict[str, str] = {
     "agg_quantiles": SQL_AGG_QUANTILES,
     "agg_distinct": SQL_AGG_DISTINCT,
     "value_counts": SQL_VALUE_COUNTS,
-    "most_common": SQL_MOST_COMMON,
-    "distinct_set": SQL_DISTINCT_SET,
     "histogram": SQL_HISTOGRAM,
     "unique_column": SQL_UNIQUE_COLUMN,
     "unique_compound": SQL_UNIQUE_COMPOUND,
@@ -2032,7 +2246,6 @@ _ORACLES: dict[str, str] = {
     "drift_stats": SQL_DRIFT_STATS,
     "drift_tests": SQL_DRIFT_TESTS,
     "monotonic": SQL_MONOTONIC,
-    "query_no_rows": SQL_QUERY_NO_ROWS,
     "query_column": SQL_QUERY_COLUMN,
     "eval_params": SQL_EVAL_PARAMS,
     "schema_checks": SQL_SCHEMA_CHECKS,
@@ -2042,9 +2255,12 @@ _ORACLES: dict[str, str] = {
     "sampler_splitter": SQL_SAMPLER_SPLITTER,
     "streaming_metrics": SQL_STREAMING_METRICS,
     "text_stats": SQL_TEXT_STATS,
-    "text_lang": SQL_TEXT_LANG,
-    "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_groups": SQL_DEDUP_GROUPS,
+    "pii_scan": SQL_PII_SCAN,
+    "url_tools": SQL_URL_TOOLS,
+    "top_ngrams": SQL_TOP_NGRAMS,
+    "pack_invariants": SQL_PACK_INVARIANTS,
+    "clean_funnel": SQL_CLEAN_FUNNEL,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "sim_topk": SQL_SIM_TOPK,
     "sim_pairs": SQL_SIM_PAIRS,

@@ -34,11 +34,16 @@ class SparkValidationEngine:
         meta: Optional[dict] = None,
         evaluation_parameters: Optional[dict] = None,
         urn_resolver: Any = None,
+        metrics_store: Any = None,
     ) -> SuiteValidationResult:
         """``urn_resolver``: callable (urn string → value) used by
         ``{"$PARAMETER": "urn:great_expectations:validations:..."}`` kwargs —
         pass ``ResultsStoreUrnResolver(store)`` (core/eval_params.py) to
-        chain suites against a results store."""
+        chain suites against a results store.
+
+        ``metrics_store``: a ResultsStore whose cross-run metric history
+        upgrades ``auto=True`` bounds from single-batch point estimates to
+        multi-batch bootstrap ranges (profiler.resolve_auto)."""
         planner = SuitePlanner(
             df,
             suite,
@@ -48,6 +53,7 @@ class SparkValidationEngine:
             persist=persist,
             evaluation_parameters=evaluation_parameters,
             urn_resolver=urn_resolver,
+            metrics_store=metrics_store,
         )
         return planner.run(meta=meta)
 

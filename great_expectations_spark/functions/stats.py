@@ -483,3 +483,53 @@ def chi2_cdf(x: float, df: float, loc: float = 0.0, scale: float = 1.0) -> float
 def beta_cdf(x: float, a: float, b: float, loc: float = 0.0, scale: float = 1.0) -> float:
     t = (x - loc) / scale
     return betainc_reg(a, b, min(1.0, max(0.0, t)))
+
+
+def bootstrap_range_estimate(
+    values: Sequence[float],
+    false_positive_rate: float = 0.05,
+    n_resamples: int = 9999,
+    seed: Optional[int] = None,
+    quantile_bias_correction: bool = False,
+    quantile_bias_std_error_ratio_threshold: float = 0.25,
+) -> tuple[float, float]:
+    """Bootstrapped [lower, upper] range for a metric observed across
+    batches — the reference's multi-batch numeric-range estimator
+    (rule_based_profiler/helpers/util.py:702-835
+    compute_bootstrap_quantiles_point_estimate +
+    estimators/bootstrap_numeric_range_estimator.py, defaults
+    n_resamples=9999, false_positive_rate=0.05), clean-room on numpy.
+
+    Per Efron & Tibshirani (1993, pp. 124-130): sample quantiles at
+    fpr/2 and 1-fpr/2 (linear interpolation); draw ``n_resamples``
+    bootstrap resamples of the history; the point estimate per bound is
+    the mean of the per-resample quantiles, bias-corrected
+    (estimate - (estimate - sample_quantile)) when the bias /
+    standard-error ratio exceeds the 0.25 rule-of-thumb threshold or
+    correction is forced."""
+    import numpy as np
+
+    vals = np.asarray(list(values), dtype="float64")
+    if vals.size < 2:
+        raise ValueError("bootstrap_range_estimate needs >= 2 batch values")
+    if not (0.0 < false_positive_rate < 1.0):
+        raise ValueError("false_positive_rate must be in (0, 1)")
+    lo_q = false_positive_rate / 2.0
+    hi_q = 1.0 - false_positive_rate / 2.0
+    sample_lo = float(np.quantile(vals, lo_q, method="linear"))
+    sample_hi = float(np.quantile(vals, hi_q, method="linear"))
+    rng = np.random.default_rng(seed)
+    boots = rng.choice(vals, size=(n_resamples, vals.size), replace=True)
+
+    def point(q: float, sample_q: float) -> float:
+        bq = np.quantile(boots, q, axis=1, method="linear")
+        est = float(np.mean(bq))
+        se = float(np.std(bq))
+        bias = est - sample_q
+        if not quantile_bias_correction and se > 0.0 and bias / se <= (
+            quantile_bias_std_error_ratio_threshold
+        ):
+            return est
+        return est - bias
+
+    return point(lo_q, sample_lo), point(hi_q, sample_hi)

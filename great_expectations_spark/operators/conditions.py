@@ -149,6 +149,9 @@ class MapCondition:
     # Python values; None → keep strings (e.g. to_json struct samples).
     # "auto" → the single domain column when there is exactly one.
     cast_column: Any = "auto"
+    # merged into the EVR result["details"] (non-BOOLEAN_ONLY formats) —
+    # lets a builder surface scan provenance (e.g. PII patterns_version)
+    extra_details: Optional[dict] = None
 
     def sample_cast_column(self) -> Any:
         if self.cast_column != "auto":
@@ -248,6 +251,28 @@ def _no_pii(col: Column, kw: dict) -> Column:
 
     types = kw.get("pii_types")
     return pii_total(col, list(types) if types is not None else None) == 0
+
+
+def _no_pii_builder(kwargs: dict) -> MapCondition:
+    """no-PII map condition + scan provenance in EVR details.
+
+    The patterns are DETECTION-grade (a matched credit_card is digits in
+    card grouping, not a Luhn-checked number — see text.PII_PATTERNS), but
+    this expectation will be quoted as a compliance gate, so the EVR
+    carries details.patterns_version + details.pii_types_scanned: a
+    downstream consumer can always tell which inventory was scanned."""
+    from great_expectations_spark.operators.text import (
+        PII_PATTERNS,
+        PII_PATTERNS_VERSION,
+    )
+
+    mc = _col_map(_no_pii)(kwargs)
+    types = kwargs.get("pii_types")
+    mc.extra_details = {
+        "patterns_version": PII_PATTERNS_VERSION,
+        "pii_types_scanned": list(types) if types is not None else list(PII_PATTERNS),
+    }
+    return mc
 
 
 def _valid_urls(col: Column, kw: dict) -> Column:
@@ -352,7 +377,7 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     "expect_column_values_to_be_dateutil_parseable": _col_map(_dateutil_parseable),
     "expect_column_values_to_be_json_parseable": _col_map(_json_parseable),
     # --- PII / URL gates (beyond-reference surface; operators/text.py) ---
-    "expect_column_values_to_not_contain_pii": _col_map(_no_pii),
+    "expect_column_values_to_not_contain_pii": _no_pii_builder,
     "expect_column_values_to_be_valid_urls": _col_map(_valid_urls),
     # --- column pair ---
     "expect_column_pair_values_to_be_equal": lambda kw: _pair_cond(

@@ -459,26 +459,35 @@ def token_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard ≥ τ via explode + equi-self-join on token.
+    """Exact token-set Jaccard ≥ τ — scale-safe BY DEFAULT via prefix
+    filtering (the SSJoin/PPJoin candidate bound: Chaudhuri-Ganti-Kaushik
+    ICDE'06 Lemma 1, Xiao et al. WWW'08).
 
-    |∩| from the join, |A|,|B| from a pre-agg; jaccard = c/(na+nb-c).
-    With max_df=None this is fully exact and SQL-expressible — the DuckDB
-    oracle reproduces it bit-for-bit.
+    |∩| from a token equi-join, |A|,|B| from a pre-agg;
+    jaccard = c/(na+nb-c). Output is EXACT on both paths.
 
-    Scale path (``max_df``): the self-join key cardinality is Σ df(tok)² —
-    stop-word-grade tokens ("the", boilerplate) appearing in ~every doc make
-    that quadratic in corpus size, which no amount of AQE skew-splitting
-    fixes (it splits tasks, not the O(n²) candidate count). Setting
-    ``max_df=D`` drops tokens whose document frequency exceeds D from
-    CANDIDATE GENERATION only; the reported jaccard for surviving pairs
-    stays EXACT because |∩| is computed in two parts — rare-token matches
-    from the join plus hot-token overlap via per-doc hot-token arrays (the
-    hot vocabulary has at most total_token_occurrences / D members, so the
-    arrays are tiny). The only approximation is recall: a pair sharing NO
-    rare token is missed, and such a pair has |∩| ≤ min hot-set size — with
-    bounded per-doc hot tokens h, its jaccard ≤ h / (na + nb − h), so pick
-    D to make that bound < τ for your corpus. Bounds the join to
-    Σ_{df≤D} df² ≤ D · Σ df — linear in corpus size."""
+    Default path (``max_df=None``): a naive token self-join has candidate
+    cardinality Σ df(tok)² — stop-word-grade tokens appearing in ~every doc
+    make that quadratic in corpus size, which AQE skew-splitting cannot fix
+    (it splits tasks, not the O(n²) candidate count). Instead, tokens are
+    globally ordered rarest-first (df asc, token asc) and each doc
+    contributes only its PREFIX — the first ``n - ⌈τ·n⌉ + 1`` of its n
+    tokens in that order — to candidate generation. Any pair with
+    jaccard ≥ τ has overlap ≥ ⌈τ·max(n_a, n_b)⌉, and two sets whose overlap
+    is ≥ α must collide within their (n-α+1)-prefixes under a shared total
+    order, so recall is COMPLETE (no missed pairs). The hottest tokens fall
+    out of every prefix, so candidate volume is bounded by the rare end of
+    the df distribution; truly duplicate-heavy corpora still pay output
+    size, which is inherent. Verification recomputes the exact intersection
+    per candidate from sorted per-doc token arrays (codegen'd
+    array_intersect), so false candidates only cost the verify join.
+
+    Explicit ``max_df=D``: legacy bounded mode — drops tokens with df > D
+    from candidate generation; jaccard for SURVIVING pairs stays exact
+    (rare-token matches from the join + hot-token overlap via per-doc
+    hot-token arrays), but a pair sharing NO rare token is missed: its
+    jaccard ≤ h/(na+nb−h) for per-doc hot-set size h. Prefer the default;
+    keep D only where the df histogram is already known and tighter."""
     tok = _ensure_parallelism(
         df.select(
             F.col(id_col),
@@ -487,6 +496,7 @@ def token_jaccard_pairs(
         id_col,
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    hot_sets = None
     if max_df is not None:
         docfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
         tok = tok.join(docfreq, "tok")
@@ -499,20 +509,71 @@ def token_jaccard_pairs(
             .agg(F.sort_array(F.collect_set("tok")).alias("_hot"))
         )
     else:
-        rare = tok
-        hot_sets = None
+        docfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        # rarest-first global order (df asc, tok asc), per-doc prefix of
+        # length n - ceil(τ·n) + 1; slice() is clamped to the array length
+        # so τ=0 (prefix n+1) degrades to the full set
+        ranked = (
+            tok.join(docfreq, "tok")
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_df"), F.col("tok")))
+                ).alias("_arr")
+            )
+        )
+        plen = (
+            F.size(F.col("_arr"))
+            - F.ceil(F.lit(float(threshold)) * F.size(F.col("_arr"))).cast("int")
+            + F.lit(1)
+        )
+        rare = ranked.select(
+            F.col(id_col),
+            F.explode(
+                F.slice(F.col("_arr"), F.lit(1), F.greatest(plen, F.lit(1)))
+            ).alias("_pt"),
+        ).select(F.col(id_col), F.col("_pt.tok").alias("tok"))
     # self-join via alias (renames above the join) — identical join-input
     # subtrees let AQE reuse the token-explode side's shuffle exchange
     # instead of recomputing the explode per side (see simhash_near_pairs)
-    inter = (
-        rare.alias("ja")
-        .join(rare.alias("jb"), "tok")
-        .filter(F.col(f"ja.{id_col}") < F.col(f"jb.{id_col}"))
-        .groupBy(
-            F.col(f"ja.{id_col}").alias("a"), F.col(f"jb.{id_col}").alias("b")
+    if max_df is None:
+        # prefix-filter candidates, then EXACT verify: the prefix join only
+        # proves a pair CAN reach τ — the true intersection comes from the
+        # full sorted per-doc token arrays (one codegen'd array_intersect
+        # per candidate, never a token self-join on the hot vocabulary)
+        cand = (
+            rare.alias("ja")
+            .join(rare.alias("jb"), "tok")
+            .filter(F.col(f"ja.{id_col}") < F.col(f"jb.{id_col}"))
+            .select(
+                F.col(f"ja.{id_col}").alias("a"), F.col(f"jb.{id_col}").alias("b")
+            )
+            .distinct()
         )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+        full_sets = tok.groupBy(id_col).agg(
+            F.sort_array(F.collect_set("tok")).alias("_toks")
+        )
+        fa = full_sets.select(F.col(id_col).alias("a"), F.col("_toks").alias("_ta"))
+        fb = full_sets.select(F.col(id_col).alias("b"), F.col("_toks").alias("_tb"))
+        inter = (
+            cand.join(fa, "a")
+            .join(fb, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect(F.col("_ta"), F.col("_tb"))).alias("c"),
+            )
+        )
+    else:
+        inter = (
+            rare.alias("ja")
+            .join(rare.alias("jb"), "tok")
+            .filter(F.col(f"ja.{id_col}") < F.col(f"jb.{id_col}"))
+            .groupBy(
+                F.col(f"ja.{id_col}").alias("a"), F.col(f"jb.{id_col}").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     if hot_sets is not None:
         ha = hot_sets.select(F.col(id_col).alias("a"), F.col("_hot").alias("_hot_a"))
         hb = hot_sets.select(F.col(id_col).alias("b"), F.col("_hot").alias("_hot_b"))

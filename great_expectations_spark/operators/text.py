@@ -185,6 +185,12 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 # grouping, not a Luhn-checked number. Order matters for scrubbing:
 # longer/more-specific number shapes run before the generic phone shape so
 # a card number is not half-eaten by the phone pattern first.
+# Version tag surfaced in expect_column_values_to_not_contain_pii EVR
+# details (details.patterns_version) so downstream consumers quoting the
+# expectation as a compliance gate can see exactly WHICH pattern inventory
+# was scanned. Bump when PII_PATTERNS changes shape or membership.
+PII_PATTERNS_VERSION = "ges-pii/1.1-detection-grade"
+
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
@@ -338,7 +344,8 @@ def is_valid_url(col: Column, schemes: list[str] | None = None) -> Column:
     """True where the value parses as an absolute URL (scheme://host with
     optional path/query/fragment, no embedded whitespace). Detection-grade
     single-regex check, JVM-side; ``schemes`` restricts the accepted scheme
-    list (e.g. ["http", "https"])."""
+    list (e.g. ["http", "https"]), matched case-insensitively per RFC 3986
+    §3.1 (HTTPS:// is the https scheme)."""
     if schemes is not None:
         if not schemes:
             raise ValueError("schemes must be non-empty")
@@ -346,7 +353,7 @@ def is_valid_url(col: Column, schemes: list[str] | None = None) -> Column:
 
         # escape metacharacters: a scheme like "git+ssh" must not turn its
         # '+' into a quantifier (Java regex accepts these escapes too)
-        scheme = "(?:" + "|".join(_re.escape(x) for x in schemes) + ")"
+        scheme = "(?i:" + "|".join(_re.escape(x) for x in schemes) + ")"
     else:
         scheme = "[A-Za-z][A-Za-z0-9+.-]*"
     return col.rlike(r"^" + scheme + r"://[^\s/?#]+(?:[/?#]\S*)?$")

@@ -158,9 +158,11 @@ class SuitePlanner:
         persist: bool = False,
         evaluation_parameters: Optional[dict[str, Any]] = None,
         urn_resolver: Optional[Callable[[str], Any]] = None,
+        metrics_store: Any = None,
     ) -> None:
         self.df = df
         self.suite = suite
+        self.metrics_store = metrics_store
         # binding priority: explicit arg > suite-level (reference
         # validator.py:1942-1966)
         self.evaluation_parameters = {
@@ -251,7 +253,9 @@ class SuitePlanner:
 
                     cfg = ExpectationConfiguration(
                         expectation_type=t,
-                        kwargs=resolve_auto(self.df, t, cfg.kwargs),
+                        kwargs=resolve_auto(
+                            self.df, t, cfg.kwargs, store=self.metrics_store
+                        ),
                         meta=dict(cfg.meta),
                     )
                 if t in schema_checks.SCHEMA_EXPECTATION_TYPES:
@@ -326,6 +330,7 @@ class SuitePlanner:
                 (eid, unexpected_cond, mc.value_expr, cast_col, a_unexp)
             )
         counts_nulls = mc.counts_nulls
+        extra_details = mc.extra_details
 
         def decide(ctx: _Ctx) -> tuple[bool, dict]:
             elem = ctx.metrics[a_elem] or 0
@@ -351,6 +356,8 @@ class SuitePlanner:
                     {"value": v, "count": c}
                     for v, c in counts[: self.rf["partial_unexpected_count"]]
                 ]
+            if extra_details and self.rf["result_format"] != "BOOLEAN_ONLY":
+                result["details"] = {**result.get("details", {}), **extra_details}
             return bool(success), result
 
         self._items.append(_Item(cfg, decide, partition_capable=True))

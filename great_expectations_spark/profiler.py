@@ -54,18 +54,103 @@ _TEMPORAL = ("date", "timestamp", "timestamp_ntz")
 # statistic, resolved in ONE agg job per auto expectation)
 
 
-def resolve_auto(df: DataFrame, expectation_type: str, kwargs: dict) -> dict:
-    """Fill missing success parameters of an ``auto=True`` expectation from
-    the batch (observed-value estimator). Returns new kwargs with ``auto``
-    removed and bounds filled; raises for types without an auto rule."""
+# auto=True numeric-bound expectation → the stored metric-key parts whose
+# cross-run history can bootstrap a RANGE estimate (metric keys are the
+# planner's _reg tuples, json-encoded by stores.write_metrics)
+_AUTO_HISTORY_KEYS: dict[str, tuple[str, ...]] = {
+    "expect_table_row_count_to_be_between": ("table.row_count",),
+    "expect_column_min_to_be_between": ("column.min",),
+    "expect_column_max_to_be_between": ("column.max",),
+    "expect_column_mean_to_be_between": ("column.mean",),
+    "expect_column_sum_to_be_between": ("column.sum",),
+    "expect_column_stdev_to_be_between": ("column.standard_deviation",),
+}
+
+
+def _metric_history(store, key_parts: list, min_runs: int) -> Optional[list[float]]:
+    """One value per historical run for a stored metric key (max-per-run
+    collapses retried appends, as in volume_assistant); None when the store
+    is empty or the history is shorter than ``min_runs``. The collect is one
+    row per run — bounded by run count, not data size."""
+    import json as _json
+
+    try:
+        metrics = store.read_metrics()
+    except Exception:
+        return None
+    m = metrics.filter(
+        (F.col("metric_key") == _json.dumps(list(key_parts)))
+        & F.col("partition_key").isNull()
+    )
+    per_run = m.groupBy("run_id").agg(
+        F.max(F.col("value").try_cast("double")).alias("_v")
+    )
+    vals = [r["_v"] for r in per_run.collect() if r["_v"] is not None]
+    return vals if len(vals) >= min_runs else None
+
+
+def resolve_auto(
+    df: DataFrame,
+    expectation_type: str,
+    kwargs: dict,
+    store=None,
+    min_runs: int = 2,
+    false_positive_rate: float = 0.05,
+    n_resamples: int = 9999,
+    seed: Optional[int] = None,
+) -> dict:
+    """Fill missing success parameters of an ``auto=True`` expectation.
+
+    With ``store=None`` (or no usable history) the estimate is the observed
+    batch statistic — point bounds from ONE batch, the round-2 behavior.
+
+    With a metrics ``store`` holding >= ``min_runs`` historical runs of the
+    expectation's metric, numeric bounds come from the multi-batch BOOTSTRAP
+    range estimator instead (reference
+    rule_based_profiler/parameter_builder/
+    numeric_metric_range_multi_batch_parameter_builder.py +
+    estimators/bootstrap_numeric_range_estimator.py): the emitted
+    [min_value, max_value] is a range the metric's batch-to-batch
+    distribution supports, not a point pin to the current batch.
+
+    Returns new kwargs with ``auto`` removed and bounds filled; raises for
+    types without an auto rule."""
     kw = {k: v for k, v in kwargs.items() if k != "auto"}
     c = kw.get("column")
     col = F.col(c) if c else None
+
+    def _try_history_bounds() -> bool:
+        key = _AUTO_HISTORY_KEYS.get(expectation_type)
+        if store is None or key is None:
+            return False
+        parts = list(key) + ([c] if c else [])
+        vals = _metric_history(store, parts, min_runs)
+        if vals is None:
+            return False
+        from great_expectations_spark.functions.stats import (
+            bootstrap_range_estimate,
+        )
+
+        lo, hi = bootstrap_range_estimate(
+            vals,
+            false_positive_rate=false_positive_rate,
+            n_resamples=n_resamples,
+            seed=seed,
+        )
+        if expectation_type == "expect_table_row_count_to_be_between":
+            lo, hi = int(math.floor(lo)), int(math.ceil(hi))
+        if kw.get("min_value") is None:
+            kw["min_value"] = lo
+        if kw.get("max_value") is None:
+            kw["max_value"] = hi
+        return True
 
     def fill_bounds(min_expr, max_expr):
         need_min = kw.get("min_value") is None
         need_max = kw.get("max_value") is None
         if not (need_min or need_max):
+            return
+        if _try_history_bounds():
             return
         row = df.agg(min_expr.alias("_mn"), max_expr.alias("_mx")).collect()[0]
         if need_min:

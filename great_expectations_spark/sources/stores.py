@@ -844,6 +844,10 @@ class CheckpointRunner:
                 # not silently validate an empty frame
                 e = F.col(c).eqNullSafe(F.lit(v))
                 cond = e if cond is None else (cond & e)
+            # NOTE: per-partition validation deliberately does NOT pass
+            # metrics_store — the stored history rows used by auto=True
+            # bootstrap bounds are GLOBAL (partition_key IS NULL), and a
+            # whole-table range is the wrong bound for one partition slice.
             result = engine.validate(
                 df.filter(cond), suite, result_format=result_format
             )
@@ -873,7 +877,9 @@ class CheckpointRunner:
         if global_rollup == "validate":
             if "__global__" not in done:
                 started = time.time()
-                gres = engine.validate(df, suite, result_format=result_format)
+                gres = engine.validate(
+                    df, suite, result_format=result_format, metrics_store=self.store
+                )
                 self.store.write_results(gres, run_id)
                 self.store.write_metrics(gres, run_id)
                 self.store.write_lineage(

@@ -230,6 +230,45 @@ def test_token_jaccard_max_df_recall_contract(spark):
     assert len(exact) == 190 and len(pruned) == 0
 
 
+def test_token_jaccard_prefix_filter_matches_brute_force(spark):
+    """The default (prefix-filter) path is EXACT: on a random corpus spanning
+    hot stop words and rare tokens it must produce byte-identical pairs to a
+    driver-side brute-force Jaccard at several thresholds — including pairs
+    whose overlap is entirely stop words (the case legacy max_df pruning
+    misses)."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    vocab_hot = ["the", "a", "of", "and", "to"]
+    vocab_rare = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        n_hot = rng.randint(0, 5)
+        n_rare = rng.randint(0, 6)
+        toks = rng.sample(vocab_hot, n_hot) + rng.sample(vocab_rare, n_rare)
+        if not toks:
+            toks = ["the"]
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in rows}
+    for thr in (0.3, 0.6, 0.9):
+        expected = {}
+        for x, y in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[x] & sets[y])
+            if inter:
+                j = inter / len(sets[x] | sets[y])
+                if j >= thr:
+                    expected[(x, y)] = pytest.approx(j)
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in dedup.token_jaccard_pairs(df, threshold=thr).collect()
+        }
+        assert got == expected, f"threshold {thr}"
+
+
 def test_minhash_on_testdata_documents(documents):
     """Sanity at realistic shape: runs end-to-end, est_jaccard within [0,1]."""
     pairs = dedup.minhash_dedup_pairs(documents.limit(200), threshold=0.8)
@@ -631,6 +670,11 @@ def test_expect_no_pii_expectation(spark, pii_docs):
     # only doc 2 has an SSN → 1 unexpected, default mostly=1.0 fails
     assert r_ssn.result["unexpected_count"] == 1
     assert r_ssn.success is False
+    # scan provenance: a consumer quoting this as a compliance gate can see
+    # which detection-grade inventory was scanned
+    assert r_all.result["details"]["patterns_version"] == text.PII_PATTERNS_VERSION
+    assert r_all.result["details"]["pii_types_scanned"] == list(text.PII_PATTERNS)
+    assert r_ssn.result["details"]["pii_types_scanned"] == ["ssn"]
 
 
 # ---- URL canonicalization / corpus n-grams ------------------------------

@@ -201,6 +201,79 @@ def test_profile_pii_mostly_uses_nonnull_denominator(spark):
     assert SparkValidationEngine(spark).validate(df, suite).success is True
 
 
+def test_auto_bootstrap_range_from_metrics_history(spark, tmp_path):
+    """auto=True + a populated metrics store → bounds come from the
+    multi-batch BOOTSTRAP range over stored history (reference
+    numeric_metric_range_multi_batch_parameter_builder semantics), not the
+    single-batch point estimate: the emitted interval is a genuine range
+    (min < max) spanning the historical spread, so a new batch whose mean
+    sits inside the band passes even though it pins no single batch."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.profiler import resolve_auto
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "autostore"))
+    eng = SparkValidationEngine(spark)
+    seed_suite = ExpectationSuite(name="history")
+    seed_suite.add(
+        "expect_column_mean_to_be_between", column="v", min_value=-1e9, max_value=1e9
+    )
+    seed_suite.add("expect_table_row_count_to_be_between", min_value=0, max_value=10**12)
+    # seeded multi-run history: batch means 10, 20, 30, 40, 50
+    for i, mu in enumerate((10.0, 20.0, 30.0, 40.0, 50.0)):
+        batch = spark.range(0, 100 + 10 * i).select(
+            (F.lit(mu) + (F.col("id") % 3) - 1).alias("v")
+        )
+        store.write_metrics(eng.validate(batch, seed_suite), run_id=f"r{i}")
+
+    # point path (no store): bounds pin the current batch's mean exactly
+    today = spark.range(0, 100).select((F.lit(33.0) + (F.col("id") % 3) - 1).alias("v"))
+    kw_point = resolve_auto(
+        today, "expect_column_mean_to_be_between", {"column": "v", "auto": True}
+    )
+    assert kw_point["min_value"] == kw_point["max_value"]
+
+    # history path: a RANGE spanning the batch-to-batch spread
+    kw_range = resolve_auto(
+        today,
+        "expect_column_mean_to_be_between",
+        {"column": "v", "auto": True},
+        store=store,
+        seed=7,
+    )
+    assert kw_range["min_value"] < kw_range["max_value"]
+    assert 5.0 <= kw_range["min_value"] <= 25.0
+    assert 35.0 <= kw_range["max_value"] <= 55.0
+
+    # row-count bounds integer-floor/ceil from history (100..140 rows)
+    kw_rc = resolve_auto(
+        today, "expect_table_row_count_to_be_between", {"auto": True}, store=store,
+        seed=7,
+    )
+    assert isinstance(kw_rc["min_value"], int) and isinstance(kw_rc["max_value"], int)
+    assert kw_rc["min_value"] < kw_rc["max_value"]
+    assert 95 <= kw_rc["min_value"] <= 115 and 125 <= kw_rc["max_value"] <= 145
+
+    # end-to-end through the engine: validates against the band, not the pin
+    auto_suite = ExpectationSuite(name="auto-range")
+    auto_suite.add("expect_column_mean_to_be_between", column="v", auto=True)
+    res = eng.validate(today, auto_suite, metrics_store=store)
+    assert res.success is True
+    cfg = res.results[0].expectation_config
+    assert cfg["kwargs"]["min_value"] < 33.0 < cfg["kwargs"]["max_value"]
+
+    # insufficient history (< min_runs) falls back to the point estimator
+    empty = ResultsStore(spark, str(tmp_path / "nohist"))
+    kw_fb = resolve_auto(
+        today, "expect_column_mean_to_be_between", {"column": "v", "auto": True},
+        store=empty,
+    )
+    assert kw_fb["min_value"] == kw_fb["max_value"]
+
+
 def test_volume_assistant_from_metrics_history(spark, tmp_path):
     from great_expectations_spark.core.config import ExpectationSuite
     from great_expectations_spark.engine import SparkValidationEngine
