@@ -378,21 +378,23 @@ def simhash_near_pairs(
     # twice when `signatures` is unpersisted — measured 2× wall on the
     # sf0.1 corpus. With identical subtrees the right side reads the left's
     # shuffle output (AQE runtime stage reuse; output verified identical).
-    pairs = (
+    # exact verify BEFORE the pair-dedup: bit_count(xor) is two codegen'd
+    # instructions per joined row, so filtering first means the
+    # dropDuplicates shuffle carries only TRUE near-dup pairs instead of
+    # every band collision (the candidate set is the expensive part of
+    # complete 45-band Hamming-8 banding)
+    dist = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
         banded.alias("l")
         .join(banded.alias("r"), on=["band_idx", "band_val"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.col("l.simhash").alias("sig_a"),
-            F.col("r.simhash").alias("sig_b"),
+            dist.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
-    )
-    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("a", "b", dist.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 
@@ -423,21 +425,20 @@ def simhash_cross_matches(
             F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
         )
 
-    cand = (
+    # same early-verify as simhash_near_pairs: filter to true matches
+    # before the dedup shuffle
+    dist = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    hits = (
         banded(signatures, id_col)
         .alias("l")
         .join(banded(benchmark, bench_id_col).alias("r"), ["band_idx", "band_val"])
         .select(
             F.col(f"l.{id_col}").alias("_cid"),
-            F.col("l.simhash").alias("sig_a"),
             F.col(f"r.{bench_id_col}").alias("_bid"),
-            F.col("r.simhash").alias("sig_b"),
+            dist.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["_cid", "_bid"])
-    )
-    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    hits = cand.select("_cid", "_bid", dist.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
     best = hits.groupBy("_cid").agg(
         F.min(F.struct(F.col("hamming"), F.col("_bid"))).alias("_best")

@@ -25,10 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="path (parquet/csv/...) or catalog table")
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint config document (YAML/JSON): batch spec + suite + "
+             "partition_by + store + resume policy + action_list in ONE "
+             "file (reference checkpoint.yml shape; $VAR env substitution, "
+             "template: merge). Other flags act as runtime overrides.",
+    )
+    p.add_argument("--input", default=None, help="path (parquet/csv/...) or catalog table")
     p.add_argument("--table", action="store_true", help="treat --input as a catalog table")
     p.add_argument("--snapshot-id", type=int, default=None, help="Iceberg snapshot pin")
-    p.add_argument("--suite", required=True, help="suite JSON file")
+    p.add_argument("--suite", default=None, help="suite JSON file")
     p.add_argument("--partition-by", default=None, help="comma-separated partition columns")
     p.add_argument("--store", default=None, help="results/metrics/lineage store root")
     p.add_argument("--result-format", default="BASIC")
@@ -55,6 +62,35 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
+
+    if args.checkpoint:
+        from great_expectations_spark.sources.checkpoint_config import (
+            load_checkpoint_config,
+            run_checkpoint,
+        )
+
+        overrides: dict = {}
+        if args.input:
+            overrides["batch"] = (
+                {"table": args.input} if args.table else {"path": args.input}
+            )
+        if args.suite:
+            overrides["suite"] = args.suite
+        if args.partition_by:
+            overrides["partition_by"] = args.partition_by.split(",")
+        if args.store:
+            overrides["store"] = args.store
+        if args.no_resume:
+            overrides["resume"] = False
+        cfg = load_checkpoint_config(args.checkpoint, runtime_overrides=overrides)
+        spark = SparkSession.builder.appName(f"ges-ckpt-{cfg.name}").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        out = run_checkpoint(spark, cfg, run_id=args.run_id)
+        print(json.dumps(out))
+        return 0 if out["success"] else 1
+
+    if not args.input or not args.suite:
+        build_parser().error("--input and --suite are required without --checkpoint")
 
     from great_expectations_spark.core.config import ExpectationSuite
     from great_expectations_spark.engine import SparkValidationEngine

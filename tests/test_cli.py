@@ -131,3 +131,126 @@ def test_cli_actions_config(tmp_path):
     ])
     assert out.returncode == 0, out.stderr[-2000:]
     assert json.loads(out.stdout.strip().splitlines()[-1])["success"] is True
+
+
+def test_cli_checkpoint_config_document(tmp_path):
+    """One YAML document drives the whole run (reference checkpoint.yml
+    shape): template merge, $VAR env substitution, partitioned store run,
+    then resume on re-run."""
+    import os
+
+    (tmp_path / "base.yaml").write_text(
+        "config_version: 1.0\n"
+        "result_format: SUMMARY\n"
+        "action_list:\n"
+        "  - name: hook\n"
+        "    action:\n"
+        "      class_name: WebhookNotificationAction\n"
+        "      url: https://h.invalid\n"
+        "      notify_on: all\n"
+    )
+    ckpt = tmp_path / "ckpt.yaml"
+    ckpt.write_text(
+        "name: nightly\n"
+        "config_version: 1.0\n"
+        "template: base.yaml\n"
+        'run_name_template: "nightly-%Y%m%d"\n'
+        "batch:\n"
+        "  path: $GES_DATA_DIR/lineitem.parquet\n"
+        f"suite: {_suite_file(tmp_path, True)}\n"
+        "partition_by: [l_returnflag]\n"
+        f"store: {tmp_path / 'ckstore'}\n"
+        "resume: true\n"
+    )
+    env = {**os.environ, "GES_DATA_DIR": "/root/testdata/sf0.001"}
+
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/run_validation.py",
+         "--checkpoint", str(ckpt), "--run-id", "r1"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    p1 = json.loads(out.stdout.strip().splitlines()[-1])
+    assert p1["checkpoint"] == "nightly"
+    assert p1["partitions_run"] == 3 and p1["partitions_skipped"] == 0
+
+    out2 = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/run_validation.py",
+         "--checkpoint", str(ckpt), "--run-id", "r2"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    p2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert p2["partitions_run"] == 0 and p2["partitions_skipped"] == 3
+
+
+def test_checkpoint_config_loading_rules(tmp_path):
+    """Pure-Python document semantics: env substitution (incl. $$ escape and
+    undefined-variable error), template version pinning, action_list merge by
+    name, runtime overrides, unknown-key rejection, run_name_template."""
+    import datetime
+
+    import pytest
+
+    from great_expectations_spark.sources.checkpoint_config import (
+        load_checkpoint_config,
+        substitute_env_variables,
+    )
+
+    env = {"HOST": "example.com"}
+    assert substitute_env_variables("https://$HOST/x", env) == "https://example.com/x"
+    assert substitute_env_variables("${HOST}:8080", env) == "example.com:8080"
+    assert substitute_env_variables("cost $$5", env) == "cost $5"
+    with pytest.raises(KeyError, match="NOPE"):
+        substitute_env_variables("$NOPE", env)
+
+    base = {
+        "name": "doc",
+        "batch": {"path": "/tmp/x.parquet"},
+        "suite": {"name": "s", "expectations": []},
+    }
+    cfg = load_checkpoint_config(base, env=env)
+    assert cfg.resume is True and cfg.global_rollup == "conjunction"
+
+    # runtime overrides win over the document
+    cfg2 = load_checkpoint_config(
+        base, runtime_overrides={"resume": False, "partition_by": ["fmt"]}, env=env
+    )
+    assert cfg2.resume is False and cfg2.partition_by == ["fmt"]
+
+    with pytest.raises(ValueError, match="unknown checkpoint config keys"):
+        load_checkpoint_config({**base, "nope": 1}, env=env)
+    with pytest.raises(ValueError, match="batch.path or batch.table"):
+        load_checkpoint_config({"name": "d", "suite": "s.json", "batch": {}}, env=env)
+    with pytest.raises(ValueError, match="unknown global_rollup"):
+        load_checkpoint_config({**base, "global_rollup": "huh"}, env=env)
+
+    # template: same-version pin + action_list merge by name
+    (tmp_path / "t.json").write_text(json.dumps({
+        "config_version": 1.0,
+        "result_format": "SUMMARY",
+        "action_list": [
+            {"name": "a", "action": {"class_name": "X"}},
+            {"name": "b", "action": {"class_name": "Y"}},
+        ],
+    }))
+    doc = tmp_path / "c.json"
+    doc.write_text(json.dumps({
+        **base,
+        "template": "t.json",
+        "action_list": [{"name": "b", "action": {"class_name": "Z"}}],
+    }))
+    cfg3 = load_checkpoint_config(str(doc), env=env)
+    assert cfg3.result_format == "SUMMARY"
+    by_name = {a["name"]: a["action"]["class_name"] for a in cfg3.action_list}
+    assert by_name == {"a": "X", "b": "Z"}
+
+    (tmp_path / "t2.json").write_text(json.dumps({"config_version": 2.0}))
+    doc2 = tmp_path / "c2.json"
+    doc2.write_text(json.dumps({**base, "template": "t2.json"}))
+    with pytest.raises(ValueError, match="config_version"):
+        load_checkpoint_config(str(doc2), env=env)
+
+    # run_name_template is strftime-formatted
+    cfg4 = load_checkpoint_config({**base, "run_name_template": "run-%Y%m%d"}, env=env)
+    assert cfg4.run_id(datetime.datetime(2026, 8, 18)) == "run-20260818"
