@@ -681,6 +681,7 @@ def duplicate_clusters(
     id_a: str = "a",
     id_b: str = "b",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs — the step a real
     dedup pipeline needs between pair generation (minhash_dedup_pairs /
@@ -697,7 +698,8 @@ def duplicate_clusters(
     groupBy-min + one label self-join; no windows, no driver-side graph).
     Labels are monotonically non-increasing and both steps are stable
     exactly at the true components, so the fingerprint convergence test is
-    exact. Near-dup components from LSH bucketing are near-cliques
+    exact. Pass a dict as ``stats`` to receive
+    ``{"iterations": n, "converged": bool}`` (scale-rehearsal telemetry). Near-dup components from LSH bucketing are near-cliques
     (diameter 2-3, <5 rounds); the jump step bounds chain-shaped components
     (templated pages with drifting boilerplate can link A~B~C~... at corpus
     scale) at O(log diameter) rounds instead of O(diameter), so the default
@@ -729,7 +731,9 @@ def duplicate_clusters(
 
     fp = _fingerprint(labels)
     converged = False
+    iterations = 0
     for _ in range(max_iterations):
+        iterations += 1
         msgs = (
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), F.col("cluster_id"))
@@ -770,6 +774,9 @@ def duplicate_clusters(
             break
         fp = new_fp
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
     if not converged:
         # propagation needs O(component diameter) rounds; a silent stop
         # would return WRONG cluster ids for the unconverged components

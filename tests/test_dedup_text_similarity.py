@@ -444,8 +444,11 @@ def test_duplicate_clusters_long_chain_louds_or_converges(spark):
     from great_expectations_spark.operators.dedup import duplicate_clusters
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], ["a", "b"])
-    out = duplicate_clusters(chain, max_iterations=10).collect()
+    stats = {}
+    out = duplicate_clusters(chain, max_iterations=10, stats=stats).collect()
     assert all(r["cluster_id"] == 0 for r in out) and len(out) == 41
+    # telemetry out-param: converged within the O(log diameter) budget
+    assert stats["converged"] is True and 1 <= stats["iterations"] <= 10
 
     with pytest.raises(ValueError, match="did not converge"):
         duplicate_clusters(chain, max_iterations=2)

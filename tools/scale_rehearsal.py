@@ -1,0 +1,238 @@
+"""Scale rehearsal for the cluster/span dedup path — runs the two operators
+whose pytest coverage tops out at ~500k docs against 5-10M synthetic inputs,
+with EXACT expected-output checks, and reports wall time + iteration counts.
+
+Inputs are generated deterministically inside Spark (`spark.range` + hash
+arithmetic) — no files, no external data — so the rehearsal measures the
+operators, not a parquet scan.
+
+  python tools/scale_rehearsal.py                 # both trials, full size
+  python tools/scale_rehearsal.py --clique-nodes 800000 --chain-nodes 262144 \
+      --docs 500000                                # smoke-sized
+  python tools/scale_rehearsal.py --skip-spans    # clusters only
+
+Trial 1 — duplicate_clusters on a 10M-node pair graph:
+  * `--clique-nodes` (default 8,000,000) nodes in 5-node star components
+    (the LSH near-clique shape: diameter 2);
+  * `--chain-nodes` (default 2,097,152) nodes in `--chain-len` (default 512)
+    long path components (the templated-boilerplate chain shape that
+    exercises pointer jumping: O(log 512) ≈ 10 rounds, not 512).
+  Checks: exact component count, exact label fingerprint properties
+  (every clique labels to its base node; every chain labels to its head),
+  and iterations-to-converge ≤ the O(log diameter) budget.
+
+Trial 2 — duplicate_ngram_spans on `--docs` (default 5,000,000) documents of
+  24 random-vocab tokens, 1 in 10 carrying a fixed 10-token boilerplate at
+  token positions [5, 15). With k=8 the only duplicated grams are the 3
+  fully-inside-boilerplate grams, so EVERY boilerplate doc must yield exactly
+  one span (start=5, end=15, dup_grams=3) and no other doc any span.
+
+Prints one JSON line per trial and a `rehearsal_total_s` footer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-rehearsal")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+
+def cluster_trial(
+    spark: SparkSession, clique_nodes: int, chain_nodes: int, chain_len: int
+) -> dict:
+    from great_expectations_spark.operators.dedup import duplicate_clusters
+
+    if clique_nodes % 5 or chain_nodes % chain_len:
+        raise SystemExit("--clique-nodes must be %5==0; --chain-nodes %chain-len==0")
+    # star edges: node -> its group base (5 nodes/component, diameter 2)
+    stars = (
+        spark.range(clique_nodes)
+        .select(
+            F.col("id").alias("a"),
+            (F.col("id") - F.col("id") % 5).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    # chain edges: consecutive nodes, broken every chain_len (diameter 511)
+    base = clique_nodes
+    chains = (
+        spark.range(chain_nodes - 1)
+        .filter((F.col("id") % chain_len) != (chain_len - 1))
+        .select(
+            (F.col("id") + base).alias("a"), (F.col("id") + base + 1).alias("b")
+        )
+    )
+    edges = stars.union(chains)
+    n_components = clique_nodes // 5 + chain_nodes // chain_len
+
+    stats: dict = {}
+    t0 = time.monotonic()
+    labels = duplicate_clusters(edges, stats=stats)
+    # exact structural checks, all computed distributed:
+    #  - every node labeled, component count exact
+    #  - every label is the component's minimum member (base / chain head),
+    #    which for this construction means label % 5 == 0 (cliques) or
+    #    (label - base) % chain_len == 0 (chains)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.count_distinct("cluster_id").alias("components"),
+        F.sum(
+            F.when(
+                (
+                    (F.col("cluster_id") < base)
+                    & (F.col("cluster_id") % 5 == 0)
+                    & (F.col("node") - F.col("cluster_id") < 5)
+                    & (F.col("node") >= F.col("cluster_id"))
+                )
+                | (
+                    (F.col("cluster_id") >= base)
+                    & ((F.col("cluster_id") - base) % chain_len == 0)
+                    & (F.col("node") >= F.col("cluster_id"))
+                    & (F.col("node") - F.col("cluster_id") < chain_len)
+                ),
+                0,
+            ).otherwise(1)
+        ).alias("mislabeled"),
+    ).collect()[0]
+    wall = time.monotonic() - t0
+
+    ok = (
+        agg["nodes"] == clique_nodes + chain_nodes
+        and agg["components"] == n_components
+        and agg["mislabeled"] == 0
+        and stats.get("converged") is True
+    )
+    return {
+        "trial": "duplicate_clusters",
+        "nodes": clique_nodes + chain_nodes,
+        "edges_clique": clique_nodes - clique_nodes // 5,
+        "edges_chain": chain_nodes - chain_nodes // chain_len,
+        "chain_len": chain_len,
+        "components_expected": n_components,
+        "components_found": agg["components"],
+        "mislabeled": agg["mislabeled"],
+        "iterations": stats.get("iterations"),
+        "converged": stats.get("converged"),
+        "wall_s": round(wall, 2),
+        "nodes_per_s": int((clique_nodes + chain_nodes) / wall),
+        "ok": ok,
+    }
+
+
+def span_trial(spark: SparkSession, docs: int) -> dict:
+    from great_expectations_spark.operators.dedup import duplicate_ngram_spans
+
+    n_tokens, bp_lo, bp_hi, k = 24, 5, 15, 8
+    # token j of doc i: fixed boilerplate word for 1-in-10 docs at [5,15),
+    # else a token UNIQUE to (doc, position) — vocab-drawn flanks collide by
+    # birthday (two bp docs sharing token4 extend the span to start=4; at 5M
+    # docs every vocab word collides), which would break the exact span
+    # assertion; unique flanks keep "only boilerplate duplicates" exact at
+    # any size while gram volume (the thing being measured) is identical
+    def tok(j: int):
+        if bp_lo <= j < bp_hi:
+            return F.when(
+                F.col("id") % 10 == 0, F.lit(f"bp{j}")
+            ).otherwise(F.concat_ws("_", F.lit("w"), F.col("id"), F.lit(j)))
+        return F.concat_ws("_", F.lit("w"), F.col("id"), F.lit(j))
+
+    # one codegen'd projection per doc — NOT explode+collect_list, whose
+    # element order is not guaranteed under sort-based aggregation fallback
+    # (observed: ~0.25% of docs reassembled with a flank token inside the
+    # boilerplate, shifting the span); n_tokens is a compile-time constant
+    # so the straight concat is both exact and the fastest generator
+    corpus = (
+        spark.range(docs)
+        .repartition(64)
+        .select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.concat_ws(" ", *[tok(j) for j in range(n_tokens)]).alias("text"),
+        )
+    )
+
+    t0 = time.monotonic()
+    spans = duplicate_ngram_spans(corpus, k=k, min_count=2)
+    agg = spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_distinct("doc_id").alias("docs_with_spans"),
+        F.sum(
+            F.when(
+                (F.col("start_token") == bp_lo)
+                & (F.col("end_token") == bp_hi)
+                & (F.col("dup_grams") == bp_hi - bp_lo - k + 1),
+                0,
+            ).otherwise(1)
+        ).alias("wrong_spans"),
+    ).collect()[0]
+    wall = time.monotonic() - t0
+
+    expected_docs = (docs + 9) // 10  # ids 0,10,20,... — ceil(docs/10)
+    ok = (
+        agg["n_spans"] == expected_docs
+        and agg["docs_with_spans"] == expected_docs
+        and agg["wrong_spans"] == 0
+    )
+    return {
+        "trial": "duplicate_ngram_spans",
+        "docs": docs,
+        "tokens": docs * n_tokens,
+        "k": k,
+        "spans_expected": expected_docs,
+        "spans_found": agg["n_spans"],
+        "wrong_spans": agg["wrong_spans"],
+        "wall_s": round(wall, 2),
+        "tokens_per_s": int(docs * n_tokens / wall),
+        "ok": ok,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--clique-nodes", type=int, default=8_000_000)
+    ap.add_argument("--chain-nodes", type=int, default=2_097_152)
+    ap.add_argument("--chain-len", type=int, default=512)
+    ap.add_argument("--docs", type=int, default=5_000_000)
+    ap.add_argument("--skip-clusters", action="store_true")
+    ap.add_argument("--skip-spans", action="store_true")
+    args = ap.parse_args()
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    t0 = time.monotonic()
+    if not args.skip_clusters:
+        r = cluster_trial(spark, args.clique_nodes, args.chain_nodes, args.chain_len)
+        print(json.dumps(r))
+        results.append(r)
+    if not args.skip_spans:
+        r = span_trial(spark, args.docs)
+        print(json.dumps(r))
+        results.append(r)
+    print(json.dumps({"rehearsal_total_s": round(time.monotonic() - t0, 2)}))
+    spark.stop()
+    return 0 if all(r["ok"] for r in results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
