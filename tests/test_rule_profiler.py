@@ -1,0 +1,413 @@
+"""Rule-based profiler framework: domain builders, multi-batch parameter
+builders + range estimators, $parameter templates/conditions, declarative
+config, and the onboarding assistant (reference rule_based_profiler/ +
+data_assistant/onboarding_data_assistant.py)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.rule_profiler import (
+    CategoricalColumnDomainBuilder,
+    ColumnDomainBuilder,
+    ColumnPairDomainBuilder,
+    DefaultExpectationConfigurationBuilder,
+    Domain,
+    MapMetricColumnDomainBuilder,
+    MeanUnexpectedMapMetricMultiBatchParameterBuilder,
+    MetricMultiBatchParameterBuilder,
+    MultiColumnDomainBuilder,
+    NumericMetricRangeMultiBatchParameterBuilder,
+    RegexPatternStringParameterBuilder,
+    Rule,
+    RuleBasedProfiler,
+    SimpleDateFormatStringParameterBuilder,
+    TableDomainBuilder,
+    ValueSetMultiBatchParameterBuilder,
+    estimate_numeric_range,
+    onboarding_assistant,
+)
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    """Three seeded batches: id unique, score drifts upward batch-to-batch,
+    category low-cardinality, day an ISO date string, always_null null."""
+    out = []
+    for b in range(3):
+        rows = [
+            (
+                b * 100 + i,
+                float(10 * b + i % 7),
+                ["red", "green", "blue"][i % 3],
+                f"2024-0{b + 1}-{(i % 9) + 1:02d}",
+                None,
+                ("x" * ((i % 5) + 1)) if i % 10 else None,
+                datetime.datetime(2024, b + 1, (i % 27) + 1),
+            )
+            for i in range(60)
+        ]
+        out.append(
+            spark.createDataFrame(
+                rows,
+                "id bigint, score double, category string, day string, "
+                "always_null string, comment string, created timestamp",
+            )
+        )
+    return out
+
+
+# ---- domain builders -------------------------------------------------------
+
+
+def test_column_domain_builder_filters(batches):
+    cols = [
+        d.kwargs["column"]
+        for d in ColumnDomainBuilder(include_semantic_types=["numeric"]).domains(batches)
+    ]
+    assert cols == ["id", "score"]
+    cols = [
+        d.kwargs["column"]
+        for d in ColumnDomainBuilder(
+            include_semantic_types=["text"], exclude_column_names=["always_null"]
+        ).domains(batches)
+    ]
+    assert cols == ["category", "day", "comment"]
+    cols = [
+        d.kwargs["column"]
+        for d in ColumnDomainBuilder(include_column_name_suffixes=["_null"]).domains(
+            batches
+        )
+    ]
+    assert cols == ["always_null"]
+    with pytest.raises(ValueError, match="semantic"):
+        ColumnDomainBuilder(include_semantic_types=["bogus"])
+
+
+def test_categorical_domain_builder_cardinality(batches):
+    cols = [
+        d.kwargs["column"]
+        for d in CategoricalColumnDomainBuilder(cardinality_limit_mode="VERY_FEW").domains(
+            batches
+        )
+    ]
+    # category (3), day (9 distinct in latest batch), score (7) fit <=10;
+    # id (60) and comment (5 lengths -> 5 distinct) — comment fits too
+    assert "category" in cols and "id" not in cols
+    with pytest.raises(ValueError, match="cardinality_limit_mode"):
+        CategoricalColumnDomainBuilder(cardinality_limit_mode="NOPE")
+
+
+def test_map_metric_domain_builders(batches):
+    unique_cols = [
+        d.kwargs["column"]
+        for d in MapMetricColumnDomainBuilder("column_values.unique").domains(batches)
+    ]
+    assert "id" in unique_cols and "category" not in unique_cols
+    null_cols = [
+        d.kwargs["column"]
+        for d in MapMetricColumnDomainBuilder("column_values.null").domains(batches)
+    ]
+    assert null_cols == ["always_null"]
+    nonnull_cols = [
+        d.kwargs["column"]
+        for d in MapMetricColumnDomainBuilder("column_values.nonnull").domains(batches)
+    ]
+    assert "id" in nonnull_cols and "comment" not in nonnull_cols
+    # ratio cap admits the 10%-null comment column
+    loose = [
+        d.kwargs["column"]
+        for d in MapMetricColumnDomainBuilder(
+            "column_values.nonnull", max_unexpected_ratio=0.2
+        ).domains(batches)
+    ]
+    assert "comment" in loose
+
+
+def test_pair_and_multicolumn_domains(batches):
+    (d,) = ColumnPairDomainBuilder(["id", "score"]).domains(batches)
+    assert d.kwargs == {"column_A": "id", "column_B": "score"}
+    (d,) = MultiColumnDomainBuilder(["id", "category"]).domains(batches)
+    assert d.kwargs == {"column_list": ["id", "category"]}
+
+
+# ---- estimators ------------------------------------------------------------
+
+
+def test_estimate_numeric_range_estimators():
+    hist = [10.0, 12.0, 11.0, 13.0, 9.5]
+    assert estimate_numeric_range(hist, "exact") == (9.5, 13.0)
+    lo, hi = estimate_numeric_range(hist, "quantiles", false_positive_rate=0.5)
+    assert 9.5 <= lo <= hi <= 13.0
+    lo, hi = estimate_numeric_range(hist, "bootstrap", seed=7)
+    assert 9.0 <= lo <= hi <= 13.5
+    lo, hi = estimate_numeric_range(hist, "kde", seed=7)
+    assert lo < hi
+    # deterministic given the seed
+    assert (lo, hi) == estimate_numeric_range(hist, "kde", seed=7)
+    with pytest.raises(ValueError, match="estimator"):
+        estimate_numeric_range(hist, "magic")
+    with pytest.raises(ValueError, match="history"):
+        estimate_numeric_range([None], "exact")
+
+
+def test_numeric_range_builder_round_truncate(batches):
+    from great_expectations_spark.rule_profiler import _RuleMetricEngine
+
+    d = Domain("column", (("column", "score"),))
+    pb = NumericMetricRangeMultiBatchParameterBuilder(
+        "r", "column.mean", estimator="exact", round_decimals=1,
+        truncate_values={"lower_bound": 0},
+    )
+    eng = _RuleMetricEngine(batches)
+    pb.register(eng, [d])
+    eng.resolve()
+    out = pb.build(eng, d, {})
+    # batch means: 2.9 + 10b for b in 0..2 -> exact range [2.9, 22.9]
+    assert out["value"] == [2.9, 22.9]
+    assert out["details"]["num_batches"] == 3
+    # integer metric forces round_decimals=0 (floor/ceil)
+    pb2 = NumericMetricRangeMultiBatchParameterBuilder(
+        "r2", "table.row_count", estimator="exact"
+    )
+    eng2 = _RuleMetricEngine(batches)
+    pb2.register(eng2, [Domain("table")])
+    eng2.resolve()
+    assert pb2.build(eng2, Domain("table"), {})["value"] == [60, 60]
+    with pytest.raises(ValueError, match="truncate_values"):
+        NumericMetricRangeMultiBatchParameterBuilder(
+            "x", "column.mean", truncate_values={"mid": 1}
+        )
+
+
+# ---- parameter builders ----------------------------------------------------
+
+
+def test_value_set_union_and_cap(batches):
+    from great_expectations_spark.rule_profiler import _RuleMetricEngine
+
+    d = Domain("column", (("column", "category"),))
+    eng = _RuleMetricEngine(batches)
+    out = ValueSetMultiBatchParameterBuilder("vs").build(eng, d, {})
+    assert out["value"] == ["blue", "green", "red"]
+    with pytest.raises(ValueError, match="max_cardinality"):
+        ValueSetMultiBatchParameterBuilder("vs", max_cardinality=2).build(
+            eng, Domain("column", (("column", "id"),)), {}
+        )
+
+
+def test_regex_and_dateformat_builders(batches):
+    from great_expectations_spark.rule_profiler import _RuleMetricEngine
+
+    d_day = Domain("column", (("column", "day"),))
+    d_cat = Domain("column", (("column", "category"),))
+    rx = RegexPatternStringParameterBuilder("rx", candidate_regexes=[r"\d{4}-\d{2}-\d{2}", r"\d+"])
+    fmt = SimpleDateFormatStringParameterBuilder("fmt")
+    eng = _RuleMetricEngine(batches)
+    rx.register(eng, [d_day, d_cat])
+    fmt.register(eng, [d_day])
+    eng.resolve()
+    assert rx.build(eng, d_day, {})["value"] == r"\d{4}-\d{2}-\d{2}"
+    assert rx.build(eng, d_cat, {})["value"] is None  # words match no candidate
+    assert fmt.build(eng, d_day, {})["value"] == "%Y-%m-%d"
+
+
+def test_mean_unexpected_ratio(batches):
+    from great_expectations_spark.rule_profiler import _RuleMetricEngine
+
+    d = Domain("column", (("column", "comment"),))
+    pb = MeanUnexpectedMapMetricMultiBatchParameterBuilder("nr", "column_values.nonnull")
+    eng = _RuleMetricEngine(batches)
+    pb.register(eng, [d])
+    eng.resolve()
+    assert pb.build(eng, d, {})["value"] == pytest.approx(0.1)
+
+
+# ---- templates, conditions, rules -----------------------------------------
+
+
+def test_template_substitution_and_conditions():
+    params = {
+        "rng": {"value": [1, 9], "lower_bound": 1, "upper_bound": 9},
+        "ratio": {"value": 0.0},
+        "maybe": {"value": None},
+    }
+    ecb = DefaultExpectationConfigurationBuilder(
+        "expect_column_values_to_be_between",
+        min_value="$parameter.rng.value[0]",
+        max_value="$parameter.rng.value[1]",
+        mostly="$variables.mostly",
+    )
+    cfg = ecb.build(Domain("column", (("column", "x"),)), params, {"mostly": 0.95})
+    assert cfg.kwargs == {"column": "x", "min_value": 1, "max_value": 9, "mostly": 0.95}
+
+    gated = DefaultExpectationConfigurationBuilder(
+        "expect_column_values_to_not_be_null",
+        condition="$parameter.ratio.value == 0",
+    )
+    assert gated.build(Domain("column", (("column", "x"),)), params, {}) is not None
+    gated_off = DefaultExpectationConfigurationBuilder(
+        "expect_column_values_to_not_be_null",
+        condition="$parameter.ratio.value > 0",
+    )
+    assert gated_off.build(Domain("column", (("column", "x"),)), params, {}) is None
+    # a None-estimated required parameter skips the whole config
+    skipped = DefaultExpectationConfigurationBuilder(
+        "expect_column_values_to_match_regex", regex="$parameter.maybe.value"
+    )
+    assert skipped.build(Domain("column", (("column", "x"),)), params, {}) is None
+    # unknown parameter name is an error, not a silent skip
+    with pytest.raises(KeyError, match="unknown parameter"):
+        DefaultExpectationConfigurationBuilder(
+            "expect_column_values_to_be_unique", mostly="$parameter.nope.value"
+        ).build(Domain("table"), params, {})
+    # None ordering comparisons are False (config skipped, no crash)
+    assert (
+        DefaultExpectationConfigurationBuilder(
+            "expect_column_values_to_be_unique",
+            condition="$parameter.maybe.value > 0",
+        ).build(Domain("table"), params, {})
+        is None
+    )
+
+
+def test_rule_based_profiler_from_config(batches):
+    config = {
+        "name": "my_profiler",
+        "variables": {"fpr": 0.05},
+        "rules": {
+            "row_count_rule": {
+                "domain_builder": {"class_name": "TableDomainBuilder"},
+                "parameter_builders": [
+                    {
+                        "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                        "module_name": "ignored.by.this.engine",
+                        "name": "rc",
+                        "metric_name": "table.row_count",
+                        "estimator": "exact",
+                    }
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "class_name": "DefaultExpectationConfigurationBuilder",
+                        "expectation_type": "expect_table_row_count_to_be_between",
+                        "min_value": "$parameter.rc.value[0]",
+                        "max_value": "$parameter.rc.value[1]",
+                    }
+                ],
+            },
+            "category_rule": {
+                "domain_builder": {
+                    "class_name": "CategoricalColumnDomainBuilder",
+                    "cardinality_limit_mode": "VERY_FEW",
+                    "include_column_names": ["category"],
+                },
+                "parameter_builders": [
+                    {"class_name": "ValueSetMultiBatchParameterBuilder", "name": "vs"}
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "expectation_type": "expect_column_values_to_be_in_set",
+                        "value_set": "$parameter.vs.value",
+                    }
+                ],
+            },
+        },
+    }
+    suite = RuleBasedProfiler.from_config(config).run(batches)
+    by_type = {c.expectation_type: c for c in suite.expectations}
+    assert by_type["expect_table_row_count_to_be_between"].kwargs == {
+        "min_value": 60, "max_value": 60,
+    }
+    assert by_type["expect_column_values_to_be_in_set"].kwargs == {
+        "column": "category", "value_set": ["blue", "green", "red"],
+    }
+    assert suite.meta["rules"] == ["row_count_rule", "category_rule"]
+    with pytest.raises(ValueError, match="domain_builder"):
+        RuleBasedProfiler.from_config(
+            {"rules": {"r": {"domain_builder": {"class_name": "Bogus"}}}}
+        )
+
+
+def test_rule_single_agg_per_batch(batches):
+    """The whole rule resolves through ONE bundled agg per batch — the
+    engine rejects late registration after resolve (two-phase contract)."""
+    from great_expectations_spark.rule_profiler import _RuleMetricEngine
+
+    eng = _RuleMetricEngine(batches)
+    MetricMultiBatchParameterBuilder("m", "column.min").register(
+        eng, [Domain("column", (("column", "score"),))]
+    )
+    eng.resolve()
+    assert eng.history("m__column_min__score") == [0.0, 10.0, 20.0]
+    with pytest.raises(RuntimeError, match="resolved"):
+        eng.request("late", F.count(F.lit(1)))
+
+
+# ---- onboarding assistant --------------------------------------------------
+
+
+def test_onboarding_assistant_suite_shape_and_self_validation(spark, batches):
+    suite = onboarding_assistant(
+        batches, estimator="exact", exclude_column_names=["created"]
+    )
+    types = {c.expectation_type for c in suite.expectations}
+    assert {
+        "expect_table_columns_to_match_set",
+        "expect_table_row_count_to_be_between",
+        "expect_column_values_to_be_unique",
+        "expect_column_values_to_be_null",
+        "expect_column_values_to_not_be_null",
+        "expect_column_min_to_be_between",
+        "expect_column_max_to_be_between",
+        "expect_column_mean_to_be_between",
+        "expect_column_median_to_be_between",
+        "expect_column_quantile_values_to_be_between",
+        "expect_column_value_lengths_to_be_between",
+        "expect_column_values_to_be_in_set",
+        "expect_column_unique_value_count_to_be_between",
+    } <= types
+
+    uniq = [
+        c.kwargs["column"]
+        for c in suite.expectations
+        if c.expectation_type == "expect_column_values_to_be_unique"
+    ]
+    # always_null is VACUOUSLY unique (0 duplicated among 0 non-null values)
+    # — the reference's ratio math admits it the same way, and the emitted
+    # expectation passes vacuously
+    assert uniq == ["id", "always_null"]
+    nullity = [
+        c.kwargs["column"]
+        for c in suite.expectations
+        if c.expectation_type == "expect_column_values_to_be_null"
+    ]
+    assert nullity == ["always_null"]
+    mostly = {
+        c.kwargs["column"]: c.kwargs.get("mostly")
+        for c in suite.expectations
+        if c.expectation_type == "expect_column_values_to_not_be_null"
+    }
+    assert mostly["id"] is None and mostly["comment"] == 0.9
+
+    # with the exact estimator every bound is the min/max of TRAINING-batch
+    # history, so validating any training batch must pass every expectation
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    res = SparkValidationEngine(spark).validate(batches[-1], suite)
+    failed = [r.expectation_config.expectation_type for r in res.results if not r.success]
+    assert res.success, f"onboarding suite failed on its own batch: {failed}"
+
+
+def test_onboarding_assistant_datetime_rule(spark, batches):
+    suite = onboarding_assistant(batches, estimator="exact")
+    dt_mins = [
+        c
+        for c in suite.expectations
+        if c.expectation_type == "expect_column_min_to_be_between"
+        and c.kwargs["column"] == "created"
+    ]
+    assert len(dt_mins) == 1
+    # min of the per-batch minima = batch 0's minimum (2024-01-01)
+    assert dt_mins[0].kwargs["min_value"] == datetime.datetime(2024, 1, 1)
