@@ -2073,15 +2073,29 @@ FROM lineitem
 
 
 def q_profiler(spark, sf_dir):
-    """profile() emission rules on two tables; each emitted expectation is a
-    row — the oracle recomputes the same decisions from the data in SQL."""
+    """profile() emission rules on two tables PLUS the rule-based
+    onboarding assistant's emission decisions over a 3-way deterministic
+    batch split of orders (exact estimator); each emitted expectation is a
+    row — the oracle recomputes the same decisions from the data in SQL.
+    The best-regex row is projected out: its candidate inventory is Java
+    regex dialect (pytest-covered); every other onboarding rule's decision
+    is dialect-neutral and oracle-checked here."""
     from great_expectations_spark.profiler import profile
+    from great_expectations_spark.rule_profiler import onboarding_assistant
 
     rows = []
     for tbl in ("lineitem", "events"):
         suite = profile(_load(spark, sf_dir, tbl), name=tbl)
         for cfg in suite.expectations:
             rows.append((tbl, cfg.kwargs.get("column", ""), cfg.expectation_type))
+    orders = _load(spark, sf_dir, "orders")
+    batches = [orders.filter(F.expr(f"o_orderkey % 3 = {i}")) for i in range(3)]
+    for cfg in onboarding_assistant(batches, estimator="exact").expectations:
+        if cfg.expectation_type == "expect_column_values_to_match_regex":
+            continue
+        rows.append(
+            ("orders_onboarding", cfg.kwargs.get("column", ""), cfg.expectation_type)
+        )
     return spark.createDataFrame(rows, "tbl string, entity string, expectation string")
 
 
@@ -2138,7 +2152,90 @@ def _profiler_oracle_sql() -> str:
                 f"SELECT '{tbl}', '{c}', 'expect_column_values_to_be_unique' "
                 f"WHERE {nn} > 0 AND {dc} = {nn}"
             )
+    parts.extend(_onboarding_oracle_parts())
     return "\nUNION ALL\n".join(parts)
+
+
+def _onboarding_oracle_parts() -> list[str]:
+    """SQL recomputation of onboarding_assistant(estimator='exact')
+    decisions on orders split by o_orderkey % 3 — each clause mirrors one
+    rule's admission/condition logic exactly (rule_profiler.py):
+    uniqueness = zero duplicated non-null values in EVERY batch; nullity =
+    all-null everywhere; non-nullity plain when zero nulls, mostly variant
+    when nulls exist and the worst batch ratio < 0.5; numeric/datetime/text
+    rows whenever the column has any non-null value (exact-estimator range
+    over per-batch history); stdev additionally needs a positive batch
+    stddev; categorical rows when the LATEST batch's distinct count fits
+    the FEW(=100) cardinality mode."""
+    t = "orders_onboarding"
+    numeric = ["o_orderkey", "o_custkey", "o_totalprice"]
+    temporal = ["o_orderdate"]
+    text = ["o_orderstatus", "o_orderpriority"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"SELECT '{t}' AS tbl, '' AS entity, 'expect_table_columns_to_match_set' AS expectation",
+        f"SELECT '{t}', '', 'expect_table_row_count_to_be_between'",
+    ]
+    for c in cols:
+        nn = f"(SELECT count({c}) FROM orders)"
+        nulls = f"(SELECT count(*) - count({c}) FROM orders)"
+        worst_null = (
+            f"(SELECT max((cnt - nncnt) * 1.0 / cnt) FROM (SELECT count(*) AS cnt, "
+            f"count({c}) AS nncnt FROM orders GROUP BY o_orderkey % 3))"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_values_to_be_unique' "
+            f"WHERE NOT EXISTS (SELECT 1 FROM (SELECT o_orderkey % 3 AS b, {c} AS v, "
+            f"count(*) AS k FROM orders WHERE {c} IS NOT NULL GROUP BY 1, 2) WHERE k > 1)"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_values_to_be_null' WHERE {nn} = 0"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_values_to_not_be_null' "
+            f"WHERE {nulls} = 0"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_values_to_not_be_null' "
+            f"WHERE {nulls} > 0 AND {worst_null} < 0.5"
+        )
+    for c in numeric:
+        nn = f"(SELECT count({c}) FROM orders)"
+        for k in ("min", "max", "mean", "median"):
+            parts.append(
+                f"SELECT '{t}', '{c}', 'expect_column_{k}_to_be_between' WHERE {nn} > 0"
+            )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_stdev_to_be_between' "
+            f"WHERE (SELECT max(sd) FROM (SELECT stddev_samp({c}) AS sd FROM orders "
+            f"GROUP BY o_orderkey % 3)) > 0"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_quantile_values_to_be_between' "
+            f"WHERE {nn} > 0"
+        )
+    for c in temporal:
+        nn = f"(SELECT count({c}) FROM orders)"
+        for k in ("min", "max"):
+            parts.append(
+                f"SELECT '{t}', '{c}', 'expect_column_{k}_to_be_between' WHERE {nn} > 0"
+            )
+    for c in text:
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_value_lengths_to_be_between' "
+            f"WHERE (SELECT count({c}) FROM orders) > 0"
+        )
+    for c in cols:
+        latest_dc = (
+            f"(SELECT count(DISTINCT {c}) FROM orders WHERE o_orderkey % 3 = 2)"
+        )
+        for e in (
+            "expect_column_values_to_be_in_set",
+            "expect_column_unique_value_count_to_be_between",
+        ):
+            parts.append(f"SELECT '{t}', '{c}', '{e}' WHERE {latest_dc} <= 100")
+    return parts
 
 
 SQL_PROFILER = _profiler_oracle_sql()
