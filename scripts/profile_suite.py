@@ -12,6 +12,12 @@ The emitted JSON loads back through ExpectationSuite.from_json (both this
 engine's and the reference's key layout are accepted); pass
 --reference-format to write the reference's on-disk schema
 (expectation_suite_name, clean-empty meta) instead.
+
+Multi-batch modes (rule_profiler.py): ``--onboarding`` runs the onboarding
+assistant over a batch split of the input (``--split-column`` + mod/hash/
+value ``--split-method``), bootstrapping range bounds from batch-to-batch
+history instead of pinning one batch; ``--rule-config cfg.yaml`` runs a
+reference-shaped RuleBasedProfiler config over the same split.
 """
 
 from __future__ import annotations
@@ -41,7 +47,61 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit no-PII expectations for clean string columns")
     p.add_argument("--reference-format", action="store_true",
                    help="write the reference's on-disk suite schema")
+    g = p.add_argument_group("multi-batch rule profiling")
+    g.add_argument("--onboarding", action="store_true",
+                   help="run the rule-based onboarding assistant over a "
+                        "multi-batch split of the input instead of the "
+                        "single-batch profiler")
+    g.add_argument("--rule-config", default=None,
+                   help="YAML/JSON RuleBasedProfiler config (reference "
+                        "rule_based_profiler config shape) to run over the "
+                        "batch split instead of the onboarding roster")
+    g.add_argument("--split-column", default=None,
+                   help="column that partitions the input into batches "
+                        "(required with --onboarding/--rule-config)")
+    g.add_argument("--split-method", choices=("mod", "hash", "value"),
+                   default="mod",
+                   help="mod: column %% N; hash: pmod(xxhash64(col), N); "
+                        "value: one batch per distinct value (<= 50)")
+    g.add_argument("--num-batches", type=int, default=3,
+                   help="batch count for mod/hash splits")
+    g.add_argument("--estimator", choices=("exact", "quantiles", "bootstrap", "kde"),
+                   default="bootstrap", help="numeric range estimator")
+    g.add_argument("--fpr", type=float, default=0.05,
+                   help="false positive rate for range estimators")
+    g.add_argument("--seed", type=int, default=None,
+                   help="random seed for bootstrap/kde")
+    g.add_argument("--exclude-columns", default=None,
+                   help="comma-separated columns the rules skip")
     return p
+
+
+def _split_batches(df, args):
+    from pyspark.sql import functions as F
+
+    c = args.split_column
+    if not c:
+        raise SystemExit("--onboarding/--rule-config need --split-column")
+    if args.split_method == "value":
+        values = [
+            r[0]
+            for r in df.select(c).filter(F.col(c).isNotNull()).distinct()
+            .orderBy(c).limit(51).collect()
+        ]
+        if len(values) > 50:
+            raise SystemExit(
+                f"--split-method value: {c!r} has > 50 distinct values; "
+                "use mod/hash or a coarser column"
+            )
+        return [df.filter(F.col(c) == v) for v in values]
+    n = args.num_batches
+    if n < 2:
+        raise SystemExit("--num-batches must be >= 2")
+    if args.split_method == "hash":
+        key = F.pmod(F.xxhash64(F.col(c)), F.lit(n))
+    else:
+        key = F.pmod(F.col(c).cast("bigint"), F.lit(n))
+    return [df.filter(key == i) for i in range(n)]
 
 
 def main(argv=None) -> int:
@@ -60,16 +120,37 @@ def main(argv=None) -> int:
         snapshot_id=args.snapshot_id,
     )
     df = load_batch(spark, spec)
-    suite = profile(
-        df,
-        name=args.name,
-        columns=args.columns.split(",") if args.columns else None,
-        cardinality_limit=args.cardinality_limit,
-        row_count_tolerance=args.row_count_tolerance,
-        exact=not args.approx,
-        drift_baselines=args.drift_baselines,
-        pii_checks=args.pii_checks,
-    )
+    if args.rule_config:
+        from great_expectations_spark.rule_profiler import RuleBasedProfiler
+        from great_expectations_spark.sources.checkpoint_config import _load_file
+
+        profiler = RuleBasedProfiler.from_config(_load_file(args.rule_config))
+        suite = profiler.run(_split_batches(df, args))
+        suite.name = args.name
+    elif args.onboarding:
+        from great_expectations_spark.rule_profiler import onboarding_assistant
+
+        suite = onboarding_assistant(
+            _split_batches(df, args),
+            name=args.name,
+            estimator=args.estimator,
+            false_positive_rate=args.fpr,
+            random_seed=args.seed,
+            exclude_column_names=(
+                args.exclude_columns.split(",") if args.exclude_columns else None
+            ),
+        )
+    else:
+        suite = profile(
+            df,
+            name=args.name,
+            columns=args.columns.split(",") if args.columns else None,
+            cardinality_limit=args.cardinality_limit,
+            row_count_tolerance=args.row_count_tolerance,
+            exact=not args.approx,
+            drift_baselines=args.drift_baselines,
+            pii_checks=args.pii_checks,
+        )
     payload = suite.to_reference_json() if args.reference_format else suite.to_json()
     with open(args.output, "w") as f:
         f.write(payload + "\n")

@@ -254,3 +254,70 @@ def test_checkpoint_config_loading_rules(tmp_path):
     # run_name_template is strftime-formatted
     cfg4 = load_checkpoint_config({**base, "run_name_template": "run-%Y%m%d"}, env=env)
     assert cfg4.run_id(datetime.datetime(2026, 8, 18)) == "run-20260818"
+
+
+def test_cli_profile_suite_onboarding_and_rule_config(tmp_path):
+    """scripts/profile_suite.py multi-batch modes: --onboarding bootstraps a
+    suite from a mod-split batch history; --rule-config runs a
+    reference-shaped declarative profiler config over the same split."""
+    out_path = tmp_path / "onboard.json"
+    r = subprocess.run(
+        [
+            sys.executable, f"{REPO}/scripts/profile_suite.py",
+            "--input", "/root/testdata/sf0.001/orders.parquet",
+            "--output", str(out_path), "--name", "onboard",
+            "--onboarding", "--split-column", "o_orderkey",
+            "--num-batches", "3", "--estimator", "exact",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["suite"] == "onboard" and summary["expectations"] > 10
+    suite = json.loads(out_path.read_text())
+    types = {c["expectation_type"] for c in suite["expectations"]}
+    assert "expect_table_row_count_to_be_between" in types
+    assert "expect_column_values_to_be_unique" in types
+    uniq_cols = [
+        c["kwargs"]["column"] for c in suite["expectations"]
+        if c["expectation_type"] == "expect_column_values_to_be_unique"
+    ]
+    assert "o_orderkey" in uniq_cols
+
+    cfg = tmp_path / "rbp.json"
+    cfg.write_text(json.dumps({
+        "name": "cli_rbp",
+        "rules": {
+            "rc": {
+                "domain_builder": {"class_name": "TableDomainBuilder"},
+                "parameter_builders": [{
+                    "class_name": "NumericMetricRangeMultiBatchParameterBuilder",
+                    "name": "rc", "metric_name": "table.row_count",
+                    "estimator": "exact",
+                }],
+                "expectation_configuration_builders": [{
+                    "expectation_type": "expect_table_row_count_to_be_between",
+                    "min_value": "$parameter.rc.value[0]",
+                    "max_value": "$parameter.rc.value[1]",
+                }],
+            }
+        },
+    }))
+    out2_path = tmp_path / "rbp_suite.json"
+    r2 = subprocess.run(
+        [
+            sys.executable, f"{REPO}/scripts/profile_suite.py",
+            "--input", "/root/testdata/sf0.001/orders.parquet",
+            "--output", str(out2_path), "--name", "rbp",
+            "--rule-config", str(cfg),
+            "--split-column", "o_orderkey", "--num-batches", "2",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    suite2 = json.loads(out2_path.read_text())
+    (cfg_row,) = suite2["expectations"]
+    assert cfg_row["expectation_type"] == "expect_table_row_count_to_be_between"
+    assert cfg_row["kwargs"]["min_value"] <= cfg_row["kwargs"]["max_value"]
+    # the two mod-batches partition the 150-row table
+    assert cfg_row["kwargs"]["min_value"] + cfg_row["kwargs"]["max_value"] >= 100
