@@ -532,4 +532,9 @@ def bootstrap_range_estimate(
             return est
         return est - bias
 
-    return point(lo_q, sample_lo), point(hi_q, sample_hi)
+    lo, hi = point(lo_q, sample_lo), point(hi_q, sample_hi)
+    # the two bounds are bias-corrected INDEPENDENTLY, which can invert them
+    # on near-degenerate histories (e.g. [0,0,0,0,1] at fpr 0.5: corrected
+    # lower 0.0075 > corrected upper 0.0) — an inverted range would emit an
+    # unsatisfiable expectation, so order before returning
+    return min(lo, hi), max(lo, hi)

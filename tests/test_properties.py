@@ -98,3 +98,51 @@ def test_norm_cdf_monotone_bounded(x, m, s):
     c = norm_cdf(x, m, s)
     assert 0.0 <= c <= 1.0
     assert norm_cdf(x + 0.5, m, s) >= c
+
+
+# ---- rule_profiler pure-Python machinery -----------------------------------
+
+hist_values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(vals=hist_values, fpr=st.floats(0.01, 0.5))
+@settings(max_examples=100, deadline=None)
+def test_range_estimators_bounded_by_observations(vals, fpr):
+    """exact/quantiles ranges always sit inside [min, max] of the history
+    and are ordered; bootstrap/kde are ordered and deterministic by seed."""
+    from great_expectations_spark.rule_profiler import estimate_numeric_range
+
+    lo, hi = estimate_numeric_range(vals, "exact")
+    assert lo == min(vals) and hi == max(vals)
+    qlo, qhi = estimate_numeric_range(vals, "quantiles", false_positive_rate=fpr)
+    assert lo <= qlo <= qhi <= hi
+    b1 = estimate_numeric_range(vals, "bootstrap", false_positive_rate=fpr, seed=3)
+    b2 = estimate_numeric_range(vals, "bootstrap", false_positive_rate=fpr, seed=3)
+    assert b1 == b2 and b1[0] <= b1[1]
+    k1 = estimate_numeric_range(vals, "kde", false_positive_rate=fpr, seed=3)
+    assert k1 == estimate_numeric_range(vals, "kde", false_positive_rate=fpr, seed=3)
+    assert k1[0] <= k1[1]
+
+
+@given(
+    idx=st.integers(-3, 2),
+    leaf=st.one_of(st.integers(-5, 5), st.text(max_size=5), st.none()),
+)
+@settings(max_examples=100, deadline=None)
+def test_parameter_reference_resolution_roundtrip(idx, leaf):
+    """$parameter dotted-path + [idx] resolution reaches any nested leaf;
+    non-reference strings pass through untouched; None mid-path resolves
+    the whole reference to None (skip semantics, not a crash)."""
+    from great_expectations_spark.rule_profiler import _resolve_ref
+
+    params = {"p": {"value": [[leaf, 1], [2, leaf], [leaf, leaf]], "details": {"d": leaf}}}
+    got = _resolve_ref(f"$parameter.p.value[{idx}][0]", params, {})
+    assert got == params["p"]["value"][idx][0]
+    assert _resolve_ref("$parameter.p.details.d", params, {}) == leaf
+    assert _resolve_ref("plain-string", params, {}) == "plain-string"
+    assert _resolve_ref("$variables.v", params, {"v": leaf}) == leaf
+    assert _resolve_ref("$parameter.p.value[0][0].nope", {"p": {"value": [[None]]}}, {}) is None
