@@ -32,14 +32,16 @@ WHAT is reproduced (observable semantics):
 
 HOW is Spark-native, not a port. The reference resolves one metric per
 domain per batch through its metric graph — O(rules × domains × batches)
-Spark jobs. Here every rule's parameter builders REGISTER aggregate
-expressions first and the engine runs ONE bundled ``df.agg`` per (rule,
-batch) covering all domains and all metrics (the same bundling strategy as
-plans/planner.py), so driver traffic is one scalar row per batch. The only
-non-agg statistics are per-column singleton counts (uniqueness), computed
-for ALL candidate columns in ONE job via a stacked hash-groupBy, and
-bounded ``distinct().limit(cap+1)`` probes for value sets. Nothing driver-
-side grows with row count — history vectors are O(batches), value sets are
+Spark jobs. Here every parameter builder REGISTERS aggregate expressions
+first and the profiler resolves them with ONE bundled ``df.agg`` per batch
+for ALL rules, domains, and metrics together (the same bundling strategy
+as plans/planner.py), so driver traffic is one scalar row per batch and
+each batch is scanned once for the whole parameter phase. The only non-agg
+statistics are the map-metric domain decisions — duplicated-value and null
+counts for ALL candidate columns and ALL batches in ONE tagged-union job
+(stacked hash-groupBy for uniqueness) — and bounded
+``distinct().limit(cap+1)`` probes for value sets. Nothing driver-side
+grows with row count — history vectors are O(batches), value sets are
 capped by the cardinality mode.
 """
 
@@ -274,9 +276,22 @@ class MapMetricColumnDomainBuilder(ColumnDomainBuilder):
         self.max_ratio = max_unexpected_ratio
         self.min_proportion = min_max_unexpected_values_proportion
 
-    def _unexpected(self, df: DataFrame, cols: list[str]) -> dict[str, tuple[int, int]]:
-        """{col: (unexpected_count, row_count)} in <= 2 jobs for all cols."""
-        n = None
+    def _per_batch_stats(
+        self, batches: Sequence[DataFrame], cols: list[str]
+    ) -> list[dict[str, tuple[int, int]]]:
+        """[{col: (unexpected_count, row_count)}] per batch — ONE Spark job
+        for ALL batches and ALL candidate columns: batches union with a
+        ``__b`` tag (one scan each, a single job), then either a grouped
+        bundled agg (null metrics) or a stacked hash-groupBy (uniqueness)."""
+        from functools import reduce
+
+        tagged = reduce(
+            DataFrame.union,
+            [
+                df.select(F.lit(i).alias("__b"), *[F.col(c) for c in cols])
+                for i, df in enumerate(batches)
+            ],
+        )
         if self.metric in ("column_values.nonnull", "column_values.null"):
             aggs = [F.count(F.lit(1)).alias("__n")]
             for c in cols:
@@ -286,12 +301,23 @@ class MapMetricColumnDomainBuilder(ColumnDomainBuilder):
                     else F.count(F.col(c))
                 )
                 aggs.append(cnt.alias(f"u__{c}"))
-            row = df.agg(*aggs).collect()[0].asDict()
-            n = int(row["__n"])
-            return {c: (int(row[f"u__{c}"] or 0), n) for c in cols}
-        # uniqueness: stacked hash-groupBy, one shuffle for every column
-        n = df.count()
-        pairs = df.select(
+            rows = {
+                r["__b"]: r.asDict()
+                for r in tagged.groupBy("__b").agg(*aggs).collect()
+            }
+            return [
+                {
+                    c: (int(rows[b][f"u__{c}"] or 0), int(rows[b]["__n"]))
+                    for c in cols
+                }
+                if b in rows
+                else {c: (0, 0) for c in cols}
+                for b in range(len(batches))
+            ]
+        # uniqueness: stack (batch, column, value-hash) triples — nulls kept
+        # so the same pass yields per-batch row counts — then two groupBys
+        stacked = tagged.select(
+            "__b",
             F.explode(
                 F.array(
                     *[
@@ -302,25 +328,34 @@ class MapMetricColumnDomainBuilder(ColumnDomainBuilder):
                         for c in cols
                     ]
                 )
-            ).alias("s")
-        ).select("s.*").filter(~F.col("isnull"))
-        per_col = (
-            pairs.groupBy("c", "h")
+            ).alias("s"),
+        ).select("__b", "s.*")
+        per = (
+            stacked.groupBy("__b", "c", "h", "isnull")
             .agg(F.count(F.lit(1)).alias("k"))
-            .groupBy("c")
-            .agg(F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0)).alias("u"))
+            .groupBy("__b", "c")
+            .agg(
+                F.sum(
+                    F.when(~F.col("isnull") & (F.col("k") > 1), F.col("k")).otherwise(0)
+                ).alias("u"),
+                F.sum(F.col("k")).alias("n"),
+            )
             .collect()
         )
-        found = {r["c"]: (int(r["u"] or 0), n) for r in per_col}
-        return {c: found.get(c, (0, n)) for c in cols}
+        found: dict[tuple[int, str], tuple[int, int]] = {
+            (r["__b"], r["c"]): (int(r["u"] or 0), int(r["n"])) for r in per
+        }
+        return [
+            {c: found.get((b, c), (0, 0)) for c in cols}
+            for b in range(len(batches))
+        ]
 
     def domains(self, batches: Sequence[DataFrame]) -> list[Domain]:
         cols = self._columns(batches)
         if not cols:
             return []
         ok_counts = {c: 0 for c in cols}
-        for df in batches:
-            stats = self._unexpected(df, cols)
+        for stats in self._per_batch_stats(batches, cols):
             for c, (u, n) in stats.items():
                 cap = self.max_ratio * n if self.max_ratio is not None else self.max_values
                 if u <= cap:
@@ -943,16 +978,24 @@ class Rule:
         default_factory=list
     )
 
-    def run(
-        self, batches: Sequence[DataFrame], variables: dict[str, Any]
-    ) -> list[ExpectationConfiguration]:
+    def register(
+        self, engine: _RuleMetricEngine, batches: Sequence[DataFrame]
+    ) -> list[Domain]:
+        """Phase 1: resolve domains, enqueue every parameter builder's
+        aggregate needs into the (shared) engine."""
         domains = self.domain_builder.domains(batches)
-        if not domains:
-            return []
-        engine = _RuleMetricEngine(batches)
         for pb in self.parameter_builders:
             pb.register(engine, domains)
-        engine.resolve()  # ONE agg per batch for the whole rule
+        return domains
+
+    def emit(
+        self,
+        engine: _RuleMetricEngine,
+        domains: Sequence[Domain],
+        variables: dict[str, Any],
+    ) -> list[ExpectationConfiguration]:
+        """Phase 2 (after engine.resolve()): build parameters per domain and
+        instantiate the expectation configurations."""
         out: list[ExpectationConfiguration] = []
         for d in domains:
             params = {
@@ -964,6 +1007,18 @@ class Rule:
                 if cfg is not None:
                     out.append(cfg)
         return out
+
+    def run(
+        self, batches: Sequence[DataFrame], variables: dict[str, Any]
+    ) -> list[ExpectationConfiguration]:
+        """Standalone single-rule execution (one agg per batch). Inside a
+        RuleBasedProfiler the engine is SHARED across rules instead."""
+        engine = _RuleMetricEngine(batches)
+        domains = self.register(engine, batches)
+        if not domains:
+            return []
+        engine.resolve()
+        return self.emit(engine, domains, variables)
 
 
 class RuleBasedProfiler:
@@ -992,8 +1047,16 @@ class RuleBasedProfiler:
                 "rules": [r.name for r in self.rules],
             },
         )
-        for rule in self.rules:
-            suite.extend(rule.run(batches, self.variables))
+        # every rule's parameter aggregates resolve through ONE shared
+        # engine — one bundled df.agg per batch for the WHOLE profiler, not
+        # per rule (at warehouse scale each extra agg is a full scan);
+        # domain builders still run their own bounded jobs in phase 1
+        engine = _RuleMetricEngine(batches)
+        rule_domains = [(r, r.register(engine, batches)) for r in self.rules]
+        engine.resolve()
+        for rule, domains in rule_domains:
+            if domains:
+                suite.extend(rule.emit(engine, domains, self.variables))
         return suite
 
     # -- declarative config (reference rule_based_profiler/config/) --------
