@@ -1088,8 +1088,26 @@ class RuleBasedProfiler:
         ...}], "expectation_configuration_builders": [{"expectation_type",
         ...}]}}}. ``module_name`` keys are accepted and ignored."""
 
+        variables = config.get("variables") or {}
+
+        def _resolve_vars(v: Any) -> Any:
+            # reference configs pass "$variables.x" strings as builder args
+            # (Union[str, float] signatures resolved from rule state); this
+            # engine resolves them once, at construction
+            if isinstance(v, str) and v.startswith("$variables."):
+                return _resolve_ref(v, {}, variables)
+            if isinstance(v, dict):
+                return {k: _resolve_vars(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_resolve_vars(x) for x in v]
+            return v
+
         def _strip(d: dict) -> dict:
-            return {k: v for k, v in d.items() if k not in ("class_name", "module_name")}
+            return {
+                k: _resolve_vars(v)
+                for k, v in d.items()
+                if k not in ("class_name", "module_name")
+            }
 
         rules = []
         for rule_name, spec in (config.get("rules") or {}).items():
@@ -1126,7 +1144,7 @@ class RuleBasedProfiler:
         return cls(
             name=config.get("name", "rule_based_profiler"),
             rules=rules,
-            variables=config.get("variables") or {},
+            variables=variables,
         )
 
 

@@ -286,6 +286,9 @@ def test_rule_based_profiler_from_config(batches):
                         "name": "rc",
                         "metric_name": "table.row_count",
                         "estimator": "exact",
+                        # reference configs pass variables refs as builder
+                        # args — resolved at construction
+                        "false_positive_rate": "$variables.fpr",
                     }
                 ],
                 "expectation_configuration_builders": [
