@@ -414,3 +414,36 @@ def test_onboarding_assistant_datetime_rule(spark, batches):
     assert len(dt_mins) == 1
     # min of the per-batch minima = batch 0's minimum (2024-01-01)
     assert dt_mins[0].kwargs["min_value"] == datetime.datetime(2024, 1, 1)
+
+
+def test_partition_parameter_builder_drift_rule(spark, batches):
+    """A drift rule: histogram partition objects from the latest batch feed
+    expect_column_kl_divergence_to_be_less_than, and the emitted suite
+    scores ~0 KL against the batch it was built from."""
+    from great_expectations_spark.rule_profiler import PartitionParameterBuilder
+
+    rule = Rule(
+        "drift_rule",
+        ColumnDomainBuilder(include_column_names=["score", "category"]),
+        [PartitionParameterBuilder("po")],
+        [
+            DefaultExpectationConfigurationBuilder(
+                "expect_column_kl_divergence_to_be_less_than",
+                partition_object="$parameter.po.value",
+                threshold="$variables.kl_threshold",
+            )
+        ],
+    )
+    suite = RuleBasedProfiler("drift", [rule], {"kl_threshold": 0.1}).run(batches)
+    assert len(suite.expectations) == 2
+    cat_po = next(
+        c.kwargs["partition_object"]
+        for c in suite.expectations
+        if c.kwargs["column"] == "category"
+    )
+    assert sorted(cat_po["values"]) == ["blue", "green", "red"]
+
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    res = SparkValidationEngine(spark).validate(batches[-1], suite)
+    assert res.success
