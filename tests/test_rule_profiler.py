@@ -447,3 +447,22 @@ def test_partition_parameter_builder_drift_rule(spark, batches):
 
     res = SparkValidationEngine(spark).validate(batches[-1], suite)
     assert res.success
+
+
+def test_onboarding_with_an_empty_batch(spark, batches):
+    """A batch with zero rows (real mod/date splits produce these) must not
+    crash any rule: aggregate history entries are None (dropped), map-metric
+    stats are (0, 0), and the emitted suite still validates."""
+    empty = batches[0].limit(0)
+    suite = onboarding_assistant([*batches, empty], estimator="exact")
+    types = {c.expectation_type for c in suite.expectations}
+    assert "expect_table_row_count_to_be_between" in types
+    rc = next(
+        c for c in suite.expectations
+        if c.expectation_type == "expect_table_row_count_to_be_between"
+    )
+    # the empty batch drags the exact lower bound to 0
+    assert rc.kwargs["min_value"] == 0 and rc.kwargs["max_value"] == 60
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    assert SparkValidationEngine(spark).validate(batches[-1], suite).success
