@@ -35,6 +35,7 @@ class SparkValidationEngine:
         evaluation_parameters: Optional[dict] = None,
         urn_resolver: Any = None,
         metrics_store: Any = None,
+        history_suite_name: Optional[str] = None,
     ) -> SuiteValidationResult:
         """``urn_resolver``: callable (urn string → value) used by
         ``{"$PARAMETER": "urn:great_expectations:validations:..."}`` kwargs —
@@ -43,7 +44,12 @@ class SparkValidationEngine:
 
         ``metrics_store``: a ResultsStore whose cross-run metric history
         upgrades ``auto=True`` bounds from single-batch point estimates to
-        multi-batch bootstrap ranges (profiler.resolve_auto)."""
+        multi-batch bootstrap ranges (profiler.resolve_auto). History is
+        scoped to THIS suite's stored runs by default — a shared store root
+        holds every suite's metrics under the same keys, and unscoped
+        lookups would bootstrap bounds from other tables' volumes; pass
+        ``history_suite_name`` to bootstrap a new suite from another
+        suite's run history instead."""
         planner = SuitePlanner(
             df,
             suite,
@@ -54,6 +60,7 @@ class SparkValidationEngine:
             evaluation_parameters=evaluation_parameters,
             urn_resolver=urn_resolver,
             metrics_store=metrics_store,
+            history_suite_name=history_suite_name,
         )
         return planner.run(meta=meta)
 

@@ -159,10 +159,14 @@ class SuitePlanner:
         evaluation_parameters: Optional[dict[str, Any]] = None,
         urn_resolver: Optional[Callable[[str], Any]] = None,
         metrics_store: Any = None,
+        history_suite_name: Optional[str] = None,
     ) -> None:
         self.df = df
         self.suite = suite
         self.metrics_store = metrics_store
+        # auto=True history scope: this suite's own runs unless the caller
+        # explicitly borrows another suite's history (new-suite onboarding)
+        self.history_suite_name = history_suite_name or suite.name
         # binding priority: explicit arg > suite-level (reference
         # validator.py:1942-1966)
         self.evaluation_parameters = {
@@ -238,6 +242,29 @@ class SuitePlanner:
         from great_expectations_spark.operators import drift as drift_ops
         from great_expectations_spark.operators import special as special_ops
 
+        # pre-fetch the metric histories every auto=True expectation will
+        # ask for — ONE grouped-agg job over the metrics store, scoped to
+        # THIS suite's runs (a shared store holds other suites' metrics for
+        # the same keys), instead of one store scan per auto expectation
+        auto_histories = None
+        if self.metrics_store is not None:
+            from great_expectations_spark.profiler import (
+                auto_history_key,
+                fetch_metric_histories,
+            )
+
+            auto_keys = [
+                k
+                for cfg in self.suite.expectations
+                if cfg.kwargs.get("auto")
+                for k in [auto_history_key(cfg.expectation_type, cfg.kwargs)]
+                if k is not None
+            ]
+            auto_histories = fetch_metric_histories(
+                self.metrics_store, auto_keys, min_runs=2,
+                suite_name=self.history_suite_name,
+            )
+
         for cfg in self.suite.expectations:
             t = cfg.expectation_type
             try:
@@ -254,7 +281,9 @@ class SuitePlanner:
                     cfg = ExpectationConfiguration(
                         expectation_type=t,
                         kwargs=resolve_auto(
-                            self.df, t, cfg.kwargs, store=self.metrics_store
+                            self.df, t, cfg.kwargs, store=self.metrics_store,
+                            suite_name=self.history_suite_name,
+                            histories=auto_histories,
                         ),
                         meta=dict(cfg.meta),
                     )

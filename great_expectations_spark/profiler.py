@@ -67,26 +67,63 @@ _AUTO_HISTORY_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _metric_history(store, key_parts: list, min_runs: int) -> Optional[list[float]]:
-    """One value per historical run for a stored metric key (max-per-run
-    collapses retried appends, as in volume_assistant); None when the store
-    is empty or the history is shorter than ``min_runs``. The collect is one
-    row per run — bounded by run count, not data size."""
+def auto_history_key(expectation_type: str, kwargs: dict) -> Optional[list[str]]:
+    """The stored-metric key parts whose history can bootstrap this
+    auto=True expectation's bounds; None when no history rule exists."""
+    key = _AUTO_HISTORY_KEYS.get(expectation_type)
+    if key is None:
+        return None
+    c = kwargs.get("column")
+    return list(key) + ([c] if c else [])
+
+
+def fetch_metric_histories(
+    store,
+    keys: list[list[str]],
+    min_runs: int,
+    suite_name: Optional[str] = None,
+) -> dict[str, list[float]]:
+    """{json_key: [value per historical run]} for EVERY requested metric key
+    in ONE Spark job (one grouped aggregation over the metrics table), not
+    one scan per key. ``suite_name`` scopes the history to one suite's runs
+    — without it a shared store root would mix histories from every suite
+    writing the same metric key (e.g. two tables' ``table.row_count``),
+    bootstrapping bounds from the WRONG table's volumes. Max-per-(run, key)
+    collapses retried appends, as in volume_assistant. Keys with fewer than
+    ``min_runs`` usable runs are omitted. The collect is one row per
+    (key, run) — bounded by run count, not data size."""
     import json as _json
 
+    if not keys:
+        return {}
     try:
         metrics = store.read_metrics()
     except Exception:
-        return None
+        return {}
+    wanted = [_json.dumps(list(k)) for k in keys]
     m = metrics.filter(
-        (F.col("metric_key") == _json.dumps(list(key_parts)))
-        & F.col("partition_key").isNull()
+        F.col("metric_key").isin(wanted) & F.col("partition_key").isNull()
     )
-    per_run = m.groupBy("run_id").agg(
+    if suite_name is not None:
+        m = m.filter(F.col("suite_name") == suite_name)
+    per_run = m.groupBy("metric_key", "run_id").agg(
         F.max(F.col("value").try_cast("double")).alias("_v")
     )
-    vals = [r["_v"] for r in per_run.collect() if r["_v"] is not None]
-    return vals if len(vals) >= min_runs else None
+    out: dict[str, list[float]] = {}
+    for r in per_run.collect():
+        if r["_v"] is not None:
+            out.setdefault(r["metric_key"], []).append(r["_v"])
+    return {k: v for k, v in out.items() if len(v) >= min_runs}
+
+
+def _metric_history(
+    store, key_parts: list, min_runs: int, suite_name: Optional[str] = None
+) -> Optional[list[float]]:
+    """Single-key convenience wrapper over fetch_metric_histories."""
+    import json as _json
+
+    got = fetch_metric_histories(store, [list(key_parts)], min_runs, suite_name)
+    return got.get(_json.dumps(list(key_parts)))
 
 
 def resolve_auto(
@@ -98,6 +135,8 @@ def resolve_auto(
     false_positive_rate: float = 0.05,
     n_resamples: int = 9999,
     seed: Optional[int] = None,
+    suite_name: Optional[str] = None,
+    histories: Optional[dict[str, list[float]]] = None,
 ) -> dict:
     """Fill missing success parameters of an ``auto=True`` expectation.
 
@@ -113,18 +152,29 @@ def resolve_auto(
     [min_value, max_value] is a range the metric's batch-to-batch
     distribution supports, not a point pin to the current batch.
 
+    ``suite_name`` scopes the history lookup to one suite's stored runs
+    (a shared store root holds every suite's metrics — unscoped history
+    would bootstrap bounds from other tables' volumes). ``histories`` is an
+    optional pre-fetched {json_key: values} map (fetch_metric_histories) so
+    a suite with many auto expectations costs ONE history job, not one per
+    expectation.
+
     Returns new kwargs with ``auto`` removed and bounds filled; raises for
     types without an auto rule."""
+    import json as _json
+
     kw = {k: v for k, v in kwargs.items() if k != "auto"}
     c = kw.get("column")
     col = F.col(c) if c else None
 
     def _try_history_bounds() -> bool:
-        key = _AUTO_HISTORY_KEYS.get(expectation_type)
-        if store is None or key is None:
+        parts = auto_history_key(expectation_type, kwargs)
+        if parts is None or (store is None and histories is None):
             return False
-        parts = list(key) + ([c] if c else [])
-        vals = _metric_history(store, parts, min_runs)
+        if histories is not None:
+            vals = histories.get(_json.dumps(parts))
+        else:
+            vals = _metric_history(store, parts, min_runs, suite_name)
         if vals is None:
             return False
         from great_expectations_spark.functions.stats import (

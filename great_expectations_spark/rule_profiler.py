@@ -89,8 +89,17 @@ class Domain:
 
     @property
     def key(self) -> str:
-        # stable alias-safe identity for bundled-agg column names
-        return re.sub(r"\W+", "_", "_".join(str(v) for _, v in self.domain_kwargs)) or "table"
+        # stable alias-safe identity for bundled-agg column names; the hash
+        # suffix disambiguates names the sanitization would collide
+        # (columns "a b" and "a_b" both sanitize to a_b — without it the
+        # second domain would silently read the first one's aggregates)
+        import hashlib
+
+        raw = "_".join(str(v) for _, v in self.domain_kwargs)
+        if not raw:
+            return "table"
+        h = hashlib.md5(raw.encode("utf-8")).hexdigest()[:6]
+        return f"{re.sub(r'[^0-9A-Za-z_]+', '_', raw)}_{h}"
 
 
 def _col_domain(c: str) -> Domain:
@@ -391,29 +400,44 @@ _AGG_METRICS: dict[str, Callable[[Optional[str]], Any]] = {
 }
 
 
+_DISTINCT_METRICS = {"column.distinct_values.count", "column.unique_proportion"}
+
+
 class _RuleMetricEngine:
     """Accumulates (name, domain, expr) requests from every parameter
     builder in a rule, then resolves them with ONE ``df.agg`` per batch —
-    the planner's bundling strategy applied to profiling."""
+    the planner's bundling strategy applied to profiling.
+
+    count_distinct aggregates go to a SEPARATE isolated bundle (second agg
+    per batch): a distinct agg inside the shared bundle re-keys every other
+    metric's buffer by the distinct value (Spark's Expand plan replicates
+    every row per distinct agg) — the same isolation rule as
+    plans/planner._reg(distinct=True)."""
 
     def __init__(self, batches: Sequence[DataFrame]) -> None:
         self.batches = list(batches)
         self._requests: dict[str, Any] = {}
+        self._distinct_requests: dict[str, Any] = {}
         self._values: Optional[list[dict[str, Any]]] = None
 
-    def request(self, alias: str, expr: Any) -> None:
+    def request(self, alias: str, expr: Any, distinct: bool = False) -> None:
         if self._values is not None:
             raise RuntimeError("metric engine already resolved")
-        self._requests.setdefault(alias, expr)
+        (self._distinct_requests if distinct else self._requests).setdefault(
+            alias, expr
+        )
 
     def resolve(self) -> None:
         if self._values is not None:
             return
-        if not self._requests:
-            self._values = [{} for _ in self.batches]
-            return
-        aggs = [expr.alias(a) for a, expr in self._requests.items()]
-        self._values = [df.agg(*aggs).collect()[0].asDict() for df in self.batches]
+        self._values = []
+        for df in self.batches:
+            row: dict[str, Any] = {}
+            for bundle in (self._requests, self._distinct_requests):
+                if bundle:
+                    aggs = [expr.alias(a) for a, expr in bundle.items()]
+                    row.update(df.agg(*aggs).collect()[0].asDict())
+            self._values.append(row)
 
     def history(self, alias: str) -> list[Any]:
         if self._values is None:
@@ -539,7 +563,9 @@ class MetricMultiBatchParameterBuilder(ParameterBuilder):
     def register(self, engine: _RuleMetricEngine, domains: Sequence[Domain]) -> None:
         for d in domains:
             engine.request(
-                _metric_alias(self.name, self.metric, d), _metric_expr(self.metric, d)
+                _metric_alias(self.name, self.metric, d),
+                _metric_expr(self.metric, d),
+                distinct=self.metric in _DISTINCT_METRICS,
             )
 
     def build(self, engine, domain, variables):
@@ -577,7 +603,9 @@ class NumericMetricRangeMultiBatchParameterBuilder(ParameterBuilder):
     def register(self, engine, domains):
         for d in domains:
             engine.request(
-                _metric_alias(self.name, self.metric, d), _metric_expr(self.metric, d)
+                _metric_alias(self.name, self.metric, d),
+                _metric_expr(self.metric, d),
+                distinct=self.metric in _DISTINCT_METRICS,
             )
 
     def build(self, engine, domain, variables):
@@ -1405,7 +1433,11 @@ def onboarding_assistant(
                 _metric_alias("nonnull_mostly", "column_values.nonnull.unexpected_count", domain)
             )
             counts = engine.history("__row_count")
-            worst = max(((u or 0) / n) for u, n in zip(unexpected, counts) if n)
+            # default guards an ALL-empty history (every batch zero rows)
+            worst = max(
+                ((u or 0) / n for u, n in zip(unexpected, counts) if n),
+                default=0.0,
+            )
             if worst >= 0.5:
                 return {"value": None, "details": {}}
             return {"value": math.floor((1 - worst) * 100) / 100, "details": {}}

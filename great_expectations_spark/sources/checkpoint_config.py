@@ -45,8 +45,10 @@ _BATCH_KEYS = {
 }
 
 # $VAR or ${VAR}; $$ is the literal-dollar escape (reference
-# substitute_all_config_variables / DOLLAR_SIGN_ESCAPE_STRING)
-_VAR_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
+# substitute_all_config_variables / DOLLAR_SIGN_ESCAPE_STRING). Variable
+# names are IDENTIFIER-shaped (letter/underscore first) so data-looking
+# dollars in suite kwargs ("$100" in a value_set) pass through untouched
+_VAR_RE = re.compile(r"\$\{([A-Za-z_]\w*)\}|\$([A-Za-z_]\w*)")
 
 
 def substitute_env_variables(data: Any, env: Optional[dict] = None) -> Any:
@@ -57,7 +59,14 @@ def substitute_env_variables(data: Any, env: Optional[dict] = None) -> Any:
     if env is None:
         env = dict(os.environ)
     if isinstance(data, dict):
-        return {k: substitute_env_variables(v, env) for k, v in data.items()}
+        # an INLINE suite is data, not config — its expectation kwargs may
+        # legitimately contain $-strings (regexes, value sets), and a suite
+        # loaded from a file path would not be substituted either
+        return {
+            k: v if k == "suite" and isinstance(v, dict)
+            else substitute_env_variables(v, env)
+            for k, v in data.items()
+        }
     if isinstance(data, list):
         return [substitute_env_variables(v, env) for v in data]
     if not isinstance(data, str):
@@ -99,7 +108,20 @@ def _merge_template(doc: dict, template: dict) -> dict:
                 merged[a.get("name")] = a
             out["action_list"] = list(merged.values())
         elif isinstance(v, dict) and isinstance(out.get(k), dict):
-            out[k] = {**out[k], **v}
+            out[k] = _nested_update(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _nested_update(base: dict, override: dict) -> dict:
+    """Recursive dict merge at EVERY depth (reference nested_update) — a
+    one-level {**a, **b} would wholly replace second-level dicts like
+    batch.reader_options, silently dropping template settings."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _nested_update(out[k], v)
         else:
             out[k] = v
     return out
@@ -276,6 +298,8 @@ def run_checkpoint(
             result_format=cfg.result_format,
             run_id=rid,
             global_rollup=cfg.global_rollup,
+            evaluation_parameters=cfg.evaluation_parameters or None,
+            persist=cfg.persist,
         )
         results = store.read_results()
         failed = results.filter(

@@ -804,6 +804,8 @@ class CheckpointRunner:
         run_id: Optional[str] = None,
         fail_after: Optional[int] = None,  # test hook: die after N partitions
         global_rollup: Optional[str] = "conjunction",
+        evaluation_parameters: Optional[dict] = None,
+        persist: bool = False,
     ) -> dict[str, Any]:
         """``global_rollup`` controls the partition_key-NULL rows that URN
         chaining (``urn:great_expectations:validations:...`` via
@@ -849,7 +851,8 @@ class CheckpointRunner:
             # bootstrap bounds are GLOBAL (partition_key IS NULL), and a
             # whole-table range is the wrong bound for one partition slice.
             result = engine.validate(
-                df.filter(cond), suite, result_format=result_format
+                df.filter(cond), suite, result_format=result_format,
+                evaluation_parameters=evaluation_parameters, persist=persist,
             )
             for evr in result.results:
                 evr.partition = pkey
@@ -878,7 +881,10 @@ class CheckpointRunner:
             if "__global__" not in done:
                 started = time.time()
                 gres = engine.validate(
-                    df, suite, result_format=result_format, metrics_store=self.store
+                    df, suite, result_format=result_format,
+                    metrics_store=self.store,
+                    evaluation_parameters=evaluation_parameters,
+                    persist=persist,
                 )
                 self.store.write_results(gres, run_id)
                 self.store.write_metrics(gres, run_id)

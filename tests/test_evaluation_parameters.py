@@ -708,3 +708,100 @@ def test_run_completed_render_without_partition_counts():
     # checkpoint-shaped events keep the partitions line
     ck = dict(ev, partitions_run=3, partitions_skipped=1, partitions_failed=1)
     assert "3 partitions run" in render_slack_payload(ck)["blocks"][0]["text"]["text"]
+
+
+def test_checkpoint_document_evaluation_parameters_partitioned(
+    spark, lineitem, tmp_path
+):
+    """A checkpoint document's evaluation_parameters must reach the
+    store+partition_by execution path (they were silently dropped there):
+    a $PARAMETER-bounded suite passes per partition only when the bound
+    parameter is applied."""
+    import json as _json
+
+    from great_expectations_spark.sources.checkpoint_config import (
+        load_checkpoint_config,
+        run_checkpoint,
+    )
+
+    suite_path = tmp_path / "s.json"
+    suite_path.write_text(_json.dumps({
+        "name": "evalp",
+        "expectations": [{
+            "expectation_type": "expect_column_values_to_be_between",
+            "kwargs": {
+                "column": "l_quantity",
+                "min_value": 0,
+                "max_value": {"$PARAMETER": "qty_cap"},
+            },
+        }],
+    }))
+    cfg = load_checkpoint_config({
+        "name": "evalp-ckpt",
+        "batch": {"path": "/root/testdata/sf0.001/lineitem.parquet"},
+        "suite": str(suite_path),
+        "partition_by": ["l_returnflag"],
+        "store": str(tmp_path / "store"),
+        "evaluation_parameters": {"qty_cap": 1000},
+    }, env={})
+    out = run_checkpoint(spark, cfg, run_id="r1")
+    assert out["success"] is True and out["partitions_run"] >= 2
+
+
+def test_checkpoint_env_substitution_skips_suite_data_and_digit_dollars():
+    """Inline suite kwargs are data, not config: '$100' in a value_set (and
+    any digit-led dollar) must pass through untouched, while real $VARs in
+    config strings still substitute and unknown identifier $VARs raise."""
+    import pytest as _pytest
+
+    from great_expectations_spark.sources.checkpoint_config import (
+        substitute_env_variables,
+    )
+
+    doc = {
+        "store": "$ROOT/results",
+        "suite": {
+            "name": "s",
+            "expectations": [{
+                "expectation_type": "expect_column_values_to_be_in_set",
+                "kwargs": {"column": "price", "value_set": ["$100", "$250"]},
+            }],
+        },
+        "run_name_template": "run-$100-%Y",  # digit-led: not a variable
+    }
+    got = substitute_env_variables(doc, {"ROOT": "/data"})
+    assert got["store"] == "/data/results"
+    assert got["suite"]["expectations"][0]["kwargs"]["value_set"] == ["$100", "$250"]
+    assert got["run_name_template"] == "run-$100-%Y"
+    with _pytest.raises(KeyError, match="UNDEFINED"):
+        substitute_env_variables({"store": "$UNDEFINED"}, {})
+
+
+def test_checkpoint_template_merges_nested_dicts_recursively(tmp_path):
+    """batch.reader_options from the template must survive a document that
+    overrides only one of its keys (second-level merge, not replacement)."""
+    import json as _json
+
+    from great_expectations_spark.sources.checkpoint_config import (
+        load_checkpoint_config,
+    )
+
+    (tmp_path / "t.json").write_text(_json.dumps({
+        "config_version": 1.0,
+        "batch": {
+            "path": "/data/x.csv",
+            "reader_options": {"header": "true", "sep": "|"},
+        },
+    }))
+    doc = tmp_path / "c.json"
+    doc.write_text(_json.dumps({
+        "name": "nested",
+        "suite": "s.json",
+        "template": "t.json",
+        "batch": {"reader_options": {"quote": "'"}},
+    }))
+    cfg = load_checkpoint_config(str(doc), env={})
+    assert cfg.batch["reader_options"] == {
+        "header": "true", "sep": "|", "quote": "'",
+    }
+    assert cfg.batch["path"] == "/data/x.csv"

@@ -257,13 +257,23 @@ def test_auto_bootstrap_range_from_metrics_history(spark, tmp_path):
     assert kw_rc["min_value"] < kw_rc["max_value"]
     assert 95 <= kw_rc["min_value"] <= 115 and 125 <= kw_rc["max_value"] <= 145
 
-    # end-to-end through the engine: validates against the band, not the pin
+    # end-to-end through the engine: validates against the band, not the
+    # pin. History is scoped to the validated suite's name by default (a
+    # shared store holds OTHER suites' metrics under the same keys), so a
+    # new suite borrowing another suite's run history must say so
     auto_suite = ExpectationSuite(name="auto-range")
     auto_suite.add("expect_column_mean_to_be_between", column="v", auto=True)
-    res = eng.validate(today, auto_suite, metrics_store=store)
+    res = eng.validate(
+        today, auto_suite, metrics_store=store, history_suite_name="history"
+    )
     assert res.success is True
     cfg = res.results[0].expectation_config
     assert cfg["kwargs"]["min_value"] < 33.0 < cfg["kwargs"]["max_value"]
+
+    # unscoped (default = own name, no history): falls back to point bounds
+    res_own = eng.validate(today, auto_suite, metrics_store=store)
+    own_kwargs = res_own.results[0].expectation_config["kwargs"]
+    assert own_kwargs["min_value"] == own_kwargs["max_value"]
 
     # insufficient history (< min_runs) falls back to the point estimator
     empty = ResultsStore(spark, str(tmp_path / "nohist"))

@@ -338,14 +338,32 @@ def test_rule_single_agg_per_batch(batches):
     engine rejects late registration after resolve (two-phase contract)."""
     from great_expectations_spark.rule_profiler import _RuleMetricEngine
 
+    from great_expectations_spark.rule_profiler import _metric_alias
+
+    d = Domain("column", (("column", "score"),))
     eng = _RuleMetricEngine(batches)
-    MetricMultiBatchParameterBuilder("m", "column.min").register(
-        eng, [Domain("column", (("column", "score"),))]
-    )
+    MetricMultiBatchParameterBuilder("m", "column.min").register(eng, [d])
     eng.resolve()
-    assert eng.history("m__column_min__score") == [0.0, 10.0, 20.0]
+    assert eng.history(_metric_alias("m", "column.min", d)) == [0.0, 10.0, 20.0]
     with pytest.raises(RuntimeError, match="resolved"):
         eng.request("late", F.count(F.lit(1)))
+
+
+def test_domain_key_no_sanitization_collisions(spark):
+    """Columns that sanitize to the same identifier ('a b' vs 'a_b') must
+    NOT share an agg alias — each gets its own correct statistics."""
+    from great_expectations_spark.rule_profiler import _RuleMetricEngine
+
+    df = spark.createDataFrame([(1.0, 100.0), (2.0, 200.0)], ["a b", "a_b"])
+    d1 = Domain("column", (("column", "a b"),))
+    d2 = Domain("column", (("column", "a_b"),))
+    assert d1.key != d2.key
+    eng = _RuleMetricEngine([df])
+    pb = MetricMultiBatchParameterBuilder("m", "column.max")
+    pb.register(eng, [d1, d2])
+    eng.resolve()
+    assert pb.build(eng, d1, {})["value"] == [2.0]
+    assert pb.build(eng, d2, {})["value"] == [200.0]
 
 
 # ---- onboarding assistant --------------------------------------------------
