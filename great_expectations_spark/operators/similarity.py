@@ -8,6 +8,11 @@
   bounded sample, vectors assigned to centroid lists in one Arrow pass,
   queries scan only the n_probe nearest lists — the scale path when the
   assigned table is clustered by centroid_id (probe → partition/file prune)
+- PQ (product-quantization) top-k: per-subspace codebooks compress each
+  vector to m small ints (~384x for 768-dim float32 at m=8); asymmetric-
+  distance scoring folds the query→centroid lookup tables into the plan as
+  literal arrays — the query path is PURE CODEGEN over the code column,
+  the raw vectors are never read again after encoding
 - near-duplicate pairs by cosine ≥ τ: LSH-bucketed self-join
 
 Scale notes: the query vector folds into the plan as a literal array
@@ -311,6 +316,148 @@ def ivf_topk(
     sim = F.try_divide(dot(F.col(vec_col), ql), norm(F.col(vec_col)) * F.lit(qn))
     return (
         indexed.filter(F.col("centroid_id").isin(probes))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---- PQ (product quantization) ANN ----------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks for product quantization (Jégou,
+    Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+    Search" — public literature): the d-dim space splits into ``m``
+    contiguous blocks of d/m dims; each block gets its own ``k``-centroid
+    codebook trained on a bounded seeded sample (the only driver-side
+    data). Returns (m, k', d/m) float64, deterministic given (data, seed).
+
+    PQ is the 100-TB memory lever the coarse IVF quantizer is not: an
+    encoded vector is ``m`` small ints (8 bytes at m=8, k<=256) instead of
+    d floats, so a 768-dim float32 corpus compresses ~384x and the
+    scoring scan reads only the code column."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    base = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    n = base.count()
+    if n == 0:
+        raise ValueError("no non-null embeddings to train PQ codebooks on")
+    sample = base
+    if n > sample_size:
+        sample = sample.sample(
+            fraction=min(1.0, 1.2 * sample_size / n), seed=seed
+        ).limit(sample_size)
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} is not divisible by m={m}")
+    ds = d // m
+    kk = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, kk, ds), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * ds : (j + 1) * ds]
+        C = Xj[rng.choice(len(Xj), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            # plain Lloyd: nearest centroid by L2, empty clusters keep
+            # their previous centroid (stable, deterministic)
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``out_col`` = array<int>(m) of nearest-centroid indices per
+    block — one Arrow pass (batched matrix math per block; codebooks ride
+    the closure broadcast-by-value). NULL embedding → NULL code. At scale
+    the encoded table persists WITHOUT the raw vector column — scoring
+    never reads it."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kk, ds = B.shape
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is rank-constant
+    cn = (B ** 2).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf("array<int>")
+    def encode_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            vals = series.tolist()
+            out: list = [None] * len(vals)
+            valid = [i for i, v in enumerate(vals) if v is not None]
+            if valid:
+                M = np.array([vals[i] for i in valid], dtype=np.float64)
+                codes = np.empty((len(valid), m), dtype=np.int32)
+                for j in range(m):
+                    Xj = M[:, j * ds : (j + 1) * ds]
+                    codes[:, j] = (cn[j][None, :] - 2.0 * (Xj @ B[j].T)).argmin(
+                        axis=1
+                    )
+                for row, i in enumerate(valid):
+                    out[i] = codes[row].tolist()
+            yield pd.Series(out)
+
+    return _ensure_parallelism(df, id_col).withColumn(
+        out_col, encode_udf(F.col(vec_col))
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) cosine top-k over PQ codes — NO UDF in the
+    query path: the per-block lookup tables (query-subvector · centroid,
+    and centroid squared norms) fold into the plan as literal arrays, the
+    score is a codegen'd sum of ``element_at`` terms over the code array,
+    and ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition heaps). cosine(q, v̂) where v̂ is the PQ reconstruction:
+    Σ_j lut_dot[j][code_j] / (sqrt(Σ_j lut_sq[j][code_j]) · |q|) — EXACT
+    equality with brute-force cosine whenever vectors are codebook-
+    representable (pinned by tests), recall-graded otherwise."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kk, ds = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * ds:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * ds}")
+    qn = _require_query_norm(query_vec)
+    code = F.col(code_col)
+    dot_acc = None
+    sq_acc = None
+    for j in range(m):
+        lut_dot = _lit_array(B[j] @ q[j * ds : (j + 1) * ds])
+        lut_sq = _lit_array((B[j] ** 2).sum(axis=1))
+        cj = F.element_at(code, j + 1) + F.lit(1)  # element_at is 1-indexed
+        dterm = F.element_at(lut_dot, cj)
+        sterm = F.element_at(lut_sq, cj)
+        dot_acc = dterm if dot_acc is None else dot_acc + dterm
+        sq_acc = sterm if sq_acc is None else sq_acc + sterm
+    sim = F.try_divide(dot_acc, F.sqrt(sq_acc) * F.lit(qn))
+    return (
+        encoded.filter(code.isNotNull())
         .select(F.col(id_col), sim.alias("cosine"))
         .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
