@@ -428,3 +428,102 @@ def pack_sequences(
 
     schema = f"{id_col} {dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[id_col]}, n_tokens long, pack_id string, pack_pos int"
     return src.groupBy("_bucket").applyInPandas(pack, schema)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    seed: int = 42,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic per-source token-budget subsample — the training-mix
+    step: given target token ``budgets`` per source ({"web": 10**9,
+    "code": 10**8}), keep a seeded pseudo-random subset of each source
+    whose token total is as close to the budget as possible WITHOUT
+    exceeding it (undershoot < one document). Sources absent from
+    ``budgets`` are dropped — the mix is explicit. Docs with NULL source,
+    NULL id, or NULL/negative token counts are excluded.
+
+    Selection order is ``xxhash64(id, seed)`` — a uniform, reproducible
+    shuffle of each source, so the kept subset is an unbiased sample and
+    two runs with the same seed pick identical documents.
+
+    Scale shape (NO global ordering): a per-source running total would be
+    a window over ONE partition per source — the classic 100-TB
+    bottleneck. Instead docs hash into ``n_buckets`` buckets per source;
+    one bundled agg computes per-(source, bucket) token sums; the DRIVER
+    prefix-sums the ≤ sources × n_buckets summary rows (bounded, data-size
+    independent) and decides: buckets fully inside the budget pass via a
+    broadcast semi-join, the single straddling bucket per source is
+    resolved exactly with a cumulative-sum window over just that bucket
+    (~1/n_buckets of the source), later buckets drop. Two scans total.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0")
+    from pyspark.sql import Window
+
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else token_count(F.col(text_col))
+    )
+    base = (
+        df.filter(
+            F.col(source_col).isin(list(budgets))
+            & F.col(id_col).isNotNull()
+        )
+        .withColumn("_tb_tok", n_tok.cast("long"))
+        .filter(F.col("_tb_tok").isNotNull() & (F.col("_tb_tok") >= 0))
+        .withColumn("_tb_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .withColumn("_tb_b", F.pmod(F.col("_tb_h"), F.lit(n_buckets)))
+    )
+    summary = (
+        base.groupBy(source_col, "_tb_b")
+        .agg(F.sum("_tb_tok").alias("_t"))
+        .collect()
+    )
+    by_source: dict = {}
+    for r in summary:
+        by_source.setdefault(r[source_col], []).append((int(r["_tb_b"]), int(r["_t"])))
+    full_rows: list[tuple] = []  # (source, bucket)
+    partial: list[tuple] = []  # (source, bucket, remaining_tokens)
+    for s, buckets in by_source.items():
+        remaining = int(budgets[s])
+        for b, t in sorted(buckets):
+            if t <= remaining:
+                full_rows.append((s, b))
+                remaining -= t
+            else:
+                if remaining > 0:
+                    partial.append((s, b, remaining))
+                break  # later buckets cannot fit before the straddler
+    spark = df.sparkSession
+    keep = base.limit(0)
+    if full_rows:
+        full_df = spark.createDataFrame(
+            full_rows, f"{source_col} string, _tb_b long"
+        )
+        keep = base.join(F.broadcast(full_df), [source_col, "_tb_b"], "left_semi")
+    for s, b, rem in partial:
+        # one tiny bucket per source: the window partition is ~1/n_buckets
+        # of the source, never the whole source
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy("_tb_h", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        frag = (
+            base.filter((F.col(source_col) == s) & (F.col("_tb_b") == b))
+            .withColumn("_tb_cum", F.sum("_tb_tok").over(w))
+            .filter(F.col("_tb_cum") <= rem)
+            .drop("_tb_cum")
+        )
+        keep = keep.unionByName(frag)
+    return keep.drop("_tb_tok", "_tb_h", "_tb_b")

@@ -133,3 +133,71 @@ def test_clean_image_corpus(spark):
     ids = {r["image_id"] for r in res.df.collect()}
     assert ids == {1, 5}
     assert res.stage_counts["decodable"] == 4
+
+
+def test_token_budget_sample_contract(spark):
+    """Per-source token budgets: kept totals never exceed the budget and
+    undershoot by less than one document; same seed → identical subset;
+    unbudgeted sources drop; zero budget keeps nothing; a budget above the
+    source total keeps everything."""
+    from great_expectations_spark.operators.text import token_budget_sample
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "web", "w " * ((i % 13) + 1)))
+    for i in range(200, 260):
+        rows.append((i, "code", "c " * ((i % 7) + 1)))
+    for i in range(260, 280):
+        rows.append((i, "books", "b " * 5))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = token_budget_sample(df, {"web": 300, "code": 10_000, "books": 0})
+    got = out.groupBy("source").agg(
+        F.sum(F.expr("size(split(trim(text), ' +'))")).alias("toks"),
+        F.count(F.lit(1)).alias("docs"),
+    ).collect()
+    by_src = {r["source"]: r for r in got}
+    # web: capped under 300, undershoot < max doc (13 tokens)
+    assert 300 - 13 < by_src["web"]["toks"] <= 300
+    # code: budget exceeds the source total -> everything kept
+    assert by_src["code"]["docs"] == 60
+    # books: zero budget; unbudgeted sources would also be absent
+    assert "books" not in by_src
+
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(
+            df, {"web": 300, "code": 10_000, "books": 0}
+        ).select("doc_id").collect()
+    )
+    assert ids1 == ids2  # seed-deterministic
+    ids3 = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(df, {"web": 300}, seed=7)
+        .select("doc_id").collect()
+    )
+    assert ids3 != [i for i in ids1 if i < 200]  # different seed, different docs
+
+    with pytest.raises(ValueError, match="at least one source"):
+        token_budget_sample(df, {})
+    with pytest.raises(ValueError, match=">= 0"):
+        token_budget_sample(df, {"web": -1})
+
+
+def test_token_budget_sample_precomputed_and_nulls(spark):
+    """token_count_col path + null source/id/token exclusion + output keeps
+    the caller's columns (no _tb_ helpers leak)."""
+    from great_expectations_spark.operators.text import token_budget_sample
+
+    rows = [
+        (1, "a", 10), (2, "a", 10), (3, "a", 10),
+        (None, "a", 10), (4, None, 10), (5, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = token_budget_sample(
+        df, {"a": 20}, token_count_col="n_tok", text_col="n_tok"
+    )
+    got = out.collect()
+    assert len(got) == 2 and all(r["source"] == "a" for r in got)
+    assert set(out.columns) == {"doc_id", "source", "n_tok"}
