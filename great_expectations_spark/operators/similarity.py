@@ -9,7 +9,7 @@
   queries scan only the n_probe nearest lists — the scale path when the
   assigned table is clustered by centroid_id (probe → partition/file prune)
 - PQ (product-quantization) top-k: per-subspace codebooks compress each
-  vector to m small ints (~384x for 768-dim float32 at m=8); asymmetric-
+  vector to m narrow ints (~192x for 768-dim float32 at m=8/k=256); asymmetric-
   distance scoring folds the query→centroid lookup tables into the plan as
   literal arrays — the query path is PURE CODEGEN over the code column,
   the raw vectors are never read again after encoding
@@ -228,6 +228,36 @@ def brute_force_pairs(
 
 # ---- IVF (inverted-file) ANN ---------------------------------------------
 
+def _bounded_vector_sample(
+    df: DataFrame, vec_col: str, sample_size: int, seed: int, what: str
+) -> np.ndarray:
+    """Seeded bounded sample of non-null vectors as a (n, d) float64 array —
+    the only driver-side data either quantizer trainer touches."""
+    base = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    n = base.count()
+    if n == 0:
+        raise ValueError(f"no non-null embeddings to train {what} on")
+    sample = base
+    if n > sample_size:
+        sample = base.sample(
+            fraction=min(1.0, 1.2 * sample_size / n), seed=seed
+        ).limit(sample_size)
+    return np.array([r[0] for r in sample.collect()], dtype=np.float64)
+
+
+def _probe_lists(
+    centroids: np.ndarray, query_vec: Sequence[float], n_probe: int
+) -> list[int]:
+    """The n_probe coarse-centroid ids nearest the query by cosine."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = _require_query_norm(query_vec)
+    order = (
+        np.ascontiguousarray(centroids, dtype=np.float64) @ (q / qn)
+    ).argsort()[::-1]
+    return [int(c) for c in order[:n_probe]]
+
+
+
 
 def train_ivf_centroids(
     df: DataFrame,
@@ -241,16 +271,7 @@ def train_ivf_centroids(
     coarse quantizer. The sample is the only driver-side data (≤ sample_size
     vectors); training is numpy matrix math. Returns (n_centroids, dim)
     L2-normalized centroids, deterministic given (data, seed)."""
-    base = df.select(vec_col).filter(F.col(vec_col).isNotNull())
-    n = base.count()
-    if n == 0:
-        raise ValueError("no non-null embeddings to train IVF centroids on")
-    sample = base
-    if n > sample_size:
-        sample = sample.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed).limit(
-            sample_size
-        )
-    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    X = _bounded_vector_sample(df, vec_col, sample_size, seed, "IVF centroids")
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
@@ -308,10 +329,8 @@ def ivf_topk(
     ``n_probe`` nearest inverted lists (``centroid_id IN probes`` — a
     partition-pruning filter on a table clustered by centroid_id), exact
     cosine re-rank inside via TakeOrderedAndProject."""
-    q = np.asarray(query_vec, dtype=np.float64)
+    probes = _probe_lists(centroids, query_vec, n_probe)
     qn = _require_query_norm(query_vec)
-    order = (centroids @ (q / qn)).argsort()[::-1]
-    probes = [int(c) for c in order[: n_probe]]
     ql = _lit_array(query_vec)
     sim = F.try_divide(dot(F.col(vec_col), ql), norm(F.col(vec_col)) * F.lit(qn))
     return (
@@ -343,21 +362,13 @@ def train_pq_codebooks(
     data). Returns (m, k', d/m) float64, deterministic given (data, seed).
 
     PQ is the 100-TB memory lever the coarse IVF quantizer is not: an
-    encoded vector is ``m`` small ints (8 bytes at m=8, k<=256) instead of
-    d floats, so a 768-dim float32 corpus compresses ~384x and the
+    encoded vector is ``m`` narrow ints (pq_encode picks tinyint up to
+    k=128, smallint up to 32768 — 16 logical bytes for m=8/k=256 vs 3072
+    for 768-dim float32, ~192x before parquet dictionary encoding) and the
     scoring scan reads only the code column."""
     if m < 1:
         raise ValueError("m must be >= 1")
-    base = df.select(vec_col).filter(F.col(vec_col).isNotNull())
-    n = base.count()
-    if n == 0:
-        raise ValueError("no non-null embeddings to train PQ codebooks on")
-    sample = base
-    if n > sample_size:
-        sample = sample.sample(
-            fraction=min(1.0, 1.2 * sample_size / n), seed=seed
-        ).limit(sample_size)
-    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    X = _bounded_vector_sample(df, vec_col, sample_size, seed, "PQ codebooks")
     d = X.shape[1]
     if d % m:
         raise ValueError(f"embedding dim {d} is not divisible by m={m}")
@@ -397,8 +408,15 @@ def pq_encode(
     m, kk, ds = B.shape
     # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is rank-constant
     cn = (B ** 2).sum(axis=2)  # (m, k)
+    # narrowest element type the codebook size allows — the whole point of
+    # PQ is code-table bytes (signed types: tinyint caps at k=128)
+    code_type = (
+        "array<tinyint>" if kk <= 128
+        else "array<smallint>" if kk <= 32768
+        else "array<int>"
+    )
 
-    @F.pandas_udf("array<int>")
+    @F.pandas_udf(code_type)
     def encode_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
             vals = series.tolist()
@@ -406,6 +424,11 @@ def pq_encode(
             valid = [i for i, v in enumerate(vals) if v is not None]
             if valid:
                 M = np.array([vals[i] for i in valid], dtype=np.float64)
+                if M.shape[1] != m * ds:
+                    raise ValueError(
+                        f"embedding dim {M.shape[1]} != codebook dim {m * ds}"
+                        " — codebooks were trained on a different space"
+                    )
                 codes = np.empty((len(valid), m), dtype=np.int32)
                 for j in range(m):
                     Xj = M[:, j * ds : (j + 1) * ds]
@@ -483,10 +506,7 @@ def ivfpq_topk(
     WITHOUT the raw vectors: the scan reads (id, centroid_id, m-int code)
     only — at 10^12 vectors neither the probe filter nor the scorer ever
     touches a float embedding."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = _require_query_norm(query_vec)
-    order = (np.ascontiguousarray(centroids, dtype=np.float64) @ (q / qn)).argsort()[::-1]
-    probes = [int(c) for c in order[:n_probe]]
+    probes = _probe_lists(centroids, query_vec, n_probe)
     return pq_topk(
         indexed_codes.filter(F.col("centroid_id").isin(probes)),
         codebooks,

@@ -457,10 +457,13 @@ def token_budget_sample(
     bottleneck. Instead docs hash into ``n_buckets`` buckets per source;
     one bundled agg computes per-(source, bucket) token sums; the DRIVER
     prefix-sums the ≤ sources × n_buckets summary rows (bounded, data-size
-    independent) and decides: buckets fully inside the budget pass via a
-    broadcast semi-join, the single straddling bucket per source is
-    resolved exactly with a cumulative-sum window over just that bucket
-    (~1/n_buckets of the source), later buckets drop. Two scans total.
+    independent) and decides: buckets fully inside the budget pass via one
+    broadcast semi-join, and ALL straddling buckets (at most one per
+    source, ~1/n_buckets of it each) resolve together in one broadcast
+    join + one cumulative-sum window partitioned by (source, bucket).
+    Three passes over the input total — summary, full-bucket, straddler —
+    regardless of the number of sources; persist ``df`` upstream to trade
+    memory for the repeated scans.
     """
     if not budgets:
         raise ValueError("budgets must name at least one source")
@@ -475,9 +478,12 @@ def token_budget_sample(
         else token_count(F.col(text_col))
     )
     base = (
-        df.filter(
-            F.col(source_col).isin(list(budgets))
-            & F.col(id_col).isNotNull()
+        ensure_parallelism(
+            df.filter(
+                F.col(source_col).isin(list(budgets))
+                & F.col(id_col).isNotNull()
+            ),
+            id_col,
         )
         .withColumn("_tb_tok", n_tok.cast("long"))
         .filter(F.col("_tb_tok").isNotNull() & (F.col("_tb_tok") >= 0))
@@ -511,19 +517,24 @@ def token_budget_sample(
             full_rows, f"{source_col} string, _tb_b long"
         )
         keep = base.join(F.broadcast(full_df), [source_col, "_tb_b"], "left_semi")
-    for s, b, rem in partial:
-        # one tiny bucket per source: the window partition is ~1/n_buckets
-        # of the source, never the whole source
+    if partial:
+        # ONE branch for every straddling bucket (a per-source union would
+        # rescan the input once per source): broadcast-join the (source,
+        # bucket, remaining) decisions, cumulative-sum within each tiny
+        # (source, bucket) window partition (~1/n_buckets of its source)
+        part_df = spark.createDataFrame(
+            partial, f"{source_col} string, _tb_b long, _tb_rem long"
+        )
         w = (
-            Window.partitionBy(source_col)
+            Window.partitionBy(source_col, "_tb_b")
             .orderBy("_tb_h", id_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         frag = (
-            base.filter((F.col(source_col) == s) & (F.col("_tb_b") == b))
+            base.join(F.broadcast(part_df), [source_col, "_tb_b"])
             .withColumn("_tb_cum", F.sum("_tb_tok").over(w))
-            .filter(F.col("_tb_cum") <= rem)
-            .drop("_tb_cum")
+            .filter(F.col("_tb_cum") <= F.col("_tb_rem"))
+            .drop("_tb_cum", "_tb_rem")
         )
         keep = keep.unionByName(frag)
     return keep.drop("_tb_tok", "_tb_h", "_tb_b")

@@ -253,13 +253,23 @@ class SuitePlanner:
                 fetch_metric_histories,
             )
 
-            auto_keys = [
-                k
-                for cfg in self.suite.expectations
-                if cfg.kwargs.get("auto")
-                for k in [auto_history_key(cfg.expectation_type, cfg.kwargs)]
-                if k is not None
-            ]
+            auto_keys = []
+            for cfg in self.suite.expectations:
+                if not cfg.kwargs.get("auto"):
+                    continue
+                try:
+                    # keys must come from SUBSTITUTED kwargs — a
+                    # $PARAMETER-bound column would otherwise produce a
+                    # history key that matches nothing and silently degrade
+                    # the bounds to a single-batch point pin
+                    sub = substitute_evaluation_parameters(
+                        cfg, self.evaluation_parameters, self.urn_resolver
+                    )
+                except Exception:
+                    continue  # the compile loop will surface the failure
+                key = auto_history_key(sub.expectation_type, sub.kwargs)
+                if key is not None:
+                    auto_keys.append(key)
             auto_histories = fetch_metric_histories(
                 self.metrics_store, auto_keys, min_runs=2,
                 suite_name=self.history_suite_name,

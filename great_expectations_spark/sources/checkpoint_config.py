@@ -290,6 +290,14 @@ def run_checkpoint(
     if cfg.store and cfg.partition_by:
         store = ResultsStore(spark, cfg.store)
         fingerprint = spec.batch_id if cfg.resume else f"{spec.batch_id}-{rid}"
+        if cfg.evaluation_parameters:
+            # the suite id hashes UNsubstituted $PARAMETER placeholders, so
+            # without this salt a re-run with CHANGED parameter values would
+            # match the old lineage rows and skip every partition, reporting
+            # stale verdicts for bounds that no longer hold
+            from great_expectations_spark.core.config import deterministic_id
+
+            fingerprint += f"+params:{deterministic_id(cfg.evaluation_parameters)}"
         out = CheckpointRunner(spark, store, actions=actions).run(
             df,
             suite,

@@ -805,3 +805,56 @@ def test_checkpoint_template_merges_nested_dicts_recursively(tmp_path):
         "header": "true", "sep": "|", "quote": "'",
     }
     assert cfg.batch["path"] == "/data/x.csv"
+
+
+def test_checkpoint_resume_revalidates_on_changed_parameters(
+    spark, lineitem, tmp_path
+):
+    """Changed evaluation_parameters must NOT resume from the old lineage:
+    the fingerprint is salted with the parameter values, so a re-run with a
+    tighter bound revalidates every partition and reports the new verdicts
+    instead of the stale passes."""
+    import json as _json
+
+    from great_expectations_spark.sources.checkpoint_config import (
+        load_checkpoint_config,
+        run_checkpoint,
+    )
+
+    suite_path = tmp_path / "s.json"
+    suite_path.write_text(_json.dumps({
+        "name": "evalp2",
+        "expectations": [{
+            "expectation_type": "expect_column_values_to_be_between",
+            "kwargs": {
+                "column": "l_quantity",
+                "min_value": 0,
+                "max_value": {"$PARAMETER": "qty_cap"},
+            },
+        }],
+    }))
+    base = {
+        "name": "evalp2-ckpt",
+        "batch": {"path": "/root/testdata/sf0.001/lineitem.parquet"},
+        "suite": str(suite_path),
+        "partition_by": ["l_returnflag"],
+        "store": str(tmp_path / "store2"),
+    }
+    loose = load_checkpoint_config(
+        {**base, "evaluation_parameters": {"qty_cap": 1000}}, env={}
+    )
+    out1 = run_checkpoint(spark, loose, run_id="r1")
+    assert out1["success"] is True and out1["partitions_skipped"] == 0
+
+    # same parameters resume: everything skips
+    out1b = run_checkpoint(spark, loose, run_id="r1b")
+    assert out1b["partitions_run"] == 0 and out1b["partitions_skipped"] >= 2
+
+    # tightened parameter: every partition REVALIDATES and now fails
+    tight = load_checkpoint_config(
+        {**base, "evaluation_parameters": {"qty_cap": 1}}, env={}
+    )
+    out2 = run_checkpoint(spark, tight, run_id="r2")
+    assert out2["partitions_skipped"] == 0
+    assert out2["partitions_run"] >= 2
+    assert out2["success"] is False

@@ -338,3 +338,47 @@ def test_volume_assistant_empty_store_and_duplicate_rows(spark, tmp_path):
     assert suite.meta["history_runs"] == 2
     kw = suite.expectations[0].kwargs
     assert 400 <= kw["min_value"] <= kw["max_value"] <= 500
+
+
+def test_auto_history_with_parameterized_column(spark, tmp_path):
+    """auto=True + a $PARAMETER-bound column: the history prefetch must key
+    on the SUBSTITUTED column name, or bounds silently degrade to a
+    single-batch point pin."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "phist"))
+    eng = SparkValidationEngine(spark)
+    seed_suite = ExpectationSuite(name="phistory")
+    seed_suite.add(
+        "expect_column_mean_to_be_between", column="v", min_value=-1e9, max_value=1e9
+    )
+    for i, mu in enumerate((10.0, 30.0, 50.0)):
+        batch = spark.range(0, 100).select(
+            (F.lit(mu) + (F.col("id") % 3) - 1).alias("v")
+        )
+        store.write_metrics(eng.validate(batch, seed_suite), run_id=f"p{i}")
+
+    suite = ExpectationSuite(name="auto-param")
+    suite.add(
+        "expect_column_mean_to_be_between",
+        column={"$PARAMETER": "target_col"},
+        auto=True,
+    )
+    today = spark.range(0, 100).select((F.lit(33.0) + (F.col("id") % 3) - 1).alias("v"))
+    res = eng.validate(
+        today,
+        suite,
+        evaluation_parameters={"target_col": "v"},
+        metrics_store=store,
+        history_suite_name="phistory",
+    )
+    assert res.success is True
+    kw = res.results[0].expectation_config["kwargs"]
+    assert kw["column"] == "v"
+    # a RANGE from the 3-run history, not a point pin to today's 33.0
+    assert kw["min_value"] < kw["max_value"]
+    assert kw["min_value"] < 31 and kw["max_value"] > 35
