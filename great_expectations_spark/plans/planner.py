@@ -242,6 +242,35 @@ class SuitePlanner:
         from great_expectations_spark.operators import drift as drift_ops
         from great_expectations_spark.operators import special as special_ops
 
+        # the image expectations register on module import (images.py
+        # register_map_expectation at module level) — without this a
+        # hand-built image suite validated through the engine would fail
+        # with "unknown expectation_type" unless the caller happened to
+        # import operators.images first
+        from great_expectations_spark.operators import images as _images
+
+        # auto-wire the shared decode projection: image map conditions
+        # reference the `_decoded` struct (ONE Arrow decode reused by every
+        # image expectation). Callers may enrich_images() themselves; when
+        # they haven't, add it here so image suites run through the standard
+        # engine AND the per-partition checkpoint path unchanged. Ambiguous
+        # wiring (two different bytes columns) is left to the caller.
+        # schema expectations describe the USER's table — pin their view
+        # before any internal projection (the decode struct below) is added
+        self._schema_df = self.df
+        img_cfgs = [
+            cfg
+            for cfg in self.suite.expectations
+            if cfg.expectation_type in _images.IMAGE_EXPECTATION_TYPES
+            and "decoded_col" not in cfg.kwargs
+        ]
+        if img_cfgs and _images.DECODED_COL not in self.df.columns:
+            bytes_cols = {cfg.kwargs.get("column", "bytes") for cfg in img_cfgs}
+            if len(bytes_cols) == 1 and bytes_cols.issubset(self.df.columns):
+                self.df = _images.enrich_images(
+                    self.df, bytes_col=bytes_cols.pop()
+                )
+
         # pre-fetch the metric histories every auto=True expectation will
         # ask for — ONE grouped-agg job over the metrics store, scoped to
         # THIS suite's runs (a shared store holds other suites' metrics for
@@ -317,7 +346,9 @@ class SuitePlanner:
 
     def _compile_schema(self, cfg: ExpectationConfiguration) -> None:
         check = schema_checks.SCHEMA_CHECKS[cfg.expectation_type]
-        success, result = check(self.df, cfg.kwargs)
+        # _schema_df = the pre-enrichment view: the auto-added `_decoded`
+        # struct is engine plumbing and must not appear in table.columns
+        success, result = check(getattr(self, "_schema_df", self.df), cfg.kwargs)
 
         self._items.append(
             _Item(cfg, lambda ctx, s=success, r=result: (s, dict(r)), partition_capable=False)

@@ -1471,3 +1471,76 @@ def onboarding_assistant(
     suite.meta["assistant"] = "onboarding"
     suite.meta["estimator"] = estimator
     return suite
+
+
+def image_onboarding_assistant(
+    batches: Sequence[DataFrame],
+    name: str = "image_onboarding",
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    fmt_col: str = "fmt",
+    phash_col: str = "phash",
+    max_hamming_distance: int = 0,
+    estimator: str = "bootstrap",
+    false_positive_rate: float = 0.05,
+    random_seed: Optional[int] = None,
+    exclude_column_names: Optional[Sequence[str]] = None,
+) -> ExpectationSuite:
+    """Onboarding for image+caption tables (the input_hint schema:
+    image_id, bytes, w, h, fmt, caption, phash) — the standard multi-batch
+    rule roster over the METADATA columns (uniqueness admission finds
+    image_id/phash keys, the categorical rule learns the observed fmt set,
+    numeric rules bound w/h/phash from batch history, text rules bound
+    caption lengths), plus the PAYLOAD expectation roster wired to the
+    table's column names: bytes decodability, decoded dims == (w, h),
+    decoded fmt == fmt, recomputed phash within ``max_hamming_distance``
+    (operators/images.py — one shared Arrow decode per suite).
+
+    Binary columns carry no batch statistics worth estimating, so
+    ``bytes_col`` is excluded from the metadata rules and drives the
+    payload expectations instead; they are emitted only when the column
+    exists in the latest batch's schema."""
+    cols = set(batches[-1].columns) if batches else set()
+    suite = onboarding_assistant(
+        batches,
+        name=name,
+        estimator=estimator,
+        false_positive_rate=false_positive_rate,
+        random_seed=random_seed,
+        exclude_column_names=[bytes_col, *(exclude_column_names or ())],
+    )
+    if bytes_col in cols:
+        suite.expectations.append(
+            ExpectationConfiguration(
+                "expect_image_bytes_to_be_decodable", kwargs={"column": bytes_col}
+            )
+        )
+        if w_col in cols and h_col in cols:
+            suite.expectations.append(
+                ExpectationConfiguration(
+                    "expect_image_dims_to_match_metadata",
+                    kwargs={"column": bytes_col, "w_column": w_col, "h_column": h_col},
+                )
+            )
+        if fmt_col in cols:
+            suite.expectations.append(
+                ExpectationConfiguration(
+                    "expect_image_fmt_to_match_metadata",
+                    kwargs={"column": bytes_col, "fmt_column": fmt_col},
+                )
+            )
+        if phash_col in cols:
+            suite.expectations.append(
+                ExpectationConfiguration(
+                    "expect_image_phash_to_match",
+                    kwargs={
+                        "column": bytes_col,
+                        "phash_column": phash_col,
+                        "max_hamming_distance": max_hamming_distance,
+                    },
+                )
+            )
+    suite.meta["assistant"] = "image_onboarding"
+    return suite

@@ -484,3 +484,74 @@ def test_onboarding_with_an_empty_batch(spark, batches):
     from great_expectations_spark.engine import SparkValidationEngine
 
     assert SparkValidationEngine(spark).validate(batches[-1], suite).success
+
+
+def test_image_onboarding_assistant(spark):
+    """The graft-cell composition: multi-batch metadata rules (fmt set,
+    image_id uniqueness, w/h ranges) + the payload expectation roster wired
+    to the table's columns — and the emitted suite validates green against
+    its own latest training batch."""
+    from great_expectations_spark.rule_profiler import image_onboarding_assistant
+    from great_expectations_spark.testing.images import images_df
+
+    clean = dict(
+        dup_frac=0, corrupt_frac=0, dim_mismatch_frac=0, fmt_mismatch_frac=0,
+        phash_perturb_frac=0, null_caption_frac=0,
+    )
+    imgs = []
+    for s in (1, 2, 3):
+        df, _, _ = images_df(spark, n=120, seed=s, **clean)
+        imgs.append(df)
+    suite = image_onboarding_assistant(imgs, estimator="exact")
+    by_type = {}
+    for c in suite.expectations:
+        by_type.setdefault(c.expectation_type, []).append(c.kwargs)
+
+    # payload roster present and wired
+    assert by_type["expect_image_bytes_to_be_decodable"] == [{"column": "bytes"}]
+    assert by_type["expect_image_dims_to_match_metadata"][0]["w_column"] == "w"
+    assert by_type["expect_image_phash_to_match"][0]["max_hamming_distance"] == 0
+    # metadata rules: observed fmt set, image_id uniqueness, w/h ranges
+    fmt_sets = [
+        k for k in by_type.get("expect_column_values_to_be_in_set", [])
+        if k["column"] == "fmt"
+    ]
+    assert fmt_sets and set(fmt_sets[0]["value_set"]) <= {"png", "jpeg", "webp"}
+    uniq = {k["column"] for k in by_type.get("expect_column_values_to_be_unique", [])}
+    assert "image_id" in uniq
+    w_ranges = [
+        k for k in by_type.get("expect_column_min_to_be_between", [])
+        if k["column"] == "w"
+    ]
+    assert w_ranges and w_ranges[0]["min_value"] <= w_ranges[0]["max_value"]
+    # bytes never leaks into metadata rules
+    for t, kws in by_type.items():
+        if not t.startswith("expect_image"):
+            assert all(k.get("column") != "bytes" for k in kws), t
+
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    res = SparkValidationEngine(spark).validate(imgs[-1], suite)
+    failed = [
+        (r.expectation_config["expectation_type"], r.expectation_config["kwargs"])
+        for r in res.results
+        if not r.success
+    ]
+    assert res.success, failed
+
+
+def test_image_onboarding_defect_batches_exclude_dirty_rules(spark):
+    """With the generator's default defect injection, the uniqueness rule
+    correctly REFUSES image_id (a duplicate id exists in the history) — the
+    multi-batch admission sees real data, not wishful schema assumptions."""
+    from great_expectations_spark.rule_profiler import image_onboarding_assistant
+    from great_expectations_spark.testing.images import images_df
+
+    imgs = [images_df(spark, n=120, seed=s)[0] for s in (1, 2, 3)]
+    suite = image_onboarding_assistant(imgs, estimator="exact")
+    uniq = {
+        c.kwargs["column"]
+        for c in suite.expectations
+        if c.expectation_type == "expect_column_values_to_be_unique"
+    }
+    assert "image_id" not in uniq  # seed 1 injects img-000000000025 twice
