@@ -196,3 +196,43 @@ def test_image_benchmark_contamination(spark, fixture):
     got = {r["image_id"]: r["benchmark_id"] for r in out.collect()}
     for r in bench.collect():
         assert got[r["image_id"]] == r["image_id"]
+
+
+def test_image_suite_through_checkpoint_resume_unenriched(spark, tmp_path):
+    """The north-rule flagship composition end-to-end with NO manual decode
+    wiring: a hand-built image suite (payload + metadata expectations) runs
+    through CheckpointRunner per-fmt partitions, dies mid-run, and resumes
+    skipping the completed partitions — the planner auto-adds the shared
+    decode projection inside each per-partition validation."""
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.sources.stores import CheckpointRunner, ResultsStore
+    from great_expectations_spark.testing.images import images_df
+
+    df, _, _ = images_df(
+        spark, n=200, seed=9,
+        dup_frac=0, corrupt_frac=0, dim_mismatch_frac=0, fmt_mismatch_frac=0,
+        phash_perturb_frac=0, null_caption_frac=0,
+    )
+    suite = ExpectationSuite(name="img-ckpt")
+    suite.add("expect_image_bytes_to_be_decodable", column="bytes")
+    suite.add("expect_image_phash_to_match", column="bytes", phash_column="phash")
+    suite.add("expect_column_values_to_not_be_null", column="caption")
+
+    store = ResultsStore(spark, str(tmp_path / "imgstore"))
+    runner = CheckpointRunner(spark, store)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        runner.run(
+            df, suite, partition_by=["fmt"], input_fingerprint="imgs-v1",
+            run_id="r1", fail_after=1,
+        )
+    out = runner.run(
+        df, suite, partition_by=["fmt"], input_fingerprint="imgs-v1", run_id="r2"
+    )
+    assert len(out["partitions_skipped"]) == 1  # the partition r1 completed
+    assert len(out["partitions_run"]) >= 2
+    assert out["partitions_failed"] == []
+    results = store.read_results()
+    per_part = results.filter(results.partition_key.isNotNull())
+    assert per_part.filter(~per_part.success).count() == 0
+    # all three fmt partitions have lineage-complete verdicts
+    assert per_part.select("partition_key").distinct().count() == 3
