@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the rule-based onboarding assistant over a "
                         "multi-batch split of the input instead of the "
                         "single-batch profiler")
+    g.add_argument("--image-onboarding", action="store_true",
+                   help="image+caption-table variant: metadata rules plus "
+                        "the payload expectation roster (decodability, "
+                        "dims/fmt match, phash recompute)")
     g.add_argument("--rule-config", default=None,
                    help="YAML/JSON RuleBasedProfiler config (reference "
                         "rule_based_profiler config shape) to run over the "
@@ -81,7 +85,7 @@ def _split_batches(df, args):
 
     c = args.split_column
     if not c:
-        raise SystemExit("--onboarding/--rule-config need --split-column")
+        raise SystemExit("--onboarding/--image-onboarding/--rule-config need --split-column")
     if args.split_method == "value":
         values = [
             r[0]
@@ -120,17 +124,24 @@ def main(argv=None) -> int:
         snapshot_id=args.snapshot_id,
     )
     df = load_batch(spark, spec)
-    if args.rule_config:
+    if args.rule_config:  # noqa: SIM114 — distinct assistants below
         from great_expectations_spark.rule_profiler import RuleBasedProfiler
         from great_expectations_spark.sources.checkpoint_config import _load_file
 
         profiler = RuleBasedProfiler.from_config(_load_file(args.rule_config))
         suite = profiler.run(_split_batches(df, args))
         suite.name = args.name
-    elif args.onboarding:
-        from great_expectations_spark.rule_profiler import onboarding_assistant
+    elif args.onboarding or args.image_onboarding:
+        from great_expectations_spark.rule_profiler import (
+            image_onboarding_assistant,
+            onboarding_assistant,
+        )
 
-        suite = onboarding_assistant(
+        assistant = (
+            image_onboarding_assistant if args.image_onboarding
+            else onboarding_assistant
+        )
+        suite = assistant(
             _split_batches(df, args),
             name=args.name,
             estimator=args.estimator,
