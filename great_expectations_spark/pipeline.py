@@ -59,6 +59,9 @@ def clean_corpus(
     benchmark: Optional[DataFrame] = None,
     max_contamination: float = 0.1,
     contamination_k: int = 8,
+    token_budgets: Optional[dict] = None,
+    source_col: str = "source",
+    budget_seed: int = 42,
     count_stages: bool = False,
     persist_intermediate: bool = False,
 ) -> CorpusCleanResult:
@@ -79,7 +82,11 @@ def clean_corpus(
        whole-doc dedup keeps;
     6. decontamination: drop docs whose k-gram overlap with ``benchmark``
        exceeds ``max_contamination`` (anti-join against the contaminated
-       id set).
+       id set);
+    7. training-mix sampling: ``token_budgets`` ({source: target_tokens})
+       runs ``text.token_budget_sample`` over the CLEANED corpus — the
+       budgets apply to what survives the gates, which is what actually
+       trains (bucketed prefix sums, no per-source global window).
 
     Every stage is optional (None/False disables it) and shuffle-bounded;
     the only joins are the dedup semi/anti-joins and the contamination
@@ -117,7 +124,7 @@ def clean_corpus(
     # caller chooses storage level / checkpointing policy.
     forks = (dedup is not None) + (max_dup_fraction is not None) + (
         benchmark is not None
-    )
+    ) + (token_budgets is not None)
     persisted = None
     if persist_intermediate and forks:
         out = persisted = out.persist()
@@ -154,6 +161,16 @@ def clean_corpus(
         )
         out = out.join(contaminated, on=id_col, how="left_anti")
         record("decontaminate")
+    if token_budgets is not None:
+        out = tx.token_budget_sample(
+            out,
+            token_budgets,
+            source_col=source_col,
+            id_col=id_col,
+            text_col=text_col,
+            seed=budget_seed,
+        )
+        record("token_budget")
 
     return CorpusCleanResult(
         df=out,
@@ -171,6 +188,7 @@ def clean_corpus(
             "dup_span_k": dup_span_k if max_dup_fraction is not None else None,
             "max_contamination": max_contamination if benchmark is not None else None,
             "contamination_k": contamination_k,
+            "token_budgets": dict(token_budgets) if token_budgets else None,
         },
     )
 

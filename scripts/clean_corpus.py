@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contamination-k", type=int, default=8)
     p.add_argument("--output-partitions", type=int, default=None,
                    help="coalesce/repartition the output file count")
+    p.add_argument("--token-budgets", default=None,
+                   help='JSON {source: target_tokens} — training-mix '
+                        'sampling of the CLEANED corpus (e.g. '
+                        '\'{"web": 1000000, "code": 200000}\')')
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--budget-seed", type=int, default=42)
     p.add_argument("--pack-max-tokens", type=int, default=None,
                    help="also write training-pack assignments for the "
                         "cleaned corpus (pack_sequences) to "
@@ -74,6 +80,9 @@ def main(argv=None) -> int:
         benchmark=bench,
         max_contamination=args.max_contamination,
         contamination_k=args.contamination_k,
+        token_budgets=json.loads(args.token_budgets) if args.token_budgets else None,
+        source_col=args.source_col,
+        budget_seed=args.budget_seed,
         count_stages=True,
         persist_intermediate=True,
     )

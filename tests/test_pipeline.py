@@ -201,3 +201,25 @@ def test_token_budget_sample_precomputed_and_nulls(spark):
     got = out.collect()
     assert len(got) == 2 and all(r["source"] == "a" for r in got)
     assert set(out.columns) == {"doc_id", "source", "n_tok"}
+
+
+def test_clean_corpus_token_budget_stage(spark):
+    """token_budgets runs as the LAST cleaning stage — over what survived
+    the gates — and the audit trail records it."""
+    from great_expectations_spark.pipeline import clean_corpus
+
+    rows = [
+        (i, "web" if i < 40 else "code", "tok " * 20) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    res = clean_corpus(
+        df, min_quality=None, min_tokens=5, dedup=None,
+        token_budgets={"web": 100, "code": 10_000},
+        count_stages=True,
+    )
+    assert res.stages[-1] == "token_budget"
+    got = res.df.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert by["code"] == 20          # budget above total -> all kept
+    assert 1 <= by["web"] <= 5       # 100 tokens / 20-token docs
+    assert res.params["token_budgets"] == {"web": 100, "code": 10_000}

@@ -353,3 +353,42 @@ def test_validate_stream_fires_actions_per_micro_batch(
     assert ev["event_type"] == "micro_batch_validated"
     assert ev["run_id"].startswith("stream-")
     assert "statistics" in ev and isinstance(ev["success"], bool)
+
+
+def test_validate_stream_image_suite_auto_enrich(spark, tmp_path):
+    """An image suite runs per micro-batch through readStream with NO manual
+    decode wiring — the planner auto-adds the shared decode projection
+    inside each foreachBatch validation (the streaming face of the
+    north-rule image pipeline)."""
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.testing.images import images_df
+
+    df, _, _ = images_df(
+        spark, n=90, seed=6,
+        dup_frac=0, corrupt_frac=0, dim_mismatch_frac=0, fmt_mismatch_frac=0,
+        phash_perturb_frac=0, null_caption_frac=0,
+    )
+    src = str(tmp_path / "imgs_stream")
+    df.repartition(3).write.parquet(src)
+
+    suite = ExpectationSuite(name="img-stream")
+    suite.add("expect_image_bytes_to_be_decodable", column="bytes")
+    suite.add("expect_image_fmt_to_match_metadata", column="bytes", fmt_column="fmt")
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    results = []
+    q = validate_stream(
+        stream,
+        suite,
+        checkpoint_location=str(tmp_path / "imgckpt"),
+        trigger={"availableNow": True},
+        on_result=lambda r, bid: results.append(r),
+    )
+    q.awaitTermination(120)
+    assert len(results) >= 2  # maxFilesPerTrigger=1 over 3 files
+    assert all(r.success for r in results)
+    total = sum(r.results[0].result["element_count"] for r in results)
+    assert total == 90
