@@ -218,8 +218,27 @@ class CategoricalColumnDomainBuilder(ColumnDomainBuilder):
         for c in cols:
             dc, nn = int(row[f"dc__{c}"] or 0), int(row[f"nn__{c}"] or 0)
             cap = limit if kind == "abs" else limit * nn
-            if dc <= cap:
+            # the sketch decides only when its verdict is outside the HLL
+            # error band; a borderline estimate (within ~6σ of the cap) gets
+            # an EXACT confirmatory probe so the emission decision is
+            # deterministic, not sketch-seed-dependent — the probe is
+            # bounded (distinct().limit(cap+1)), never a full distinct scan
+            margin = max(1.0, 6.0 * self.rsd * max(dc, 1))
+            if dc <= cap - margin:
                 out.append(_col_domain(c))
+            elif dc > cap + margin:
+                continue
+            else:
+                probe = int(cap) + 1
+                exact = (
+                    df.select(c)
+                    .where(F.col(c).isNotNull())
+                    .distinct()
+                    .limit(probe)
+                    .count()
+                )
+                if exact <= cap:
+                    out.append(_col_domain(c))
         return out
 
 

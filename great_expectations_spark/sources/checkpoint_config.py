@@ -51,7 +51,9 @@ _BATCH_KEYS = {
 _VAR_RE = re.compile(r"\$\{([A-Za-z_]\w*)\}|\$([A-Za-z_]\w*)")
 
 
-def substitute_env_variables(data: Any, env: Optional[dict] = None) -> Any:
+def substitute_env_variables(
+    data: Any, env: Optional[dict] = None, _top: bool = True
+) -> Any:
     """Recursively replace ``$VAR``/``${VAR}`` in string values from ``env``
     (default ``os.environ``). Unknown variables raise — a checkpoint that
     silently keeps ``$SECRET_URL`` as a literal would post to the wrong
@@ -59,16 +61,20 @@ def substitute_env_variables(data: Any, env: Optional[dict] = None) -> Any:
     if env is None:
         env = dict(os.environ)
     if isinstance(data, dict):
-        # an INLINE suite is data, not config — its expectation kwargs may
-        # legitimately contain $-strings (regexes, value sets), and a suite
-        # loaded from a file path would not be substituted either
+        # the document's TOP-LEVEL inline suite is data, not config — its
+        # expectation kwargs may legitimately contain $-strings (regexes,
+        # value sets), and a suite loaded from a file path would not be
+        # substituted either. The exemption applies only at the document
+        # root: a nested key that happens to be named "suite" (inside an
+        # action config, evaluation_parameters, ...) is ordinary config and
+        # must substitute like everything else.
         return {
-            k: v if k == "suite" and isinstance(v, dict)
-            else substitute_env_variables(v, env)
+            k: v if _top and k == "suite" and isinstance(v, dict)
+            else substitute_env_variables(v, env, _top=False)
             for k, v in data.items()
         }
     if isinstance(data, list):
-        return [substitute_env_variables(v, env) for v in data]
+        return [substitute_env_variables(v, env, _top=False) for v in data]
     if not isinstance(data, str):
         return data
     out: list[str] = []
@@ -207,7 +213,21 @@ def load_checkpoint_config(
         doc = _merge_template(doc, template)
 
     for k, v in (runtime_overrides or {}).items():
-        if v is not None:
+        if v is None:
+            continue
+        if k == "batch" and isinstance(v, dict) and isinstance(doc.get(k), dict):
+            # a CLI --input override must not silently drop the document's
+            # reader_method/reader_options/schema/snapshot pins — merge like
+            # the template merge does. A path↔table redirect IS a different
+            # input, so the opposite locator drops (both set would be
+            # ambiguous and the old locator is certainly stale).
+            merged = _nested_update(doc[k], v)
+            if "path" in v and "path" not in doc[k]:
+                merged.pop("table", None)
+            if "table" in v and "table" not in doc[k]:
+                merged.pop("path", None)
+            doc[k] = merged
+        else:
             doc[k] = v
 
     doc = substitute_env_variables(doc, env)
@@ -315,19 +335,34 @@ def run_checkpoint(
             & (~results.success)
             & results.partition_key.isNotNull()
         ).count()
+        # global_rollup='validate' writes whole-table EVRs with a NULL
+        # partition_key — a failing global check (cross-partition uniqueness,
+        # a global row-count bound) must fail the run's summary/exit code on
+        # the FIRST run too, not only after a resume picks up its lineage row
+        global_failed = 0
+        if cfg.global_rollup == "validate" and not out.get("global_skipped"):
+            global_failed = results.filter(
+                (results.run_id == rid)
+                & (~results.success)
+                & results.partition_key.isNull()
+            ).count()
         skipped_failed = (
             store.failed_partitions(suite.id, fingerprint)
-            if out["partitions_skipped"]
+            if (out["partitions_skipped"] or out.get("global_skipped"))
             else set()
         )
+        if not out.get("global_skipped"):
+            # the global pass ran (or didn't exist) this run: its verdict is
+            # already in global_failed, don't double-count the lineage row
+            skipped_failed.discard("__global__")
         return {
             "checkpoint": cfg.name,
             "run_id": rid,
             "partitions_run": len(out["partitions_run"]),
             "partitions_skipped": len(out["partitions_skipped"]),
-            "failed_expectations": failed,
+            "failed_expectations": failed + global_failed,
             "skipped_partitions_with_failures": len(skipped_failed),
-            "success": not (failed or skipped_failed),
+            "success": not (failed or global_failed or skipped_failed),
         }
 
     engine = SparkValidationEngine(spark)

@@ -877,8 +877,11 @@ class CheckpointRunner:
                     "statistics": result.statistics,
                 }
             )
+        global_skipped = False
         if global_rollup == "validate":
-            if "__global__" not in done:
+            if "__global__" in done:
+                global_skipped = True
+            else:
                 started = time.time()
                 gres = engine.validate(
                     df, suite, result_format=result_format,
@@ -906,6 +909,10 @@ class CheckpointRunner:
             "partitions_run": ran,
             "partitions_skipped": skipped,
             "partitions_failed": failed,
+            # 'validate' rollup only: whether the whole-table pass was
+            # resume-skipped (its verdict then lives in the '__global__'
+            # lineage row, not in this run's result rows)
+            "global_skipped": global_skipped,
         }
         self._notify(
             {

@@ -218,6 +218,41 @@ def test_checkpoint_config_loading_rules(tmp_path):
     )
     assert cfg2.resume is False and cfg2.partition_by == ["fmt"]
 
+    # a runtime batch override merges (keeps the document's reader pins);
+    # redirecting path->table (or back) drops the stale locator
+    pinned = {
+        **base,
+        "batch": {
+            "path": "/tmp/x.parquet",
+            "reader_method": "parquet",
+            "reader_options": {"mergeSchema": "true"},
+        },
+    }
+    cfg_m = load_checkpoint_config(
+        pinned, runtime_overrides={"batch": {"path": "/tmp/y.parquet"}}, env=env
+    )
+    assert cfg_m.batch["path"] == "/tmp/y.parquet"
+    assert cfg_m.batch["reader_method"] == "parquet"
+    assert cfg_m.batch["reader_options"] == {"mergeSchema": "true"}
+    cfg_t = load_checkpoint_config(
+        {**base, "batch": {"table": "cat.db.t", "snapshot_id": 5}},
+        runtime_overrides={"batch": {"path": "/tmp/z.parquet"}},
+        env=env,
+    )
+    assert cfg_t.batch.get("table") is None and cfg_t.batch["path"] == "/tmp/z.parquet"
+
+    # env substitution: ONLY the top-level inline suite is exempt; a nested
+    # key that happens to be named "suite" is ordinary config
+    nested = substitute_env_variables(
+        {
+            "suite": {"kwargs": {"regex": "$HOST"}},
+            "action_list": [{"suite": {"url": "$HOST"}}],
+        },
+        env,
+    )
+    assert nested["suite"]["kwargs"]["regex"] == "$HOST"
+    assert nested["action_list"][0]["suite"]["url"] == "example.com"
+
     with pytest.raises(ValueError, match="unknown checkpoint config keys"):
         load_checkpoint_config({**base, "nope": 1}, env=env)
     with pytest.raises(ValueError, match="batch.path or batch.table"):

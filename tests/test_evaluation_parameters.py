@@ -1,6 +1,8 @@
 """Evaluation-parameter substitution (reference validator.py:356-361,
 core/evaluation_parameters.py:307-421 — plain-name binding, no URN grammar)."""
 
+import os
+
 import pytest
 
 from great_expectations_spark.core.config import (
@@ -10,6 +12,8 @@ from great_expectations_spark.core.config import (
     substitute_evaluation_parameters,
 )
 from great_expectations_spark.engine import SparkValidationEngine
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_substitute_nested():
@@ -360,6 +364,55 @@ def test_checkpoint_global_rollup_urn_chaining(spark, lineitem, tmp_path):
     )
     lin = store_v.spark.read.parquet(str(tmp_path / "grv" / "lineage"))
     assert lin.filter(F.col("partition_key") == "__global__").count() == 1
+
+
+def test_checkpoint_validate_rollup_global_failure_fails_first_run(
+    spark, lineitem, tmp_path
+):
+    """global_rollup='validate' exists to catch whole-table failures the
+    per-partition passes can't see (cross-partition uniqueness, global
+    row-count bounds). A first, non-resumed run whose GLOBAL pass fails must
+    report success=false (ADVICE r3: the summary only counted
+    partition_key-NOT-NULL rows, so run 1 exited 0 and the resumed run 2
+    exited 1 — inconsistent)."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.sources.checkpoint_config import (
+        load_checkpoint_config,
+        run_checkpoint,
+    )
+
+    total = lineitem.count()
+    biggest = (
+        lineitem.groupBy("l_returnflag").count().agg(F.max("count")).collect()[0][0]
+    )
+    bound = (biggest + total) // 2  # every partition passes, the table fails
+    doc = {
+        "name": "gval",
+        "batch": {"path": f"{SF_DIR}/lineitem.parquet"},
+        "suite": {
+            "name": "gval",
+            "expectations": [
+                {
+                    "expectation_type": "expect_table_row_count_to_be_between",
+                    "kwargs": {"min_value": 0, "max_value": int(bound)},
+                }
+            ],
+        },
+        "partition_by": ["l_returnflag"],
+        "store": str(tmp_path / "gvalstore"),
+        "global_rollup": "validate",
+    }
+    cfg = load_checkpoint_config(doc, env={})
+    out1 = run_checkpoint(spark, cfg, run_id="gval-1")
+    assert out1["partitions_run"] == 3
+    assert out1["failed_expectations"] == 1, "global failing row must count"
+    assert out1["success"] is False
+
+    # resumed run: everything (incl. '__global__') skips, verdict consistent
+    out2 = run_checkpoint(spark, cfg, run_id="gval-2")
+    assert out2["partitions_run"] == 0 and out2["partitions_skipped"] == 3
+    assert out2["success"] is False
 
 
 def test_checkpoint_null_partition_key_and_fingerprint_scoping(spark, tmp_path):

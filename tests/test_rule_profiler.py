@@ -99,6 +99,19 @@ def test_categorical_domain_builder_cardinality(batches):
         CategoricalColumnDomainBuilder(cardinality_limit_mode="NOPE")
 
 
+def test_categorical_admission_exact_at_the_cap_boundary(spark):
+    """A column whose cardinality sits AT the cap must admit/reject by the
+    EXACT count, not the HLL sketch — the driver-contract oracle recomputes
+    admission with count(DISTINCT), so a ±1% sketch wobble at the boundary
+    would flip the emission decision (ADVICE r3). VERY_FEW cap=10: exactly
+    10 distinct admits, 11 rejects, deterministically."""
+    ten = spark.createDataFrame([(f"v{i % 10}",) for i in range(200)], ["c10"])
+    eleven = spark.createDataFrame([(f"v{i % 11}",) for i in range(200)], ["c11"])
+    b = CategoricalColumnDomainBuilder(cardinality_limit_mode="VERY_FEW")
+    assert [d.kwargs["column"] for d in b.domains([ten])] == ["c10"]
+    assert [d.kwargs["column"] for d in b.domains([eleven])] == []
+
+
 def test_map_metric_domain_builders(batches):
     unique_cols = [
         d.kwargs["column"]
