@@ -1398,6 +1398,127 @@ UNION ALL SELECT 'multi_assigned_docs', CAST(0 AS BIGINT)
 """
 
 
+# token_budget_sample fixture: two sources whose totals (~1.3-1.5k tokens)
+# straddle a 700-token budget (real selection) and one whose budget exceeds
+# its total (keep-everything path)
+_TB_BUDGETS = {"src1": 700, "src2": 700, "src3": 5000}
+
+
+def q_token_budget(spark, sf_dir):
+    """token_budget_sample (operators/text.py:433) invariants as counts —
+    the selection ORDER is xxhash64-seeded (not DuckDB-portable) but the
+    guarantees are SQL-checkable: per-source kept tokens never exceed the
+    budget; when a source's total fits, everything is kept; otherwise the
+    undershoot is smaller than the largest document (the greedy stops at the
+    first doc that doesn't fit); no doc from an unbudgeted source, no doc
+    kept twice, and two same-seed runs keep the IDENTICAL set. Eligible-doc
+    and eligible-token totals are recomputed by the oracle; the violation
+    counts must be zero."""
+    d = _load(spark, sf_dir, "documents")
+    kept1 = tx.token_budget_sample(d, _TB_BUDGETS, seed=42)
+    kept2 = tx.token_budget_sample(d, _TB_BUDGETS, seed=42)
+    tok = tx.token_count(F.col("text")).cast("long")
+    elig = (
+        d.filter(F.col("source").isin(list(_TB_BUDGETS)))
+        .select("source", tok.alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tok").alias("tot"),
+            F.max("tok").alias("mx"),
+        )
+    )
+    kept_agg = (
+        kept1.select("source", tok.alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("kept_tok"))
+    )
+    b_df = spark.createDataFrame(
+        list(_TB_BUDGETS.items()), "source string, budget long"
+    )
+    j = elig.join(kept_agg, "source", "left").join(b_df, "source").fillna(
+        0, ["kept_tok"]
+    )
+    viol = (
+        (F.col("kept_tok") > F.col("budget"))
+        | ((F.col("tot") <= F.col("budget")) & (F.col("kept_tok") != F.col("tot")))
+        | (
+            (F.col("tot") > F.col("budget"))
+            & (F.col("budget") - F.col("kept_tok") >= F.col("mx"))
+        )
+    )
+    per_source = (
+        j.select(
+            F.concat(F.lit("eligible_docs__"), "source").alias("metric"),
+            F.col("n").cast("long").alias("value"),
+        )
+        .unionByName(
+            j.select(
+                F.concat(F.lit("eligible_tokens__"), "source").alias("metric"),
+                F.col("tot").cast("long").alias("value"),
+            )
+        )
+        .unionByName(
+            j.select(
+                F.concat(F.lit("budget_violation__"), "source").alias("metric"),
+                viol.cast("long").alias("value"),
+            )
+        )
+    )
+    foreign = kept1.agg(
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("source").isin(list(_TB_BUDGETS)), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("kept_foreign_sources")
+    )
+    dup = (
+        kept1.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("k") > 1, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("dup_kept_docs")
+        )
+    )
+    determinism = (
+        kept1.select("doc_id")
+        .unionByName(kept2.select("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("k") != 2, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("determinism_mismatch")
+        )
+    )
+    one = foreign.crossJoin(dup).crossJoin(determinism)
+    globals_ = one.select(
+        F.expr(
+            "stack(3, 'kept_foreign_sources', kept_foreign_sources,"
+            " 'dup_kept_docs', dup_kept_docs,"
+            " 'determinism_mismatch', determinism_mismatch) AS (metric, value)"
+        )
+    )
+    return per_source.unionByName(globals_)
+
+
+SQL_TOKEN_BUDGET = r"""
+WITH t AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents WHERE source IN ('src1', 'src2', 'src3'))
+SELECT concat('eligible_docs__', source) AS metric,
+       CAST(count(*) AS BIGINT) AS value FROM t GROUP BY source
+UNION ALL SELECT concat('eligible_tokens__', source), CAST(sum(tok) AS BIGINT)
+FROM t GROUP BY source
+UNION ALL SELECT concat('budget_violation__', source), CAST(0 AS BIGINT)
+FROM t GROUP BY source
+UNION ALL SELECT 'kept_foreign_sources', CAST(0 AS BIGINT)
+UNION ALL SELECT 'dup_kept_docs', CAST(0 AS BIGINT)
+UNION ALL SELECT 'determinism_mismatch', CAST(0 AS BIGINT)
+"""
+
+
 def q_clean_funnel(spark, sf_dir):
     """clean_corpus funnel (pipeline.py:47): quality gate → language gate →
     exact dedup, with per-stage surviving-row counts. The oracle replays each
@@ -1551,19 +1672,95 @@ HAVING sum(xa*xb) / (sqrt(sum(xa*xa)) * sqrt(sum(xb*xb))) >= 0.3
 """
 
 
+# IVF-PQ oracle fixture: 8-dim vectors derived from vec_id by modular
+# arithmetic — every per-block (2-dim) subvector is a function of
+# vec_id % p_j with p_j in {5,7,9,11}, so each block has <= 11 distinct
+# subvectors and PQ training (k >> 11, sample covering all values) makes
+# every vector codebook-REPRESENTABLE: ADC cosine == brute-force cosine
+# exactly, and the DuckDB oracle can recompute the same vectors from vec_id
+_PQ_MODULI = (5, 7, 9, 11)
+
+
+def _pq_rep_vector_spark(vec_id_col):
+    dims = []
+    for p in _PQ_MODULI:
+        r = F.pmod(vec_id_col, F.lit(p))
+        dims.append((F.lit(1) + r).cast("double"))
+        dims.append(F.pmod(r * r, F.lit(p)).cast("double"))
+    return F.array(*dims)
+
+
+def _pq_rep_vector_values(vec_id: int) -> list[float]:
+    out: list[float] = []
+    for p in _PQ_MODULI:
+        r = vec_id % p
+        out.extend([float(1 + r), float((r * r) % p)])
+    return out
+
+
+def _pq_oracle_sql() -> str:
+    """Brute-force cosine vs the vec_id=0 query over the SAME derived
+    vectors, recomputed by DuckDB from the modular arithmetic above. All
+    dims are small exact integers, so Spark's ADC (LUT sums) and this SQL
+    produce bit-identical doubles — the ORDER BY tiebreak (vec_id ASC)
+    matches pq_topk's."""
+    q = _pq_rep_vector_values(0)
+    dims: list[str] = []
+    for p in _PQ_MODULI:
+        dims.append(f"CAST(1 + (vec_id % {p}) AS DOUBLE)")
+        dims.append(f"CAST(((vec_id % {p}) * (vec_id % {p})) % {p} AS DOUBLE)")
+    dot = " + ".join(f"{d} * {qi!r}" for d, qi in zip(dims, q) if qi)
+    nrm = " + ".join(f"{d} * {d}" for d in dims)
+    qn = math.sqrt(sum(x * x for x in q))
+    cos = f"(({dot}) / (sqrt({nrm}) * {qn!r}))"
+    return (
+        f"SELECT 'ivfpq' AS method, vec_id, round({cos}, 4) AS cosine "
+        f"FROM embeddings WHERE vec_id <> 0 "
+        f"ORDER BY {cos} DESC, vec_id ASC LIMIT 10"
+    )
+
+
+SQL_SIM_IVF_TOPK = (
+    f"SELECT 'ivf' AS method, vec_id, cosine FROM ({SQL_SIM_TOPK}) ivf_part"
+    f" UNION ALL SELECT * FROM ({_pq_oracle_sql()}) pq_part"
+)
+
+
 def q_sim_ivf_topk(spark, sf_dir):
-    """IVF ANN: FULL-probe search must equal the exact brute-force top-k —
-    an exactness invariant of the index (the kmeans quantizer partitions
-    the data, it never drops rows), so the brute-force SQL oracle applies
-    verbatim; partial probes are the approximate path (recall-tested in
-    pytest)."""
+    """ANN exactness invariants, one slot, two methods:
+
+    - method='ivf': FULL-probe IVF search must equal the exact brute-force
+      top-k (the kmeans quantizer partitions the data, it never drops
+      rows), so the brute-force SQL oracle applies verbatim.
+    - method='ivfpq': FULL-probe IVF-PQ (operators/similarity.py pq_encode
+      + ivfpq_topk) on codebook-REPRESENTABLE vectors derived from vec_id —
+      ADC reconstruction is exact there, so the composed index must again
+      equal brute-force cosine, which the oracle computes from the same
+      modular arithmetic.
+
+    Partial probes / non-representable vectors are the approximate path
+    (recall-tested in pytest)."""
     emb = _load(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     cents = sim.train_ivf_centroids(emb, n_centroids=16, sample_size=5000, seed=7)
     indexed = sim.ivf_assign(emb.filter(F.col("vec_id") != 0), cents)
-    return sim.ivf_topk(indexed, cents, qv, k=10, n_probe=16).select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
+    ivf = sim.ivf_topk(indexed, cents, qv, k=10, n_probe=16).select(
+        F.lit("ivf").alias("method"), "vec_id", F.round("cosine", 4).alias("cosine")
     )
+
+    rep = emb.select(
+        "vec_id", _pq_rep_vector_spark(F.col("vec_id")).alias("embedding")
+    )
+    books = sim.train_pq_codebooks(rep, m=4, k=512, sample_size=2000, seed=13)
+    pq_cents = sim.train_ivf_centroids(rep, n_centroids=8, sample_size=2000, seed=13)
+    pq_indexed = sim.pq_encode(
+        sim.ivf_assign(rep.filter(F.col("vec_id") != 0), pq_cents), books
+    ).select("vec_id", "centroid_id", "pq_code")
+    pq_q = _pq_rep_vector_values(0)
+    ivfpq = sim.ivfpq_topk(pq_indexed, pq_cents, books, pq_q, k=10, n_probe=8).select(
+        F.lit("ivfpq").alias("method"), "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    return ivf.unionByName(ivfpq)
 
 
 def q_sim_lsh_topk(spark, sf_dir):
@@ -1921,12 +2118,26 @@ SQL_FORMATS = SQL_VALUE_LENGTHS + " UNION ALL " + SQL_STRFTIME
 
 
 def q_drift_stats(spark, sf_dir):
-    """KL + PSI + Cramér's-phi observed values (lineitem) — OBS frame."""
-    return (
+    """KL + PSI + Cramér's-phi observed values PLUS the chi-square and KS
+    test statistics (lineitem), one consolidated drift slot — (expectation,
+    observed, success); the test statistics carry a NULL success (they are
+    observed values, not verdicts, in this frame)."""
+    stats = (
         q_drift_kl(spark, sf_dir)
         .unionByName(q_drift_psi(spark, sf_dir))
         .unionByName(q_cramers_phi(spark, sf_dir))
     )
+    chi2 = q_drift_chi2(spark, sf_dir).select(
+        F.lit("chi2").alias("expectation"),
+        F.col("chi_square_statistic").alias("observed"),
+        F.lit(None).cast("long").alias("success"),
+    )
+    ks = q_drift_ks(spark, sf_dir).select(
+        F.lit("ks").alias("expectation"),
+        F.col("ks_statistic").alias("observed"),
+        F.lit(None).cast("long").alias("success"),
+    )
+    return stats.unionByName(chi2).unionByName(ks)
 
 
 # the per-query SQLs select the same columns in different positions; UNION
@@ -1934,25 +2145,11 @@ def q_drift_stats(spark, sf_dir):
 SQL_DRIFT_STATS = " UNION ALL ".join(
     f"SELECT expectation, observed, success FROM ({s}) d{i}"
     for i, s in enumerate([SQL_DRIFT_KL, SQL_DRIFT_PSI, SQL_CRAMERS_PHI])
-)
-
-
-def q_drift_tests(spark, sf_dir):
-    """chi-square + KS test statistics (lineitem) → (expectation, statistic)."""
-    a = q_drift_chi2(spark, sf_dir).select(
-        F.lit("chi2").alias("expectation"),
-        F.col("chi_square_statistic").alias("statistic"),
-    )
-    b = q_drift_ks(spark, sf_dir).select(
-        F.lit("ks").alias("expectation"), F.col("ks_statistic").alias("statistic")
-    )
-    return a.unionByName(b)
-
-
-SQL_DRIFT_TESTS = (
-    f"SELECT 'chi2' AS expectation, chi_square_statistic AS statistic FROM ({SQL_DRIFT_CHI2}) c"
-    " UNION ALL "
-    f"SELECT 'ks' AS expectation, ks_statistic AS statistic FROM ({SQL_DRIFT_KS}) k"
+) + (
+    f" UNION ALL SELECT 'chi2' AS expectation, chi_square_statistic AS observed,"
+    f" CAST(NULL AS BIGINT) AS success FROM ({SQL_DRIFT_CHI2}) dc"
+    f" UNION ALL SELECT 'ks' AS expectation, ks_statistic AS observed,"
+    f" CAST(NULL AS BIGINT) AS success FROM ({SQL_DRIFT_KS}) dk"
 )
 
 
@@ -2269,7 +2466,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "referential": q_referential,
     # drift
     "drift_stats": q_drift_stats,
-    "drift_tests": q_drift_tests,
     "param_ks": q_param_ks,
     # special
     "monotonic": q_monotonic,
@@ -2295,6 +2491,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_tools": q_url_tools,
     "top_ngrams": q_top_ngrams,
     "pack_invariants": q_pack_invariants,
+    "token_budget": q_token_budget,
     "clean_funnel": q_clean_funnel,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -2341,7 +2538,6 @@ _ORACLES: dict[str, str] = {
     "unique_compound": SQL_UNIQUE_COMPOUND,
     "referential": SQL_REFERENTIAL,
     "drift_stats": SQL_DRIFT_STATS,
-    "drift_tests": SQL_DRIFT_TESTS,
     "monotonic": SQL_MONOTONIC,
     "query_column": SQL_QUERY_COLUMN,
     "eval_params": SQL_EVAL_PARAMS,
@@ -2357,11 +2553,12 @@ _ORACLES: dict[str, str] = {
     "url_tools": SQL_URL_TOOLS,
     "top_ngrams": SQL_TOP_NGRAMS,
     "pack_invariants": SQL_PACK_INVARIANTS,
+    "token_budget": SQL_TOKEN_BUDGET,
     "clean_funnel": SQL_CLEAN_FUNNEL,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "sim_topk": SQL_SIM_TOPK,
     "sim_pairs": SQL_SIM_PAIRS,
-    "sim_ivf_topk": SQL_SIM_TOPK,
+    "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "dedup_spans": SQL_DEDUP_SPANS,
     **_multimodal_oracles(),
     # rows-only (non-SQL-expressible): param_ks, dedup_minhash,
