@@ -63,14 +63,34 @@ def _simple_agg(metric: str, fn: Callable[[Column], Column]):
 
 def _build_median(kwargs: dict, dom: Column, reg: RegFn) -> DecideFn:
     name = kwargs["column"]
+    col = _dom_col(dom, F.col(name))
+    rel_err = kwargs.get("allow_relative_error") or 0
+    if rel_err > 0:
+        # Greenwald-Khanna mergeable sketch — the scale path: Spark's exact
+        # percentile is an ObjectHashAggregate that buffers EVERY value of
+        # the column in the final merge buffer (~0.5 GB at 60M rows; OOM at
+        # 10^9+), so big batches opt in here exactly like
+        # expect_column_quantile_values_*'s allow_relative_error. The
+        # sketch used is surfaced as details.method (the bootstrapped-KS
+        # precedent).
+        accuracy = max(1, int(1.0 / float(rel_err)))
+        alias = reg(
+            ("column.median.approx", name, accuracy),
+            F.percentile_approx(col, F.lit(0.5), F.lit(accuracy)),
+        )
+        bk = _between_kwargs(kwargs)
+
+        def decide(m: Mapping[str, Any]) -> tuple[bool, dict]:
+            ok, res = validate_metric_value_between(m[alias], **bk)
+            res.setdefault("details", {})["method"] = (
+                f"percentile_approx(accuracy={accuracy})"
+            )
+            return ok, res
+
+        return decide
     # exact interpolated median — matches DuckDB/pandas `median`; the
-    # reference uses rel-err-0 approxQuantile (column_median.py:87-117).
-    # The approximate scale path is expect_column_quantile_values_* with
-    # allow_relative_error.
-    alias = reg(
-        ("column.median", name),
-        F.percentile(_dom_col(dom, F.col(name)), F.lit(0.5)),
-    )
+    # reference uses rel-err-0 approxQuantile (column_median.py:87-117)
+    alias = reg(("column.median", name), F.percentile(col, F.lit(0.5)))
     return _value_between_decider(alias, kwargs)
 
 

@@ -396,6 +396,34 @@ class MapMetricColumnDomainBuilder(ColumnDomainBuilder):
 # multi-batch metric engine (bundled aggregates)
 # --------------------------------------------------------------------------
 
+# Spark's exact `percentile` is an ObjectHashAggregate buffering EVERY value
+# of the column in the final merge buffer (~0.5 GB at 60M rows; OOM at 10^9+).
+# Above this many rows the metric engine swaps a requested exact
+# median/quantile for the mergeable Greenwald-Khanna sketch — the engine owns
+# the scale decision; small batches keep exact semantics (and the profiler
+# oracle stays exact at test scale).
+MEDIAN_EXACT_MAX_ROWS = 50_000_000
+MEDIAN_APPROX_ACCURACY = 10_000  # rel err ~1e-4
+
+
+class _ScaleRoutedExpr:
+    """An exact aggregate plus its sketch fallback: ``_RuleMetricEngine``
+    resolves ``exact`` for batches up to ``MEDIAN_EXACT_MAX_ROWS`` rows and
+    ``approx`` beyond."""
+
+    __slots__ = ("exact", "approx")
+
+    def __init__(self, exact: Any, approx: Any) -> None:
+        self.exact, self.approx = exact, approx
+
+
+def _percentile_routed(col: str, q: float) -> _ScaleRoutedExpr:
+    return _ScaleRoutedExpr(
+        F.expr(f"percentile(`{col}`, {q})"),
+        F.expr(f"approx_percentile(`{col}`, {q}, {MEDIAN_APPROX_ACCURACY})"),
+    )
+
+
 # metric name → aggregate-expression factory over a column domain
 _AGG_METRICS: dict[str, Callable[[Optional[str]], Any]] = {
     "table.row_count": lambda c: F.count(F.lit(1)),
@@ -404,7 +432,7 @@ _AGG_METRICS: dict[str, Callable[[Optional[str]], Any]] = {
     "column.mean": lambda c: F.avg(F.col(c)),
     "column.sum": lambda c: F.sum(F.col(c)),
     "column.standard_deviation": lambda c: F.stddev_samp(F.col(c)),
-    "column.median": lambda c: F.expr(f"percentile(`{c}`, 0.5)"),
+    "column.median": lambda c: _percentile_routed(c, 0.5),
     "column.distinct_values.count": lambda c: F.count_distinct(F.col(c)),
     "column.unique_proportion": lambda c: F.count_distinct(F.col(c))
     / F.count(F.col(c)),
@@ -438,6 +466,8 @@ class _RuleMetricEngine:
         self._requests: dict[str, Any] = {}
         self._distinct_requests: dict[str, Any] = {}
         self._values: Optional[list[dict[str, Any]]] = None
+        self._routed_aliases: set[str] = set()
+        self._approx_batches: list[bool] = []
 
     def request(self, alias: str, expr: Any, distinct: bool = False) -> None:
         if self._values is not None:
@@ -445,16 +475,31 @@ class _RuleMetricEngine:
         (self._distinct_requests if distinct else self._requests).setdefault(
             alias, expr
         )
+        if isinstance(expr, _ScaleRoutedExpr):
+            self._routed_aliases.add(alias)
 
     def resolve(self) -> None:
         if self._values is not None:
             return
         self._values = []
         for df in self.batches:
+            # exact-percentile requests are scale-gated per batch: one cheap
+            # count (parquet row-group metadata) decides exact vs GK sketch
+            approx = bool(
+                self._routed_aliases and df.count() > MEDIAN_EXACT_MAX_ROWS
+            )
+            self._approx_batches.append(approx)
             row: dict[str, Any] = {}
             for bundle in (self._requests, self._distinct_requests):
                 if bundle:
-                    aggs = [expr.alias(a) for a, expr in bundle.items()]
+                    aggs = [
+                        (
+                            (expr.approx if approx else expr.exact)
+                            if isinstance(expr, _ScaleRoutedExpr)
+                            else expr
+                        ).alias(a)
+                        for a, expr in bundle.items()
+                    ]
                     row.update(df.agg(*aggs).collect()[0].asDict())
             self._values.append(row)
 
@@ -462,6 +507,21 @@ class _RuleMetricEngine:
         if self._values is None:
             raise RuntimeError("metric engine not resolved yet")
         return [v.get(alias) for v in self._values]
+
+    def methods(self, alias: str) -> Optional[list[str]]:
+        """Per-batch resolution method for a scale-routed alias (surfaced
+        into parameter details when the sketch engaged); None for plain
+        aggregates."""
+        if self._values is None:
+            raise RuntimeError("metric engine not resolved yet")
+        if alias not in self._routed_aliases:
+            return None
+        return [
+            f"approx_percentile(accuracy={MEDIAN_APPROX_ACCURACY})"
+            if a
+            else "percentile"
+            for a in self._approx_batches
+        ]
 
 
 # --------------------------------------------------------------------------
@@ -560,7 +620,7 @@ def _metric_expr(metric: str, domain: Domain):
     if qm:  # dynamic per-quantile metric, e.g. column.quantile.0.25
         if col is None:
             raise ValueError(f"metric {metric!r} needs a column domain")
-        return F.expr(f"percentile(`{col}`, {float(qm.group(1))})")
+        return _percentile_routed(col, float(qm.group(1)))
     if metric not in _AGG_METRICS:
         raise ValueError(
             f"unsupported metric {metric!r}; one of {sorted(_AGG_METRICS)}"
@@ -588,8 +648,15 @@ class MetricMultiBatchParameterBuilder(ParameterBuilder):
             )
 
     def build(self, engine, domain, variables):
-        hist = engine.history(_metric_alias(self.name, self.metric, domain))
-        return {"value": hist, "details": {"metric_name": self.metric}}
+        alias = _metric_alias(self.name, self.metric, domain)
+        hist = engine.history(alias)
+        details: dict = {"metric_name": self.metric}
+        methods = engine.methods(alias)
+        if methods and any(m != "percentile" for m in methods):
+            # the scale gate swapped exact percentile for the GK sketch on
+            # at least one batch — surface it (bootstrapped-KS precedent)
+            details["method"] = methods
+        return {"value": hist, "details": details}
 
 
 class NumericMetricRangeMultiBatchParameterBuilder(ParameterBuilder):

@@ -194,6 +194,37 @@ def test_numeric_range_builder_round_truncate(batches):
         )
 
 
+def test_median_scale_routes_to_sketch(batches, monkeypatch):
+    """The metric engine owns the median scale decision (VERDICT r3): above
+    MEDIAN_EXACT_MAX_ROWS rows a requested exact median resolves via the
+    mergeable GK sketch instead of buffer-every-value percentile, and the
+    parameter details surface the per-batch method. Small batches keep
+    exact semantics with NO method annotation (profiler oracle unchanged)."""
+    from great_expectations_spark import rule_profiler as rp
+
+    d = Domain("column", (("column", "score"),))
+    pb = MetricMultiBatchParameterBuilder("m", "column.median")
+
+    eng = rp._RuleMetricEngine(batches)
+    pb.register(eng, [d])
+    eng.resolve()
+    exact = pb.build(eng, d, {})
+    assert "method" not in exact["details"]
+
+    monkeypatch.setattr(rp, "MEDIAN_EXACT_MAX_ROWS", 10)
+    eng2 = rp._RuleMetricEngine(batches)
+    pb.register(eng2, [d])
+    eng2.resolve()
+    routed = pb.build(eng2, d, {})
+    assert routed["details"]["method"] == [
+        "approx_percentile(accuracy=10000)"
+    ] * 3
+    # at accuracy 10000 over 60 rows the sketch answer is an observed value
+    # within one element of the exact interpolated median
+    for approx, ex in zip(routed["value"], exact["value"]):
+        assert abs(approx - ex) <= 1.0
+
+
 # ---- parameter builders ----------------------------------------------------
 
 

@@ -214,6 +214,27 @@ def main() -> int:
         must_not=["CartesianProduct", "lambdafunction"],
     )
 
+    # Median scale path: with allow_relative_error the bundled agg must use
+    # the mergeable GK sketch (approx_percentile / percentile_approx) and
+    # contain NO exact percentile node — exact percentile buffers every
+    # column value in one ObjectHashAggregate merge buffer (OOM at 10^9+).
+    s5 = ExpectationSuite(name="median_scale")
+    s5.add(
+        "expect_column_median_to_be_between",
+        column="l_quantity", min_value=0, max_value=100,
+        allow_relative_error=0.001,
+    )
+    p5 = SuitePlanner(li, s5)
+    p5.compile()
+    check(
+        "median_approx_no_exact_percentile",
+        li.agg(*p5._main_aggs.values()),
+        must=["percentile_approx("],
+        must_not=["percentile("],  # the EXACT node ("percentile_approx("
+        # does not contain the substring "percentile(" — the char after
+        # "percentile" is "_")
+    )
+
     # top_ngrams: partial agg before the gram shuffle + heap top-k, no
     # global Sort node.
     plan = _plan(text.top_ngrams(docs, n=2, k=10))
