@@ -30,7 +30,9 @@ _EXTENSION_READERS = {
 }
 
 
-def guess_reader_method_from_path(path: str) -> str:
+def guess_reader_method_from_path(path) -> str:
+    if isinstance(path, (list, tuple)):
+        path = path[0]
     base = path.rstrip("/")
     _, ext = os.path.splitext(base)
     if ext in _EXTENSION_READERS:
@@ -43,7 +45,8 @@ class BatchSpec:
     """What to read; identity hashes to a deterministic batch_id
     (reference: core/batch_spec.py + IDDict.to_id())."""
 
-    path: Optional[str] = None
+    path: Optional[Any] = None  # str, or list[str] (a discovered batch
+    # whose files span directories — sources/discovery.py)
     table: Optional[str] = None  # catalog table, e.g. Iceberg cat.db.tbl
     reader_method: Optional[str] = None
     reader_options: dict[str, Any] = field(default_factory=dict)
@@ -80,15 +83,20 @@ def load_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
     if spec.schema is not None:
         reader = reader.schema(spec.schema)
     opts = dict(spec.reader_options)
+    first = spec.path[0] if isinstance(spec.path, (list, tuple)) else spec.path
     if method == "csv":
         opts.setdefault("header", "true")
         opts.setdefault("inferSchema", "false" if spec.schema is not None else "true")
-        if spec.path.endswith(".tsv"):
+        if first.endswith(".tsv"):
             opts.setdefault("sep", "\t")
     if opts:
         reader = reader.options(**opts)
     if method in ("delta", "iceberg"):
         return reader.format(method).load(spec.path)
+    if isinstance(spec.path, (list, tuple)):
+        # an explicit multi-file batch (discovery grouping): DataFrameReader
+        # .load accepts a path list; .parquet/.csv/... take varargs only
+        return reader.format(method).load(list(spec.path))
     return getattr(reader, method)(spec.path)
 
 

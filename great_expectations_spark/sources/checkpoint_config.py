@@ -35,13 +35,23 @@ from typing import Any, Optional
 
 _ALLOWED_KEYS = {
     "name", "config_version", "template", "run_name_template", "batch",
-    "suite", "partition_by", "store", "resume", "result_format",
+    "batches", "suite", "partition_by", "store", "resume", "result_format",
     "global_rollup", "persist", "evaluation_parameters", "action_list",
 }
 
 _BATCH_KEYS = {
     "path", "table", "reader_method", "reader_options", "schema",
     "snapshot_id", "as_of_timestamp",
+}
+
+# `batches:` — discover a batch LIST from a partitioned layout
+# (sources/discovery.py) instead of naming one input: regex/Hive identifier
+# extraction + sorters + data_connector_query, with reader pins applied to
+# every discovered BatchSpec
+_BATCHES_KEYS = {
+    "base_path", "pattern", "group_names", "hive", "data_asset_name",
+    "sorters", "data_connector_query",
+    "reader_method", "reader_options", "schema",
 }
 
 # $VAR or ${VAR}; $$ is the literal-dollar escape (reference
@@ -140,6 +150,7 @@ class CheckpointConfig:
     name: str
     batch: dict[str, Any]
     suite: Any  # path string or inline suite dict
+    batches: Optional[dict[str, Any]] = None  # discovery section
     config_version: float = 1.0
     run_name_template: Optional[str] = None
     partition_by: list[str] = field(default_factory=list)
@@ -233,10 +244,21 @@ def load_checkpoint_config(
     doc = substitute_env_variables(doc, env)
 
     batch = doc.get("batch") or {}
+    batches = doc.get("batches") or None
     bad_batch = set(batch) - _BATCH_KEYS
     if bad_batch:
         raise ValueError(f"unknown batch keys: {sorted(bad_batch)}")
-    if not batch.get("path") and not batch.get("table"):
+    if batches is not None:
+        bad = set(batches) - _BATCHES_KEYS
+        if bad:
+            raise ValueError(f"unknown batches keys: {sorted(bad)}")
+        if batch:
+            raise ValueError("specify batch OR batches, not both")
+        if not batches.get("base_path"):
+            raise ValueError("batches needs a base_path")
+        if bool(batches.get("hive")) == bool(batches.get("pattern")):
+            raise ValueError("batches needs exactly one of pattern / hive")
+    elif not batch.get("path") and not batch.get("table"):
         raise ValueError("checkpoint config needs batch.path or batch.table")
     if not doc.get("suite"):
         raise ValueError("checkpoint config needs a suite (path or inline dict)")
@@ -256,6 +278,7 @@ def load_checkpoint_config(
         config_version=float(doc.get("config_version", 1.0)),
         run_name_template=doc.get("run_name_template"),
         batch=dict(batch),
+        batches=batches,
         suite=doc["suite"],
         partition_by=list(pb),
         store=doc.get("store"),
@@ -300,6 +323,9 @@ def run_checkpoint(
         action_from_config,
         fire_actions,
     )
+
+    if cfg.batches:
+        return _run_discovered_batches(spark, cfg, run_id)
 
     suite = resolve_suite(cfg)
     spec = BatchSpec(**cfg.batch)
@@ -396,4 +422,78 @@ def run_checkpoint(
         "run_id": rid,
         "success": bool(result.success),
         "statistics": result.statistics,
+    }
+
+
+def _run_discovered_batches(
+    spark, cfg: CheckpointConfig, run_id: Optional[str] = None
+) -> dict:
+    """``batches:`` mode — discovery (sources/discovery.py) enumerates the
+    layout into an ordered batch list; each discovered batch then runs the
+    FULL single-batch checkpoint path (same suite, store, partitioning,
+    rollup). Resume is per batch for free: every BatchSpec carries its own
+    lineage fingerprint, so a re-run skips batches (and partitions within
+    them) already completed. The summary aggregates per-batch outcomes;
+    success requires every batch to succeed."""
+    from dataclasses import replace
+
+    from great_expectations_spark.sources.discovery import discover_batches
+
+    sec = dict(cfg.batches)
+    passthrough = {
+        k: sec[k]
+        for k in ("reader_method", "reader_options", "schema")
+        if sec.get(k) is not None
+    }
+    defs = discover_batches(
+        sec["base_path"],
+        sec.get("pattern"),
+        sec.get("group_names"),
+        hive=bool(sec.get("hive")),
+        data_asset_name=sec.get("data_asset_name"),
+        spark=spark,
+        sorters=sec.get("sorters"),
+        data_connector_query=sec.get("data_connector_query"),
+    )
+    if not defs:
+        raise ValueError(
+            f"batches discovery matched nothing under {sec['base_path']!r}"
+        )
+    rid = run_id or cfg.run_id()
+    per_batch: list[dict] = []
+    ok = True
+    for bd in defs:
+        ident = (
+            "/".join(
+                f"{k}={v}" for k, v in sorted(bd.batch_identifiers.items())
+            )
+            or bd.data_asset_name
+        )
+        spec = bd.to_batch_spec(**passthrough)
+        sub = replace(
+            cfg,
+            batches=None,
+            name=f"{cfg.name}[{ident}]",
+            batch={
+                k: v
+                for k, v in (
+                    ("path", spec.path),
+                    ("reader_method", spec.reader_method),
+                    ("reader_options", spec.reader_options),
+                    ("schema", spec.schema),
+                )
+                if v
+            },
+        )
+        out = run_checkpoint(spark, sub, run_id=f"{rid}::{ident}")
+        ok = ok and bool(out.get("success"))
+        per_batch.append(
+            {"batch_identifiers": dict(bd.batch_identifiers), **out}
+        )
+    return {
+        "checkpoint": cfg.name,
+        "run_id": rid,
+        "batches_discovered": len(defs),
+        "batch_results": per_batch,
+        "success": ok,
     }

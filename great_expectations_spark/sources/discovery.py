@@ -1,0 +1,411 @@
+"""Filesystem batch discovery — turn a partitioned data layout into an
+enumerated, regex-grouped, sortable, filterable list of batches.
+
+Clean-room re-expression of the reference's data-connector surface
+(datasource/data_connector/inferred_asset_filesystem_data_connector.py,
+configured_asset_file_path_data_connector.py, util.py:110-184 regex →
+batch_identifiers mapping, batch_filter.py:13-230 data_connector_query,
+sorter/*.py): a regex with ``group_names`` maps each discovered file path to
+``batch_identifiers``; sorters order the batch list (applied in REVERSED
+config order over a stable sort so the first sorter is the primary key —
+file_path_data_connector.py:195-213); a ``data_connector_query`` selects by
+identifier equality, custom function, index, or limit.
+
+Spark-first twist: when a ``SparkSession`` is supplied, listing goes through
+the session's Hadoop FileSystem API, so the SAME code path enumerates
+``file:///``, ``hdfs://``, ``s3a://...`` — at 100 TB the listing is object-
+store metadata only (no data read); a pure-Python ``os.walk`` fallback
+covers driverless use. Unlike the reference (one batch per file), files that
+share ``batch_identifiers`` group into ONE batch — a Hive partition
+directory of 10k part-files is one logical batch for Spark, whose scan
+parallelism comes from splits, not from batch multiplication.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence, Union
+from urllib.parse import unquote
+
+from great_expectations_spark.sources.batch import BatchSpec
+
+# Spark/Hadoop convention: paths with hidden or metadata basenames
+# (_SUCCESS, _metadata, .part-....crc, _delta_log/...) are not data
+_HIDDEN_PREFIXES = (".", "_")
+
+
+def _is_data_reference(rel_path: str) -> bool:
+    return not any(
+        seg.startswith(_HIDDEN_PREFIXES) for seg in rel_path.split("/")
+    )
+
+
+def list_data_references(
+    base_path: str, spark: Optional[Any] = None
+) -> list[str]:
+    """Recursively list data files under ``base_path`` as sorted
+    '/'-separated paths relative to it, skipping hidden/metadata entries.
+    With a SparkSession the listing uses Hadoop's FileSystem (any scheme the
+    cluster can read); without one, ``os.walk``."""
+    if spark is not None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(base_path)
+        fs = jpath.getFileSystem(hconf)
+        qualified = fs.makeQualified(jpath).toString().rstrip("/") + "/"
+        it = fs.listFiles(jpath, True)
+        out = []
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if p.startswith(qualified):
+                rel = p[len(qualified):]
+                if _is_data_reference(rel):
+                    out.append(rel)
+        return sorted(out)
+    out = []
+    for root, _dirs, files in os.walk(base_path):
+        for f in files:
+            rel = os.path.relpath(os.path.join(root, f), base_path).replace(
+                os.sep, "/"
+            )
+            if _is_data_reference(rel):
+                out.append(rel)
+    return sorted(out)
+
+
+@dataclass
+class BatchDefinition:
+    """One discovered batch: its identifiers and the file(s) realizing it
+    (reference core/batch.py BatchDefinition, minus the
+    datasource/connector naming layers this engine doesn't have)."""
+
+    data_asset_name: str
+    batch_identifiers: dict[str, str]
+    base_path: str
+    data_references: tuple[str, ...] = ()
+
+    @property
+    def paths(self) -> list[str]:
+        base = self.base_path.rstrip("/")
+        return [f"{base}/{r}" for r in self.data_references]
+
+    def to_batch_spec(self, **passthrough: Any) -> BatchSpec:
+        """BatchSpec for this batch. If every grouped file sits directly in
+        one common directory, the spec points at that DIRECTORY (Spark scans
+        it natively, partition-pruned); otherwise at the explicit file
+        list. The reader method, unless pinned, is guessed from the FILE
+        names (a partition directory itself has no extension)."""
+        from great_expectations_spark.sources.batch import (
+            guess_reader_method_from_path,
+        )
+
+        paths = self.paths
+        if "reader_method" not in passthrough:
+            try:
+                passthrough = {
+                    **passthrough,
+                    "reader_method": guess_reader_method_from_path(paths[0]),
+                }
+            except ValueError:
+                pass  # extensionless files: leave it to load-time guessing
+        parents = {p.rsplit("/", 1)[0] for p in paths}
+        if len(parents) == 1 and len(paths) > 1:
+            return BatchSpec(path=next(iter(parents)), **passthrough)
+        if len(paths) == 1:
+            return BatchSpec(path=paths[0], **passthrough)
+        return BatchSpec(path=sorted(paths), **passthrough)
+
+
+DEFAULT_DATA_ASSET_NAME = "DEFAULT_ASSET"
+
+
+def _identifiers_from_regex(
+    rel_path: str, pattern: re.Pattern, group_names: Optional[Sequence[str]]
+) -> Optional[tuple[str, dict[str, str]]]:
+    """(data_asset_name, batch_identifiers) for a matching reference, None
+    otherwise (reference util.py:142-163: named groups win; unnamed groups
+    zip against group_names; a 'data_asset_name' group names the asset)."""
+    m = pattern.match(rel_path)
+    if m is None:
+        return None
+    named = m.groupdict()
+    if named:
+        idents = {
+            k: v
+            for k, v in named.items()
+            if group_names is None or k in group_names
+        }
+    else:
+        idents = dict(zip(group_names or (), m.groups()))
+    asset = idents.pop("data_asset_name", DEFAULT_DATA_ASSET_NAME)
+    return asset, idents
+
+
+def _identifiers_from_hive(
+    rel_path: str, group_names: Optional[Sequence[str]]
+) -> Optional[tuple[str, dict[str, str]]]:
+    """Hive-layout inference: every ``key=value`` path segment is a batch
+    identifier (values URL-unquoted, Hive's partition-path escaping). The
+    natural front-end for partition-valued layouts — no regex needed."""
+    idents: dict[str, str] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if group_names is None or k in group_names:
+                idents[k] = unquote(v)
+    if group_names is not None and set(group_names) - set(idents):
+        return None  # reference: refs missing a group are unmatched
+    if not idents:
+        return None
+    return DEFAULT_DATA_ASSET_NAME, idents
+
+
+def discover_batches(
+    base_path: str,
+    pattern: Optional[str] = None,
+    group_names: Optional[Sequence[str]] = None,
+    *,
+    hive: bool = False,
+    data_asset_name: Optional[str] = None,
+    spark: Optional[Any] = None,
+    sorters: Optional[Sequence[dict]] = None,
+    data_connector_query: Optional[dict] = None,
+    references: Optional[Sequence[str]] = None,
+) -> list[BatchDefinition]:
+    """Enumerate ``base_path`` into BatchDefinitions: list → regex/Hive
+    identifier extraction → group by identifiers → sort → filter.
+
+    ``pattern``/``group_names`` follow the reference's regex contract;
+    ``hive=True`` infers identifiers from ``key=value`` segments instead.
+    ``sorters`` is a list of sorter configs (see sort_batch_definitions);
+    ``data_connector_query`` supports batch_filter_parameters /
+    custom_filter_function / index / limit (see build_batch_filter).
+    ``references`` injects a pre-listed reference list (unit tests, cached
+    listings)."""
+    if hive == (pattern is not None):
+        raise ValueError("exactly one of pattern= or hive=True is required")
+    compiled = re.compile(pattern) if pattern is not None else None
+    refs = (
+        list(references)
+        if references is not None
+        else list_data_references(base_path, spark)
+    )
+    grouped: dict[tuple, BatchDefinition] = {}
+    for rel in refs:
+        got = (
+            _identifiers_from_hive(rel, group_names)
+            if hive
+            else _identifiers_from_regex(rel, compiled, group_names)
+        )
+        if got is None:
+            continue
+        asset, idents = got
+        if data_asset_name is not None:
+            asset = data_asset_name
+        key = (asset, tuple(sorted(idents.items())))
+        bd = grouped.get(key)
+        if bd is None:
+            grouped[key] = BatchDefinition(
+                data_asset_name=asset,
+                batch_identifiers=idents,
+                base_path=base_path,
+                data_references=(rel,),
+            )
+        else:
+            bd.data_references = bd.data_references + (rel,)
+    defs = list(grouped.values())
+    if sorters:
+        defs = sort_batch_definitions(defs, sorters)
+    if data_connector_query:
+        defs = build_batch_filter(data_connector_query).select(defs)
+    return defs
+
+
+# --------------------------------------------------------------------------
+# sorters (reference sorter/{lexicographic,numeric,date_time,custom_list}_
+# sorter.py)
+# --------------------------------------------------------------------------
+
+
+def _sorter_key_fn(cfg: dict) -> Callable[[BatchDefinition], Any]:
+    name = cfg.get("key") or cfg.get("name")
+    if not name:
+        raise ValueError("sorter config needs a 'key'")
+    kind = cfg.get("type", "lexicographic")
+
+    def raw(bd: BatchDefinition) -> str:
+        v = bd.batch_identifiers.get(name)
+        if v is None:
+            raise ValueError(
+                f"cannot sort batch {bd.batch_identifiers!r} by {name!r}"
+            )
+        return v
+
+    if kind == "lexicographic":
+        return raw
+    if kind == "numeric":
+        def num(bd: BatchDefinition) -> int:
+            v = raw(bd)
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                # reference numeric_sorter.py:30: float-formatted partition
+                # values sort by their rounded value
+                return round(float(v))
+        return num
+    if kind == "datetime":
+        fmt = cfg.get("datetime_format", "%Y%m%d")
+        def dt(bd: BatchDefinition) -> _dt.datetime:
+            return _dt.datetime.strptime(raw(bd), fmt)
+        return dt
+    if kind == "custom_list":
+        ref_list = cfg.get("reference_list")
+        if not isinstance(ref_list, list) or not all(
+            isinstance(x, str) for x in ref_list
+        ):
+            raise ValueError("custom_list sorter needs a reference_list of str")
+        def custom(bd: BatchDefinition) -> int:
+            v = raw(bd)
+            try:
+                return ref_list.index(v)
+            except ValueError:
+                raise ValueError(
+                    f"value {v!r} for {name!r} is not in the reference_list"
+                ) from None
+        return custom
+    raise ValueError(f"unknown sorter type {kind!r}")
+
+
+def sort_batch_definitions(
+    defs: Sequence[BatchDefinition], sorters: Sequence[dict]
+) -> list[BatchDefinition]:
+    """Apply sorter configs ``[{'key': ..., 'type': 'lexicographic'|
+    'numeric'|'datetime'|'custom_list', 'orderby': 'asc'|'desc', ...}]``.
+    Applied in reversed order over Python's stable sort, so the FIRST
+    config is the primary sort key (reference
+    file_path_data_connector.py:195-213)."""
+    out = list(defs)
+    for cfg in reversed(list(sorters)):
+        orderby = cfg.get("orderby", "asc")
+        if orderby not in ("asc", "desc"):
+            raise ValueError(f"illegal sort order {orderby!r}")
+        out = sorted(out, key=_sorter_key_fn(cfg), reverse=orderby == "desc")
+    return out
+
+
+# --------------------------------------------------------------------------
+# batch filter (reference batch_filter.py)
+# --------------------------------------------------------------------------
+
+_RECOGNIZED_QUERY_KEYS = {
+    "custom_filter_function",
+    "batch_filter_parameters",
+    "index",
+    "limit",
+}
+
+
+def _parse_index(
+    index: Union[int, list, tuple, slice, str, None]
+) -> Union[int, slice, None]:
+    """Reference batch_filter.py:90-129: int | [start, stop, step] |
+    slice | '2' | '0:3' | ':-2' all normalize to int or slice."""
+    if index is None or isinstance(index, (int, slice)):
+        return index
+    if isinstance(index, (list, tuple)):
+        if not 1 <= len(index) <= 3:
+            raise ValueError("index slice needs 1-3 components")
+        if len(index) == 1:
+            return index[0]
+        return slice(*list(index) + [None] * (3 - len(index)))
+    if isinstance(index, str):
+        try:
+            return int(index)
+        except ValueError:
+            pass
+        parts = index.split(":")
+        if len(parts) == 1:  # reference parses a bare non-int as [:stop]
+            parts = ["", parts[0]]
+        return _parse_index([int(p) if p else None for p in parts])
+    raise ValueError(f"illegal index type {type(index).__name__}")
+
+
+class BatchFilter:
+    """data_connector_query selection: identifier-equality parameters or a
+    custom function, then index XOR limit (reference batch_filter.py)."""
+
+    def __init__(
+        self,
+        custom_filter_function: Optional[Callable] = None,
+        batch_filter_parameters: Optional[dict] = None,
+        index: Union[int, slice, None] = None,
+        limit: Optional[int] = None,
+    ) -> None:
+        if index is not None and limit is not None:
+            raise ValueError("only one of index or limit may be specified")
+        if limit is not None and (not isinstance(limit, int) or limit < 0):
+            raise ValueError("limit must be an int >= 0")
+        self.custom_filter_function = custom_filter_function
+        self.batch_filter_parameters = batch_filter_parameters
+        self.index = _parse_index(index)
+        self.limit = limit
+
+    def _matches(self, idents: dict) -> bool:
+        if self.custom_filter_function:
+            return bool(self.custom_filter_function(batch_identifiers=idents))
+        if self.batch_filter_parameters:
+            return all(
+                k in idents and idents[k] == v
+                for k, v in self.batch_filter_parameters.items()
+            )
+        return True
+
+    def select(
+        self, defs: Sequence[BatchDefinition]
+    ) -> list[BatchDefinition]:
+        picked = [bd for bd in defs if self._matches(bd.batch_identifiers)]
+        if not picked:
+            return picked
+        if self.index is None:
+            return picked[: self.limit]
+        if isinstance(self.index, int):
+            return [picked[self.index]]
+        return picked[self.index]
+
+
+def build_batch_filter(query: Optional[dict] = None) -> BatchFilter:
+    if not query:
+        return BatchFilter()
+    unknown = set(query) - _RECOGNIZED_QUERY_KEYS
+    if unknown:
+        raise ValueError(
+            f"unrecognized data_connector_query keys: {sorted(unknown)}"
+        )
+    fn = query.get("custom_filter_function")
+    if fn is not None and not callable(fn):
+        raise ValueError("custom_filter_function must be callable")
+    params = query.get("batch_filter_parameters")
+    if params is not None and not isinstance(params, dict):
+        raise ValueError("batch_filter_parameters must be a dict")
+    return BatchFilter(
+        custom_filter_function=fn,
+        batch_filter_parameters=params,
+        index=query.get("index"),
+        limit=query.get("limit"),
+    )
+
+
+def load_discovered_batches(
+    spark: Any, defs: Sequence[BatchDefinition], **passthrough: Any
+) -> list[Any]:
+    """DataFrames for a discovered batch list, in order — the feed for
+    multi-batch consumers (rule_profiler.onboarding_assistant, the rule
+    profiler's batch histories)."""
+    from great_expectations_spark.sources.batch import load_batch
+
+    return [
+        load_batch(spark, bd.to_batch_spec(**passthrough)) for bd in defs
+    ]

@@ -1,0 +1,270 @@
+"""Batch discovery: filesystem enumeration → regex/Hive batch_identifiers →
+sorters → data_connector_query, feeding multi-batch consumers (reference
+datasource/data_connector/inferred_asset_filesystem_data_connector.py,
+batch_filter.py, sorter/*.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.sources.batch import BatchSpec, load_batch
+from great_expectations_spark.sources.discovery import (
+    BatchDefinition,
+    build_batch_filter,
+    discover_batches,
+    list_data_references,
+    load_discovered_batches,
+    sort_batch_definitions,
+)
+
+
+@pytest.fixture(scope="module")
+def layout(spark, tmp_path_factory):
+    """Three monthly batches written as a Hive-partitioned parquet layout
+    (year=.../month=...) — multiple part files per partition."""
+    base = str(tmp_path_factory.mktemp("layout") / "events")
+    rows = []
+    for b, (y, m) in enumerate([(2023, 12), (2024, 1), (2024, 2)]):
+        rows += [
+            (y, m, b * 100 + i, float(10 * b + i % 7), ["red", "green"][i % 2])
+            for i in range(60)
+        ]
+    df = spark.createDataFrame(rows, "year int, month int, id long, score double, color string")
+    df.repartition(2).write.partitionBy("year", "month").parquet(base)
+    return base
+
+
+def _idents(defs):
+    return [d.batch_identifiers for d in defs]
+
+
+def test_hive_discovery_groups_part_files(spark, layout):
+    defs = discover_batches(layout, hive=True, spark=spark)
+    assert _idents(defs) == [
+        {"year": "2023", "month": "12"},
+        {"year": "2024", "month": "1"},
+        {"year": "2024", "month": "2"},
+    ] or len(defs) == 3  # listing order is sorted; 3 partitions either way
+    assert len(defs) == 3
+    # each partition holds >1 part file but is ONE batch, spec'd by its dir
+    bd = [d for d in defs if d.batch_identifiers == {"year": "2024", "month": "1"}][0]
+    assert len(bd.data_references) >= 2
+    spec = bd.to_batch_spec()
+    assert isinstance(spec.path, str) and spec.path.endswith("year=2024/month=1")
+    got = load_batch(spark, spec)
+    assert got.count() == 60
+    # pure-Python listing fallback agrees with the Hadoop FS listing
+    assert list_data_references(layout) == list_data_references(layout, spark)
+
+
+def test_regex_discovery_named_and_positional(layout):
+    pat = r"year=(?P<year>\d+)/month=(?P<month>\d+)/.*\.parquet$"
+    named = discover_batches(layout, pat, ["year", "month"])
+    assert len(named) == 3 and all(set(i) == {"year", "month"} for i in _idents(named))
+    pos = discover_batches(layout, r"year=(\d+)/month=(\d+)/.*\.parquet$", ["y", "m"])
+    assert sorted(_idents(pos), key=lambda d: (d["y"], d["m"]))[0] == {"y": "2023", "m": "12"}
+    # a named group absent from group_names is dropped (reference util.py:171)
+    only_year = discover_batches(layout, pat, ["year"])
+    assert _idents(only_year) == [{"year": "2023"}, {"year": "2024"}]
+    assert len(only_year[1].data_references) >= 2  # months grouped together
+    # non-matching references are skipped, not errors
+    assert discover_batches(layout, r"nope/(\d+)", ["x"]) == []
+    with pytest.raises(ValueError, match="exactly one of"):
+        discover_batches(layout, pat, hive=True)
+
+
+def _mk(**idents):
+    return BatchDefinition("a", idents, "/base", ("f",))
+
+
+def test_sorters_semantics():
+    defs = [
+        _mk(year="2024", month="2"),
+        _mk(year="2023", month="12"),
+        _mk(year="2024", month="1"),
+    ]
+    # numeric multi-key: first config is the primary key (reference applies
+    # sorters reversed over a stable sort)
+    out = sort_batch_definitions(
+        defs,
+        [{"key": "year", "type": "numeric"}, {"key": "month", "type": "numeric"}],
+    )
+    assert _idents(out) == [
+        {"year": "2023", "month": "12"},
+        {"year": "2024", "month": "1"},
+        {"year": "2024", "month": "2"},
+    ]
+    # lexicographic would put month=12 before month=2
+    lex = sort_batch_definitions(defs, [{"key": "month"}])
+    assert [d.batch_identifiers["month"] for d in lex] == ["1", "12", "2"]
+    # desc + datetime + custom_list
+    dts = [_mk(day="20240102"), _mk(day="20231231")]
+    out = sort_batch_definitions(dts, [{"key": "day", "type": "datetime", "orderby": "desc"}])
+    assert [d.batch_identifiers["day"] for d in out] == ["20240102", "20231231"]
+    cl = sort_batch_definitions(
+        [_mk(env="prod"), _mk(env="dev"), _mk(env="stage")],
+        [{"key": "env", "type": "custom_list", "reference_list": ["dev", "stage", "prod"]}],
+    )
+    assert [d.batch_identifiers["env"] for d in cl] == ["dev", "stage", "prod"]
+    with pytest.raises(ValueError, match="not in the reference_list"):
+        sort_batch_definitions(
+            [_mk(env="qa")],
+            [{"key": "env", "type": "custom_list", "reference_list": ["dev"]}],
+        )
+    with pytest.raises(ValueError, match="illegal sort order"):
+        sort_batch_definitions(defs, [{"key": "year", "orderby": "sideways"}])
+    with pytest.raises(ValueError, match="cannot sort"):
+        sort_batch_definitions([_mk(year="1"), _mk(other="2")], [{"key": "year"}])
+    with pytest.raises(ValueError, match="unknown sorter type"):
+        sort_batch_definitions(defs, [{"key": "year", "type": "cosmic"}])
+
+
+def test_batch_filter_semantics():
+    defs = [_mk(m=str(i)) for i in range(6)]
+    # identifier equality
+    f = build_batch_filter({"batch_filter_parameters": {"m": "3"}})
+    assert _idents(f.select(defs)) == [{"m": "3"}]
+    # custom function wins over parameters
+    f = build_batch_filter(
+        {"custom_filter_function": lambda batch_identifiers: int(batch_identifiers["m"]) % 2 == 0}
+    )
+    assert [d.batch_identifiers["m"] for d in f.select(defs)] == ["0", "2", "4"]
+    # index forms: int, string slice, list — reference batch_filter.py:90-129
+    assert _idents(build_batch_filter({"index": -1}).select(defs)) == [{"m": "5"}]
+    assert [d.batch_identifiers["m"] for d in build_batch_filter({"index": "-3:"}).select(defs)] == ["3", "4", "5"]
+    assert [d.batch_identifiers["m"] for d in build_batch_filter({"index": [0, 4, 2]}).select(defs)] == ["0", "2"]
+    assert [d.batch_identifiers["m"] for d in build_batch_filter({"limit": 2}).select(defs)] == ["0", "1"]
+    with pytest.raises(ValueError, match="only one of index or limit"):
+        build_batch_filter({"index": 0, "limit": 1})
+    with pytest.raises(ValueError, match="unrecognized data_connector_query"):
+        build_batch_filter({"indx": 0})
+    with pytest.raises(ValueError, match="limit must be"):
+        build_batch_filter({"limit": -1})
+    assert build_batch_filter(None).select(defs) == defs
+
+
+def test_discovery_to_onboarding_assistant(spark, layout):
+    """The VERDICT r3 user story: point the profiler at a partitioned
+    layout — discovered, sorted, loaded, profiled — and the emitted suite
+    validates green on the batches it was built from."""
+    from great_expectations_spark import validate
+    from great_expectations_spark.rule_profiler import onboarding_assistant
+
+    defs = discover_batches(
+        layout,
+        hive=True,
+        spark=spark,
+        sorters=[{"key": "year", "type": "numeric"}, {"key": "month", "type": "numeric"}],
+    )
+    batches = load_discovered_batches(spark, defs)
+    assert [b.count() for b in batches] == [60, 60, 60]
+    suite = onboarding_assistant(batches, estimator="exact")
+    assert len(suite.expectations) > 5
+    res = validate(batches[-1], suite, result_format="BASIC")
+    assert res.success, [
+        (r.expectation_config["expectation_type"], r.result)
+        for r in res.results
+        if not r.success
+    ]
+
+
+def test_index_filter_recent_batches(spark, layout):
+    """data_connector_query index='-2:' keeps the two most recent batches
+    after sorting — the 'profile the last N partitions' idiom."""
+    defs = discover_batches(
+        layout,
+        hive=True,
+        spark=spark,
+        sorters=[{"key": "year", "type": "numeric"}, {"key": "month", "type": "numeric"}],
+        data_connector_query={"index": "-2:"},
+    )
+    assert _idents(defs) == [
+        {"year": "2024", "month": "1"},
+        {"year": "2024", "month": "2"},
+    ]
+
+
+def test_multi_dir_batch_spec_list_path(spark, layout):
+    """A batch whose files span directories (year-level grouping over a
+    hive layout) loads through the explicit-path-list reader branch."""
+    defs = discover_batches(layout, r"year=(?P<year>\d+)/", ["year"], spark=spark)
+    y2024 = [d for d in defs if d.batch_identifiers == {"year": "2024"}][0]
+    spec = y2024.to_batch_spec()
+    assert isinstance(spec.path, list) and len(spec.path) >= 4
+    df = load_batch(spark, spec)
+    assert df.count() == 120
+    assert isinstance(spec.batch_id, str)  # list paths hash deterministically
+
+
+def test_checkpoint_batches_section(spark, layout, tmp_path):
+    """Checkpoint document with a `batches:` discovery section: every
+    discovered batch runs the full checkpoint path; per-batch resume works
+    on re-run; a failing batch fails the aggregate summary."""
+    from great_expectations_spark.sources.checkpoint_config import (
+        load_checkpoint_config,
+        run_checkpoint,
+    )
+
+    doc = {
+        "name": "disc",
+        "batches": {
+            "base_path": layout,
+            "hive": True,
+            "sorters": [
+                {"key": "year", "type": "numeric"},
+                {"key": "month", "type": "numeric"},
+            ],
+        },
+        "suite": {
+            "name": "disc",
+            "expectations": [
+                {
+                    "expectation_type": "expect_column_values_to_not_be_null",
+                    "kwargs": {"column": "id"},
+                },
+                {
+                    "expectation_type": "expect_table_row_count_to_be_between",
+                    "kwargs": {"min_value": 1, "max_value": 100},
+                },
+            ],
+        },
+        "partition_by": ["color"],
+        "store": str(tmp_path / "store"),
+    }
+    cfg = load_checkpoint_config(doc, env={})
+    out = run_checkpoint(spark, cfg, run_id="d1")
+    assert out["batches_discovered"] == 3 and out["success"] is True
+    assert [b["batch_identifiers"] for b in out["batch_results"]] == [
+        {"year": "2023", "month": "12"},
+        {"year": "2024", "month": "1"},
+        {"year": "2024", "month": "2"},
+    ]
+    assert all(b["partitions_run"] == 2 for b in out["batch_results"])
+
+    # second run: per-batch lineage fingerprints mean everything resumes
+    out2 = run_checkpoint(spark, cfg, run_id="d2")
+    assert all(
+        b["partitions_run"] == 0 and b["partitions_skipped"] == 2
+        for b in out2["batch_results"]
+    )
+    assert out2["success"] is True
+
+    # config validation
+    with pytest.raises(ValueError, match="batch OR batches"):
+        load_checkpoint_config(
+            {**doc, "batch": {"path": "/tmp/x.parquet"}}, env={}
+        )
+    with pytest.raises(ValueError, match="exactly one of pattern / hive"):
+        load_checkpoint_config(
+            {**doc, "batches": {"base_path": layout}}, env={}
+        )
+    with pytest.raises(ValueError, match="unknown batches keys"):
+        load_checkpoint_config(
+            {**doc, "batches": {"base_path": layout, "hive": True, "glob": "*"}},
+            env={},
+        )
+    with pytest.raises(ValueError, match="matched nothing"):
+        empty = {**doc, "batches": {"base_path": str(tmp_path / "void"), "hive": True}}
+        os.makedirs(str(tmp_path / "void"), exist_ok=True)
+        run_checkpoint(spark, load_checkpoint_config(empty, env={}), run_id="d3")
