@@ -2293,6 +2293,52 @@ def q_profiler(spark, sf_dir):
         rows.append(
             ("orders_onboarding", cfg.kwargs.get("column", ""), cfg.expectation_type)
         )
+
+    # image-onboarding admission decisions over a deterministic image+caption
+    # metadata table DERIVED from orders by modular arithmetic (the
+    # input_hint schema minus real pixels): image_id collapses mod 97 so
+    # every batch provably contains duplicates — the uniqueness rule must
+    # REFUSE it (and admit caption/phash); fmt's learned value set and the
+    # exact w/h range bounds are emitted as extra value rows the oracle
+    # recomputes from the same arithmetic
+    from great_expectations_spark.rule_profiler import image_onboarding_assistant
+
+    k = F.col("o_orderkey")
+    img = orders.select(
+        (k % 3).alias("b"),
+        F.concat(F.lit("img-"), (k % 97).cast("string")).alias("image_id"),
+        F.lit(b"\x89synthetic").alias("bytes"),
+        (F.lit(32) + (k % 8) * 16).cast("int").alias("w"),
+        (F.lit(32) + (k % 5) * 32).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("bmp"), F.lit("gif")),
+            (k % 4).cast("int") + 1,
+        ).alias("fmt"),
+        F.concat(F.lit("caption "), k.cast("string")).alias("caption"),
+        k.alias("phash"),
+    )
+    img_batches = [img.filter(F.col("b") == i).drop("b") for i in range(3)]
+    isuite = image_onboarding_assistant(img_batches, estimator="exact")
+    for cfg in isuite.expectations:
+        if cfg.expectation_type == "expect_column_values_to_match_regex":
+            continue
+        col = cfg.kwargs.get("column", "")
+        rows.append(("image_onboarding", col, cfg.expectation_type))
+        if cfg.expectation_type == "expect_column_values_to_be_in_set" and col == "fmt":
+            for v in sorted(cfg.kwargs["value_set"]):
+                rows.append(("image_onboarding_fmt_set", v, "fmt_value"))
+        if col in ("w", "h") and cfg.expectation_type in (
+            "expect_column_min_to_be_between",
+            "expect_column_max_to_be_between",
+        ):
+            metric = "min" if "min_to" in cfg.expectation_type else "max"
+            rows.append(
+                (
+                    "image_onboarding_bounds",
+                    f"{col}_{metric}",
+                    f"{int(cfg.kwargs['min_value'])}:{int(cfg.kwargs['max_value'])}",
+                )
+            )
     return spark.createDataFrame(rows, "tbl string, entity string, expectation string")
 
 
@@ -2350,7 +2396,106 @@ def _profiler_oracle_sql() -> str:
                 f"WHERE {nn} > 0 AND {dc} = {nn}"
             )
     parts.extend(_onboarding_oracle_parts())
-    return "\nUNION ALL\n".join(parts)
+    parts.extend(_image_onboarding_oracle_parts())
+    return f"WITH img AS ({_IMG_CTE})\n" + "\nUNION ALL\n".join(parts)
+
+
+# the same deterministic image-metadata derivation q_profiler builds in
+# Spark, recomputed by DuckDB from orders (bytes carries no decision weight
+# — it is excluded from metadata rules and only gates the payload roster)
+_IMG_CTE = """
+SELECT o_orderkey % 3 AS b,
+       'img-' || CAST(o_orderkey % 97 AS VARCHAR) AS image_id,
+       CAST(32 + (o_orderkey % 8) * 16 AS INT) AS w,
+       CAST(32 + (o_orderkey % 5) * 32 AS INT) AS h,
+       CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'bmp' ELSE 'gif' END AS fmt,
+       'caption ' || CAST(o_orderkey AS VARCHAR) AS caption,
+       o_orderkey AS phash
+FROM orders
+"""
+
+
+def _image_onboarding_oracle_parts() -> list[str]:
+    """image_onboarding_assistant(estimator='exact') decisions over the img
+    CTE, batch-split on b — the same admission logic as
+    _onboarding_oracle_parts plus: the payload roster (constant — every
+    image column exists), fmt's learned value set, and the exact w/h
+    min/max range bounds as value rows."""
+    t = "image_onboarding"
+    cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
+    numeric = ["w", "h", "phash"]
+    text = ["image_id", "fmt", "caption"]
+    parts = [
+        f"SELECT '{t}', '', 'expect_table_columns_to_match_set'",
+        f"SELECT '{t}', '', 'expect_table_row_count_to_be_between'",
+    ]
+    for c in cols:
+        nn = f"(SELECT count({c}) FROM img)"
+        nulls = f"(SELECT count(*) - count({c}) FROM img)"
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_values_to_be_unique' "
+            f"WHERE NOT EXISTS (SELECT 1 FROM (SELECT b, {c} AS v, count(*) AS cnt "
+            f"FROM img WHERE {c} IS NOT NULL GROUP BY 1, 2) WHERE cnt > 1)"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_values_to_be_null' WHERE {nn} = 0"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_values_to_not_be_null' "
+            f"WHERE {nulls} = 0"
+        )
+    for c in numeric:
+        nn = f"(SELECT count({c}) FROM img)"
+        for kind in ("min", "max", "mean", "median"):
+            parts.append(
+                f"SELECT '{t}', '{c}', 'expect_column_{kind}_to_be_between' "
+                f"WHERE {nn} > 0"
+            )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_stdev_to_be_between' "
+            f"WHERE (SELECT max(sd) FROM (SELECT stddev_samp({c}) AS sd FROM img "
+            f"GROUP BY b)) > 0"
+        )
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_quantile_values_to_be_between' "
+            f"WHERE {nn} > 0"
+        )
+    for c in text:
+        parts.append(
+            f"SELECT '{t}', '{c}', 'expect_column_value_lengths_to_be_between' "
+            f"WHERE (SELECT count({c}) FROM img) > 0"
+        )
+    for c in cols:
+        latest_dc = f"(SELECT count(DISTINCT {c}) FROM img WHERE b = 2)"
+        for e in (
+            "expect_column_values_to_be_in_set",
+            "expect_column_unique_value_count_to_be_between",
+        ):
+            parts.append(f"SELECT '{t}', '{c}', '{e}' WHERE {latest_dc} <= 100")
+    # the payload roster — emitted whenever the image columns exist
+    for e, c in (
+        ("expect_image_bytes_to_be_decodable", "bytes"),
+        ("expect_image_dims_to_match_metadata", "bytes"),
+        ("expect_image_fmt_to_match_metadata", "bytes"),
+        ("expect_image_phash_to_match", "bytes"),
+    ):
+        parts.append(f"SELECT '{t}', '{c}', '{e}'")
+    # fmt's learned value set (union over batches)
+    parts.append(
+        "SELECT 'image_onboarding_fmt_set', fmt, 'fmt_value' "
+        "FROM (SELECT DISTINCT fmt FROM img)"
+    )
+    # exact-estimator w/h bounds: range over the per-batch metric history
+    for c in ("w", "h"):
+        for kind in ("min", "max"):
+            parts.append(
+                f"SELECT 'image_onboarding_bounds', '{c}_{kind}', "
+                f"CAST(CAST(min(bv) AS BIGINT) AS VARCHAR) || ':' || "
+                f"CAST(CAST(max(bv) AS BIGINT) AS VARCHAR) "
+                f"FROM (SELECT {kind}({c}) AS bv FROM img GROUP BY b)"
+            )
+    return parts
 
 
 def _onboarding_oracle_parts() -> list[str]:
