@@ -1,0 +1,337 @@
+"""Randomized differential fuzzing vs DuckDB — a property layer the golden
+corpus can't give (it only replays the reference's chosen cases): random
+small schemas × random expectation kwargs drawn from per-expectation
+grammars, with the oracle SQL emitted by the SAME generator, EVRs compared
+case by case. Seeded and deterministic."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from great_expectations_spark import ExpectationSuite, validate
+
+SEED = 20260818
+N_DATASETS = 30
+EXP_PER_SUITE = 8  # 30 x 8 = 240 fuzz cases
+WORDS = ["alpha", "beta", "gamma", "delta", "Epsilon", "zeta01", "", "x y"]
+
+
+def _gen_rows(rng: random.Random, n: int):
+    rows = []
+    for _ in range(n):
+        i = None if rng.random() < 0.12 else rng.randrange(-5, 20)
+        f = None if rng.random() < 0.10 else round(rng.uniform(-10.0, 10.0), 3)
+        s = None if rng.random() < 0.15 else rng.choice(WORDS)
+        rows.append((i, f, s))
+    return rows
+
+
+def _duck(con, sql):
+    return con.execute(sql).fetchone()[0]
+
+
+def _sql_lit(v):
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+# ---------------------------------------------------------------------------
+# per-expectation grammars: each draw returns
+# (expectation_type, kwargs, kind, oracle) where oracle(con) gives the
+# expected core — for kind='map': (considered, unexpected, element_count);
+# for kind='agg': the exact/float observed value
+# ---------------------------------------------------------------------------
+
+
+def _bounds(rng, v_lo=-12.0, v_hi=22.0, ints=False):
+    a, b = sorted(rng.uniform(v_lo, v_hi) for _ in range(2))
+    if ints:
+        a, b = math.floor(a), math.ceil(b)
+    lo = None if rng.random() < 0.2 else a
+    hi = None if rng.random() < 0.2 else b
+    return lo, hi
+
+
+def _cond_between(col, lo, hi, strict_min, strict_max):
+    parts = []
+    if lo is not None:
+        parts.append(f"{col} {'>' if strict_min else '>='} {lo}")
+    if hi is not None:
+        parts.append(f"{col} {'<' if strict_max else '<='} {hi}")
+    return " AND ".join(parts) if parts else "TRUE"
+
+
+def g_between(rng):
+    col = rng.choice(["i", "f"])
+    lo, hi = _bounds(rng, ints=col == "i")
+    smin, smax = rng.random() < 0.25, rng.random() < 0.25
+    kwargs = {"column": col, "min_value": lo, "max_value": hi,
+              "strict_min": smin, "strict_max": smax}
+    cond = _cond_between(col, lo, hi, smin, smax)
+
+    def oracle(con):
+        nn = _duck(con, f"SELECT count({col}) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE {col} IS NOT NULL AND NOT ({cond})",
+        )
+        return nn, bad
+
+    return "expect_column_values_to_be_between", kwargs, oracle
+
+
+def _g_set(rng, negate):
+    col = rng.choice(["i", "s"])
+    pool = list(range(-5, 20)) if col == "i" else WORDS + ["missing"]
+    vs = rng.sample(pool, rng.randrange(1, 6))
+    kwargs = {"column": col, "value_set": vs}
+    inlist = ", ".join(_sql_lit(v) for v in vs)
+    op = "IN" if negate else "NOT IN"
+
+    def oracle(con):
+        nn = _duck(con, f"SELECT count({col}) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE {col} IS NOT NULL AND {col} {op} ({inlist})",
+        )
+        return nn, bad
+
+    t = "expect_column_values_to_not_be_in_set" if negate else "expect_column_values_to_be_in_set"
+    return t, kwargs, oracle
+
+
+def g_in_set(rng):
+    return _g_set(rng, negate=False)
+
+
+def g_not_in_set(rng):
+    return _g_set(rng, negate=True)
+
+
+def g_value_lengths(rng):
+    lo, hi = sorted(rng.randrange(0, 8) for _ in range(2))
+    kwargs = {"column": "s", "min_value": lo, "max_value": hi}
+
+    def oracle(con):
+        nn = _duck(con, "SELECT count(s) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE s IS NOT NULL "
+            f"AND NOT (length(s) >= {lo} AND length(s) <= {hi})",
+        )
+        return nn, bad
+
+    return "expect_column_value_lengths_to_be_between", kwargs, oracle
+
+
+def g_not_null(rng):
+    col = rng.choice(["i", "f", "s"])
+
+    def oracle(con):
+        n = _duck(con, "SELECT count(*) FROM t")
+        bad = _duck(con, f"SELECT count(*) - count({col}) FROM t")
+        return n, bad
+
+    return "expect_column_values_to_not_be_null", {"column": col}, oracle
+
+
+def g_be_null(rng):
+    col = rng.choice(["i", "f", "s"])
+
+    def oracle(con):
+        n = _duck(con, "SELECT count(*) FROM t")
+        bad = _duck(con, f"SELECT count({col}) FROM t")
+        return n, bad
+
+    return "expect_column_values_to_be_null", {"column": col}, oracle
+
+
+def g_like(rng):
+    pat = rng.choice(["a%", "%a%", "_lpha", "%01", "%z%"])
+    kwargs = {"column": "s", "like_pattern": pat}
+
+    def oracle(con):
+        nn = _duck(con, "SELECT count(s) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE s IS NOT NULL AND s NOT LIKE {_sql_lit(pat)}",
+        )
+        return nn, bad
+
+    return "expect_column_values_to_match_like_pattern", kwargs, oracle
+
+
+def g_regex(rng):
+    # dialect-safe subset: anchors + classes behave identically (partial
+    # match semantics on both sides: Spark RLIKE, DuckDB regexp_matches)
+    pat = rng.choice(["^a", "a$", "^[a-z]+$", "[0-9]", "^x y$"])
+    kwargs = {"column": "s", "regex": pat}
+
+    def oracle(con):
+        nn = _duck(con, "SELECT count(s) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE s IS NOT NULL "
+            f"AND NOT regexp_matches(s, {_sql_lit(pat)})",
+        )
+        return nn, bad
+
+    return "expect_column_values_to_match_regex", kwargs, oracle
+
+
+def g_unique(rng):
+    col = rng.choice(["i", "s"])
+
+    def oracle(con):
+        nn = _duck(con, f"SELECT count({col}) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM t "
+            f"WHERE {col} IS NOT NULL GROUP BY {col}) WHERE c > 1",
+        )
+        return nn, int(bad)
+
+    return "expect_column_values_to_be_unique", {"column": col}, oracle
+
+
+MAP_GENS = [g_between, g_in_set, g_not_in_set, g_value_lengths, g_not_null,
+            g_be_null, g_like, g_regex, g_unique]
+# map expectations that accept mostly (unique's engine path is groupBy-based
+# and fuzzed without it)
+MOSTLY_OK = {g_between, g_in_set, g_not_in_set, g_value_lengths, g_not_null,
+             g_be_null, g_like, g_regex}
+
+
+def _agg(rng, t, col, sql_fn, ints=False):
+    def oracle(con):
+        return _duck(con, f"SELECT {sql_fn} FROM t")
+
+    return t, {"column": col}, oracle
+
+
+AGG_SQL = {
+    "expect_column_min_to_be_between": "min({c})",
+    "expect_column_max_to_be_between": "max({c})",
+    "expect_column_mean_to_be_between": "avg({c})",
+    "expect_column_sum_to_be_between": "sum({c})",
+    "expect_column_stdev_to_be_between": "stddev_samp({c})",
+    "expect_column_median_to_be_between": "median({c})",
+    "expect_column_unique_value_count_to_be_between": "count(DISTINCT {c})",
+    "expect_column_proportion_of_unique_values_to_be_between":
+        "count(DISTINCT {c}) * 1.0 / count({c})",
+}
+
+
+def g_aggregate(rng):
+    t = rng.choice(list(AGG_SQL))
+    col = rng.choice(["i", "f"])
+    sql = AGG_SQL[t].format(c=col)
+
+    def oracle(con):
+        return _duck(con, f"SELECT {sql} FROM t")
+
+    return t, {"column": col}, oracle
+
+
+def g_row_count(rng):
+    def oracle(con):
+        return _duck(con, "SELECT count(*) FROM t")
+
+    return "expect_table_row_count_to_be_between", {}, oracle
+
+
+# ---------------------------------------------------------------------------
+
+
+def _finish_map_case(rng, t, kwargs, oracle):
+    mostly = None
+    if rng.random() < 0.4:
+        mostly = rng.choice([0.5, 0.8, 0.95])
+        kwargs = {**kwargs, "mostly": mostly}
+
+    def expect(con):
+        considered, bad = oracle(con)
+        if considered == 0:
+            success = True  # vacuous truth
+        elif mostly is None:
+            success = bad == 0
+        else:
+            success = (considered - bad) / considered >= mostly
+        return success, int(bad)
+
+    return t, kwargs, "map", expect
+
+
+def _finish_agg_case(rng, t, kwargs, oracle):
+    def expect(con):
+        v = oracle(con)
+        if v is None:
+            return False, None
+        # bounds straddle the oracle value with a margin far above any
+        # cross-engine double noise, so expected success can't flip on ulps
+        lo = v - rng.choice([-0.5, 2.0, 5.0])
+        hi = v + rng.choice([-0.5, 2.0, 5.0])
+        if rng.random() < 0.25:
+            lo = None
+        if rng.random() < 0.25:
+            hi = None
+        ok_lo = lo is None or v >= lo
+        ok_hi = hi is None or v <= hi
+        kwargs["min_value"], kwargs["max_value"] = lo, hi
+        return (ok_lo and ok_hi), v
+
+    return t, kwargs, "agg", expect
+
+
+def _draw_case(rng):
+    r = rng.random()
+    if r < 0.6:
+        g = rng.choice(MAP_GENS)
+        return _finish_map_case(rng, *g(rng))
+    if r < 0.95:
+        return _finish_agg_case(rng, *g_aggregate(rng))
+    return _finish_agg_case(rng, *g_row_count(rng))
+
+
+@pytest.mark.parametrize("ds", range(N_DATASETS))
+def test_fuzz_differential_vs_duckdb(spark, ds):
+    rng = random.Random(SEED * 1000 + ds)
+    n = rng.randrange(40, 250)
+    rows = _gen_rows(rng, n)
+    df = spark.createDataFrame(rows, "i bigint, f double, s string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, f DOUBLE, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+
+    cases = [_draw_case(rng) for _ in range(EXP_PER_SUITE)]
+    suite = ExpectationSuite(f"fuzz-{ds}")
+    expected = []
+    for t, kwargs, kind, expect in cases:
+        exp = expect(con)  # agg cases fill bounds into kwargs here
+        suite.add(t, **kwargs)
+        expected.append((t, kwargs, kind, exp))
+
+    res = validate(df, suite, result_format="BASIC")
+    assert len(res.results) == len(cases)
+    for evr, (t, kwargs, kind, exp) in zip(res.results, expected):
+        label = f"ds={ds} {t} {kwargs}"
+        if kind == "map":
+            want_success, want_bad = exp
+            assert evr.result["unexpected_count"] == want_bad, label
+            assert evr.result["element_count"] == n, label
+            assert bool(evr.success) == want_success, label
+        else:
+            want_success, want_v = exp
+            got = evr.result.get("observed_value")
+            if want_v is None:
+                assert got is None and evr.success is False, label
+            else:
+                tol = 1e-9 * max(1.0, abs(want_v))
+                assert got is not None and abs(got - want_v) <= tol, (
+                    f"{label}: {got} vs {want_v}"
+                )
+                assert bool(evr.success) == want_success, label
+    con.close()
