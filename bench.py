@@ -234,7 +234,161 @@ def bench_dedup(spark, n_docs: int) -> dict:
     return {"sec": dt, "rows": n_docs, "rows_per_sec": n_docs / dt, "pairs": n_pairs}
 
 
+def bench_streaming(spark) -> dict:
+    """Streaming evidence (VERDICT r3 #5): (1) per-micro-batch image-suite
+    validation throughput through validate_stream — the planner auto-wires
+    the Arrow decode for the un-enriched suite inside every micro-batch;
+    (2) streaming_dedup state behavior over a multi-phase run — within-TTL
+    suppression, state size vs live-key bound, processing-time expiry
+    (no-data micro-batches fire the timeouts), and re-emission after
+    expiry."""
+    import math
+    import shutil
+    import tempfile
+
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_dedup,
+        validate_stream,
+    )
+
+    out: dict = {}
+
+    # ---- (1) image suite per micro-batch --------------------------------
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_IMAGES", "400000"))
+    target_batches = 8
+    path = _images_path(spark, n)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    per_trigger = max(1, math.ceil(len(files) / target_batches))
+    schema = spark.read.parquet(path).schema
+    ck = tempfile.mkdtemp(prefix="ges_stream_ck_")
+    seen: list = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(path)
+    )
+    t0 = time.time()
+    q = validate_stream(
+        stream,
+        _image_suite(),
+        checkpoint_location=ck,
+        trigger={"availableNow": True},
+        on_result=lambda res, bid: seen.append(bool(res.success)),
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    batch_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
+    out["image_suite_stream"] = {
+        "rows": n,
+        "micro_batches": len(seen),
+        "suites_green": all(seen),
+        "wall_s": round(wall, 2),
+        "rows_per_sec": int(n / wall),
+        "median_batch_ms": batch_ms[len(batch_ms) // 2] if batch_ms else None,
+    }
+    shutil.rmtree(ck, ignore_errors=True)
+
+    # ---- (2) stateful dedup: suppression, state bound, TTL expiry -------
+    # TTL must comfortably span phases 1-2 (micro-batch latency on a loaded
+    # host) while keeping the expiry wait before phase 3 short. Timeouts
+    # are processed by micro-batches: the single no-data batch after phase 2
+    # runs BEFORE expiry, so the removal lands in phase 3's own batch —
+    # state_rows_final reflects it (expired keys dropped, phase-3 keys in).
+    K = int(os.environ.get("SPARK_GRAFT_STREAM_KEYS", "50000"))
+    ttl_s = 20
+    src = tempfile.mkdtemp(prefix="ges_stream_dedup_src_")
+    ck2 = tempfile.mkdtemp(prefix="ges_stream_dedup_ck_")
+
+    def write_keys(lo: int, hi: int) -> None:
+        spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+            F.col("id").alias("v"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def sink_count() -> int:
+        return spark.sql("SELECT count(*) FROM ges_dedup_bench").collect()[0][0]
+
+    def wait_rows(want: int, timeout: float = 180.0) -> int:
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if sink_count() >= want:
+                time.sleep(2.0)  # settle: catch over-emission too
+                return sink_count()
+            time.sleep(0.25)
+        raise TimeoutError(f"sink stuck below {want} rows ({sink_count()})")
+
+    def last_state_rows() -> int | None:
+        for p in reversed(q2.recentProgress):
+            if p.get("stateOperators"):
+                return p["stateOperators"][0]["numRowsTotal"]
+        return None
+
+    write_keys(0, K)  # phase 1: all new
+    stream2 = (
+        spark.readStream.schema("key string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.time()
+    q2 = (
+        streaming_dedup(stream2, "key", state_ttl=f"{ttl_s} seconds")
+        .writeStream.format("memory")
+        .queryName("ges_dedup_bench")
+        .outputMode("append")
+        .option("checkpointLocation", ck2)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    wait_rows(K)
+    write_keys(K // 2, 3 * K // 2)  # phase 2: half dup-within-TTL, half new
+    after_p2 = wait_rows(3 * K // 2)
+    phase2_s = time.time() - t0
+    suppressed = 2 * K - after_p2
+    state_peak = max(
+        (p["stateOperators"][0]["numRowsTotal"] for p in q2.recentProgress
+         if p.get("stateOperators")),
+        default=None,
+    )
+    time.sleep(ttl_s + 6)  # let every key's TTL lapse
+    write_keys(0, K)  # phase 3: keys whose state expired must RE-emit
+    final = wait_rows(after_p2 + K)
+    total_wall = time.time() - t0
+    state_final = last_state_rows()
+    q2.stop()
+    out["stateful_dedup_stream"] = {
+        "keys_per_phase": K,
+        "input_rows": 3 * K,
+        "emitted_rows": final,
+        "dup_suppressed_within_ttl": suppressed,
+        "reemitted_after_ttl_expiry": final - after_p2,
+        "state_rows_peak": state_peak,
+        "state_rows_after_expiry_batch": state_final,
+        "state_ttl_s": ttl_s,
+        "phase12_rows_per_sec": int(2 * K / phase2_s),
+        "wall_s": round(total_wall, 2),
+        "ok": bool(
+            suppressed == K // 2          # within-TTL dups suppressed
+            and final == 5 * K // 2       # expired keys re-emitted, exactly
+            and state_peak is not None
+            and state_peak <= 3 * K // 2  # state bounded by live keys
+            and (state_final or 0) <= 3 * K // 2  # expiry removed dead keys
+        ),
+    }
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck2, ignore_errors=True)
+    return out
+
+
 def main() -> None:
+    if "--streaming" in sys.argv:
+        spark = make_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        bench_images(spark, 5000)  # warm codegen + python workers
+        print(json.dumps(bench_streaming(spark)))
+        spark.stop()
+        return
+
     if "--scaling-dedup" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "480000"))
         out = {}

@@ -206,6 +206,213 @@ def span_trial(spark: SparkSession, docs: int) -> dict:
     }
 
 
+def ivfpq_trial(
+    spark: SparkSession, vectors: int, dim: int = 32, n_queries: int = 8
+) -> dict:
+    """IVF-PQ at 5M synthetic vectors (Trial 3): high-entropy sin-derived
+    points plus 10 PLANTED groups of 11 near-identical vectors (0.03
+    perturbation around a shared anchor — mutual true nearest neighbors,
+    cosine ~0.999 vs <=~0.5 for random pairs), all generated from `id`
+    (exactly reproducible). Queries are the group anchors, so the exact
+    top-10 is unambiguous AND separated at code resolution — an earlier
+    draft ranked same-cluster jitter below quantization resolution, which
+    measures ADC tie-breaking, not the index. Measures pq_encode
+    throughput, shortlist candidate recall (true top-10 inside the ADC
+    top-100 — the bound on the shortlist+exact-rerank pipeline), and IVF
+    probe fidelity at 8/64 lists."""
+    from great_expectations_spark.operators import similarity as sim
+
+    n_clusters = 64
+    group_step = max(11, vectors // 10)  # 10 planted groups
+    idc = F.col("id").cast("double")
+    member = (F.col("id") % group_step) < 11
+    anchor = (F.col("id") - (F.col("id") % group_step)).cast("double")
+    base_id = F.when(member, anchor).otherwise(idc)
+    # incommensurate pseudo-random frequencies per dim — an arithmetic
+    # progression (first draft) makes the id->vector curve a 1-D torus walk
+    # with near-resonances (ids ~1700 apart at cosine 0.9998), polluting
+    # the exact top-10 with non-planted neighbors
+    freqs = [0.37 + ((j * 2654435761) % 1000003) / 500001.5 for j in range(dim)]
+    pfreqs = [0.11 + ((j * 40503) % 65521) / 32760.5 for j in range(dim)]
+    dims = [
+        F.sin(base_id * F.lit(freqs[j]) + F.lit(float(j)))
+        + F.when(
+            member, F.lit(0.03) * F.sin(idc * F.lit(pfreqs[j]))
+        ).otherwise(F.lit(0.0))
+        for j in range(dim)
+    ]
+    emb = (
+        spark.range(vectors)
+        .repartition(64)
+        .select(F.col("id").alias("vec_id"), F.array(*dims).alias("embedding"))
+        .persist()
+    )
+    emb.count()  # materialize: measure the operators, not the generator
+
+    t0 = time.monotonic()
+    books = sim.train_pq_codebooks(emb, m=8, k=256, sample_size=20_000, seed=11)
+    cents = sim.train_ivf_centroids(emb, n_centroids=n_clusters, sample_size=20_000, seed=11)
+    train_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    index = (
+        sim.pq_encode(sim.ivf_assign(emb, cents), books)
+        .select("vec_id", "centroid_id", "pq_code")  # raw vectors DROPPED
+        .persist()
+    )
+    n_encoded = index.count()
+    encode_s = time.monotonic() - t0
+
+    # At billion scale PQ is a CANDIDATE GENERATOR: the ADC shortlist is
+    # exact-reranked. The metrics that matter are (a) candidate recall —
+    # the true top-10 inside the ADC top-100 shortlist, which bounds the
+    # recall of the full shortlist+rerank pipeline — and (b) probe
+    # fidelity — how much of the full-probe ADC ranking survives scanning
+    # only 8/64 inverted lists. Queries are planted-group anchors.
+    q_ids = [g * group_step for g in range(n_queries)]
+    q_rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(q_ids)).collect()
+    }
+    cand_rec = probe_fid = adc_rec = 0.0
+    t0 = time.monotonic()
+    for qid in q_ids:
+        qv = q_rows[qid]
+        exact = {r["vec_id"] for r in sim.brute_force_topk(emb, qv, k=10).collect()}
+        full100 = [
+            r["vec_id"]
+            for r in sim.ivfpq_topk(
+                index, cents, books, qv, k=100, n_probe=n_clusters
+            ).collect()
+        ]
+        probe10 = {
+            r["vec_id"]
+            for r in sim.ivfpq_topk(index, cents, books, qv, k=10, n_probe=8).collect()
+        }
+        cand_rec += len(exact & set(full100)) / 10.0
+        adc_rec += len(exact & set(full100[:10])) / 10.0
+        probe_fid += len(probe10 & set(full100[:10])) / 10.0
+    search_s = time.monotonic() - t0
+    cand_rec /= n_queries
+    adc_rec /= n_queries
+    probe_fid /= n_queries
+    emb.unpersist()
+    index.unpersist()
+
+    ok = n_encoded == vectors and cand_rec >= 0.9 and probe_fid >= 0.9
+    return {
+        "trial": "ivfpq_ann",
+        "vectors": vectors,
+        "dim": dim,
+        "m": 8,
+        "k": 256,
+        "train_s": round(train_s, 2),
+        "encode_s": round(encode_s, 2),
+        "encode_vectors_per_s": int(vectors / encode_s),
+        "queries": n_queries,
+        "candidate_recall_10_in_100": round(cand_rec, 3),
+        "probe_fidelity_8_of_64": round(probe_fid, 3),
+        "adc_recall_at_10": round(adc_rec, 3),
+        "search_s_total": round(search_s, 2),
+        "ok": ok,
+    }
+
+
+def token_budget_trial(spark: SparkSession, docs: int) -> dict:
+    """token_budget_sample at 5M docs / 3 sources (Trial 4): synthetic
+    (source, doc_id, n_tokens) rows — the scale path feeds a precomputed
+    token_count_col, so the trial measures the sampler, not a tokenizer.
+    Budgets force real selection on two sources (~40% of their total) and
+    keep-everything on the third. Checks are EXACT: per-source kept tokens
+    <= budget, undershoot < the source's max doc, keep-all where the budget
+    exceeds the total, no unbudgeted source, no doc kept twice, and two
+    same-seed runs keep the identical set."""
+    from great_expectations_spark.operators.text import token_budget_sample
+
+    base = (
+        spark.range(docs)
+        .repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+            (F.lit(50) + F.col("id") % 100).alias("n_tok"),
+        )
+        .persist()
+    )
+    base.count()
+    totals = {
+        r["source"]: (int(r["tot"]), int(r["mx"]))
+        for r in base.groupBy("source")
+        .agg(F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx"))
+        .collect()
+    }
+    budgets = {
+        "src0": int(totals["src0"][0] * 0.4),
+        "src1": int(totals["src1"][0] * 0.4),
+        "src2": totals["src2"][0] + 1_000_000,  # keep-everything path
+        # src3 unbudgeted: must not appear in the kept set
+    }
+
+    t0 = time.monotonic()
+    kept = token_budget_sample(
+        base, budgets, token_count_col="n_tok", seed=7
+    ).persist()
+    agg = {
+        r["source"]: (int(r["kt"]), int(r["n"]))
+        for r in kept.groupBy("source")
+        .agg(F.sum("n_tok").alias("kt"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wall = time.monotonic() - t0
+
+    violations = []
+    for s, b in budgets.items():
+        tot, mx = totals[s]
+        kt = agg.get(s, (0, 0))[0]
+        if kt > b:
+            violations.append(f"{s}: kept {kt} > budget {b}")
+        if tot <= b and kt != tot:
+            violations.append(f"{s}: keep-all expected {tot}, kept {kt}")
+        if tot > b and b - kt >= mx:
+            violations.append(f"{s}: undershoot {b - kt} >= max doc {mx}")
+    foreign = kept.filter(~F.col("source").isin(list(budgets))).count()
+    if foreign:
+        violations.append(f"{foreign} docs from unbudgeted sources")
+    dups = (
+        kept.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    if dups:
+        violations.append(f"{dups} docs kept twice")
+    kept2 = token_budget_sample(base, budgets, token_count_col="n_tok", seed=7)
+    mismatch = (
+        kept.select("doc_id")
+        .unionByName(kept2.select("doc_id"))
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    if mismatch:
+        violations.append(f"{mismatch} determinism mismatches")
+    kept_docs = sum(n for _, n in agg.values())
+    kept.unpersist()
+    base.unpersist()
+
+    return {
+        "trial": "token_budget_sample",
+        "docs": docs,
+        "sources": 4,
+        "budgeted_sources": 3,
+        "kept_docs": kept_docs,
+        "kept_tokens": {s: agg.get(s, (0, 0))[0] for s in budgets},
+        "budgets": budgets,
+        "violations": violations,
+        "select_wall_s": round(wall, 2),
+        "docs_per_s": int(docs / wall),
+        "ok": not violations,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -213,8 +420,12 @@ def main() -> int:
     ap.add_argument("--chain-nodes", type=int, default=2_097_152)
     ap.add_argument("--chain-len", type=int, default=512)
     ap.add_argument("--docs", type=int, default=5_000_000)
+    ap.add_argument("--vectors", type=int, default=5_000_000)
+    ap.add_argument("--budget-docs", type=int, default=5_000_000)
     ap.add_argument("--skip-clusters", action="store_true")
     ap.add_argument("--skip-spans", action="store_true")
+    ap.add_argument("--skip-ivfpq", action="store_true")
+    ap.add_argument("--skip-budget", action="store_true")
     args = ap.parse_args()
 
     spark = build_session(args.cpus)
@@ -227,6 +438,14 @@ def main() -> int:
         results.append(r)
     if not args.skip_spans:
         r = span_trial(spark, args.docs)
+        print(json.dumps(r))
+        results.append(r)
+    if not args.skip_ivfpq:
+        r = ivfpq_trial(spark, args.vectors)
+        print(json.dumps(r))
+        results.append(r)
+    if not args.skip_budget:
+        r = token_budget_trial(spark, args.budget_docs)
         print(json.dumps(r))
         results.append(r)
     print(json.dumps({"rehearsal_total_s": round(time.monotonic() - t0, 2)}))
