@@ -18,6 +18,16 @@ assistant over a batch split of the input (``--split-column`` + mod/hash/
 value ``--split-method``), bootstrapping range bounds from batch-to-batch
 history instead of pinning one batch; ``--rule-config cfg.yaml`` runs a
 reference-shaped RuleBasedProfiler config over the same split.
+
+Batch discovery (sources/discovery.py): instead of splitting one table,
+``--discover-hive`` / ``--discover-pattern`` treat ``--input`` as a
+partitioned layout root and feed the discovered batch list (sorted by
+``--discover-sort``, filtered by ``--discover-index``) to the multi-batch
+mode — e.g. profile the last five ``year=/month=`` partitions:
+
+    scripts/profile_suite.py --input s3a://bucket/events --output s.json \
+        --onboarding --discover-hive \
+        --discover-sort year:numeric,month:numeric --discover-index=-5:
 """
 
 from __future__ import annotations
@@ -77,7 +87,68 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random seed for bootstrap/kde")
     g.add_argument("--exclude-columns", default=None,
                    help="comma-separated columns the rules skip")
+    d = p.add_argument_group(
+        "batch discovery (multi-batch input from a partitioned layout — "
+        "sources/discovery.py; replaces --split-column)"
+    )
+    d.add_argument("--discover-hive", action="store_true",
+                   help="treat --input as a layout root: one batch per "
+                        "key=value partition directory")
+    d.add_argument("--discover-pattern", default=None,
+                   help="regex over paths relative to --input; named groups "
+                        "(or --discover-group-names) become batch "
+                        "identifiers")
+    d.add_argument("--discover-group-names", default=None,
+                   help="comma-separated group names for the regex")
+    d.add_argument("--discover-sort", default=None,
+                   help="comma list key[:type][:desc], e.g. "
+                        "'year:numeric,month:numeric' — first key is the "
+                        "primary sort")
+    d.add_argument("--discover-index", default=None,
+                   help="data_connector_query index over the sorted batch "
+                        "list, e.g. '-5:' for the five most recent")
     return p
+
+
+def _parse_sorters(spec: str) -> list[dict]:
+    out = []
+    for part in spec.split(","):
+        bits = part.split(":")
+        cfg = {"key": bits[0]}
+        for b in bits[1:]:
+            if b in ("asc", "desc"):
+                cfg["orderby"] = b
+            else:
+                cfg["type"] = b
+        out.append(cfg)
+    return out
+
+
+def _discovered_batches(spark, args):
+    from great_expectations_spark.sources.discovery import (
+        discover_batches,
+        load_discovered_batches,
+    )
+
+    defs = discover_batches(
+        args.input,
+        args.discover_pattern,
+        args.discover_group_names.split(",") if args.discover_group_names else None,
+        hive=args.discover_hive,
+        spark=spark,
+        sorters=_parse_sorters(args.discover_sort) if args.discover_sort else None,
+        data_connector_query=(
+            {"index": args.discover_index} if args.discover_index else None
+        ),
+    )
+    if not defs:
+        raise SystemExit(f"discovery matched nothing under {args.input!r}")
+    print(
+        f"discovered {len(defs)} batches: "
+        + ", ".join(str(d.batch_identifiers) for d in defs[:8])
+        + (" ..." if len(defs) > 8 else "")
+    )
+    return load_discovered_batches(spark, defs)
 
 
 def _split_batches(df, args):
@@ -118,18 +189,30 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("ges-profile").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    spec = BatchSpec(
-        table=args.input if args.table else None,
-        path=None if args.table else args.input,
-        snapshot_id=args.snapshot_id,
-    )
-    df = load_batch(spark, spec)
+    discovering = bool(args.discover_hive or args.discover_pattern)
+    multi_batch = bool(args.rule_config or args.onboarding or args.image_onboarding)
+    if discovering and not multi_batch:
+        raise SystemExit(
+            "--discover-* needs a multi-batch mode "
+            "(--onboarding / --image-onboarding / --rule-config)"
+        )
+    if discovering:
+        df = None
+        batches = _discovered_batches(spark, args)
+    else:
+        spec = BatchSpec(
+            table=args.input if args.table else None,
+            path=None if args.table else args.input,
+            snapshot_id=args.snapshot_id,
+        )
+        df = load_batch(spark, spec)
+        batches = None
     if args.rule_config:  # noqa: SIM114 — distinct assistants below
         from great_expectations_spark.rule_profiler import RuleBasedProfiler
         from great_expectations_spark.sources.checkpoint_config import _load_file
 
         profiler = RuleBasedProfiler.from_config(_load_file(args.rule_config))
-        suite = profiler.run(_split_batches(df, args))
+        suite = profiler.run(batches if batches is not None else _split_batches(df, args))
         suite.name = args.name
     elif args.onboarding or args.image_onboarding:
         from great_expectations_spark.rule_profiler import (
@@ -142,7 +225,7 @@ def main(argv=None) -> int:
             else onboarding_assistant
         )
         suite = assistant(
-            _split_batches(df, args),
+            batches if batches is not None else _split_batches(df, args),
             name=args.name,
             estimator=args.estimator,
             false_positive_rate=args.fpr,

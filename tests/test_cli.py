@@ -356,3 +356,53 @@ def test_cli_profile_suite_onboarding_and_rule_config(tmp_path):
     assert cfg_row["kwargs"]["min_value"] <= cfg_row["kwargs"]["max_value"]
     # the two mod-batches partition the 150-row table
     assert cfg_row["kwargs"]["min_value"] + cfg_row["kwargs"]["max_value"] >= 100
+
+
+def test_cli_profile_suite_discovery(spark, tmp_path):
+    """--discover-hive turns a partitioned layout root into the onboarding
+    assistant's batch list: sorted by the --discover-sort keys, filtered to
+    the --discover-index most recent — the 'profile the last N partitions
+    of s3://...' idiom end-to-end through the CLI."""
+    base = str(tmp_path / "lay" / "events")
+    rows = []
+    for b, (y, m) in enumerate([(2023, 12), (2024, 1), (2024, 2)]):
+        rows += [(y, m, b * 100 + i, float(10 * b + i % 7)) for i in range(40)]
+    spark.createDataFrame(
+        rows, "year int, month int, id long, score double"
+    ).repartition(2).write.partitionBy("year", "month").parquet(base)
+
+    out_path = tmp_path / "disc.json"
+    r = subprocess.run(
+        [
+            sys.executable, f"{REPO}/scripts/profile_suite.py",
+            "--input", base, "--output", str(out_path), "--name", "disc",
+            "--onboarding", "--estimator", "exact",
+            "--discover-hive",
+            "--discover-sort", "year:numeric,month:numeric",
+            "--discover-index=-2:",  # '=' form: argparse reads bare '-2:' as a flag
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "discovered 2 batches" in r.stdout, r.stdout
+    suite = json.loads(out_path.read_text())
+    types = {c["expectation_type"] for c in suite["expectations"]}
+    assert "expect_column_values_to_be_unique" in types
+    # exact estimator over the two 2024 batches only: the score range
+    # floor is batch-2024-01's min (10), not 2023-12's (0)
+    mins = [
+        c["kwargs"]["min_value"] for c in suite["expectations"]
+        if c["expectation_type"] == "expect_column_min_to_be_between"
+        and c["kwargs"]["column"] == "score"
+    ]
+    assert mins == [10.0], mins
+
+    # discovery without a multi-batch mode is a usage error
+    r2 = subprocess.run(
+        [
+            sys.executable, f"{REPO}/scripts/profile_suite.py",
+            "--input", base, "--output", str(out_path), "--discover-hive",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r2.returncode != 0 and "multi-batch mode" in r2.stderr
