@@ -340,22 +340,28 @@ def bench_streaming(spark) -> dict:
         .trigger(processingTime="500 milliseconds")
         .start()
     )
-    wait_rows(K)
-    write_keys(K // 2, 3 * K // 2)  # phase 2: half dup-within-TTL, half new
-    after_p2 = wait_rows(3 * K // 2)
-    phase2_s = time.time() - t0
-    suppressed = 2 * K - after_p2
-    state_peak = max(
-        (p["stateOperators"][0]["numRowsTotal"] for p in q2.recentProgress
-         if p.get("stateOperators")),
-        default=None,
-    )
-    time.sleep(ttl_s + 6)  # let every key's TTL lapse
-    write_keys(0, K)  # phase 3: keys whose state expired must RE-emit
-    final = wait_rows(after_p2 + K)
-    total_wall = time.time() - t0
-    state_final = last_state_rows()
-    q2.stop()
+    try:
+        wait_rows(K)
+        write_keys(K // 2, 3 * K // 2)  # phase 2: half dup-in-TTL, half new
+        after_p2 = wait_rows(3 * K // 2)
+        phase2_s = time.time() - t0
+        suppressed = 2 * K - after_p2
+        state_peak = max(
+            (p["stateOperators"][0]["numRowsTotal"] for p in q2.recentProgress
+             if p.get("stateOperators")),
+            default=None,
+        )
+        time.sleep(ttl_s + 6)  # let every key's TTL lapse
+        write_keys(0, K)  # phase 3: keys whose state expired must RE-emit
+        final = wait_rows(after_p2 + K)
+        total_wall = time.time() - t0
+        state_final = last_state_rows()
+    finally:
+        # a wait_rows timeout (loaded host) must not leave the 500ms-trigger
+        # query running and the temp dirs/sink behind for the next attempt
+        q2.stop()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck2, ignore_errors=True)
     out["stateful_dedup_stream"] = {
         "keys_per_phase": K,
         "input_rows": 3 * K,
@@ -375,8 +381,6 @@ def bench_streaming(spark) -> dict:
             and (state_final or 0) <= 3 * K // 2  # expiry removed dead keys
         ),
     }
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck2, ignore_errors=True)
     return out
 
 

@@ -52,6 +52,26 @@ def _dom_col(dom: Column, col: Column) -> Column:
     return F.when(dom, col)
 
 
+def _validate_rel_err(value: Any) -> float:
+    """allow_relative_error must be a real number in [0, 1) — the
+    reference's Spark engine raises on anything else
+    (column_quantile_values.py allow_relative_error handling); a silently
+    accepted True would mean accuracy=1 (~100% error) and garbage
+    observed values."""
+    if value is None:
+        return 0.0
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        raise ValueError(
+            f"allow_relative_error must be a number in [0, 1), got {value!r}"
+        )
+    v = float(value)
+    if not (0.0 <= v < 1.0):
+        raise ValueError(
+            f"allow_relative_error must be in [0, 1), got {value!r}"
+        )
+    return v
+
+
 def _simple_agg(metric: str, fn: Callable[[Column], Column]):
     def build(kwargs: dict, dom: Column, reg: RegFn) -> DecideFn:
         name = kwargs["column"]
@@ -64,7 +84,7 @@ def _simple_agg(metric: str, fn: Callable[[Column], Column]):
 def _build_median(kwargs: dict, dom: Column, reg: RegFn) -> DecideFn:
     name = kwargs["column"]
     col = _dom_col(dom, F.col(name))
-    rel_err = kwargs.get("allow_relative_error") or 0
+    rel_err = _validate_rel_err(kwargs.get("allow_relative_error"))
     if rel_err > 0:
         # Greenwald-Khanna mergeable sketch — the scale path: Spark's exact
         # percentile is an ObjectHashAggregate that buffers EVERY value of
@@ -99,10 +119,10 @@ def _build_quantile_values(kwargs: dict, dom: Column, reg: RegFn) -> DecideFn:
     qr = kwargs["quantile_ranges"]
     quantiles = list(qr["quantiles"])
     value_ranges = list(qr["value_ranges"])
-    rel_err = kwargs.get("allow_relative_error", 0.0)
+    rel_err = _validate_rel_err(kwargs.get("allow_relative_error"))
     pct = F.array(*[F.lit(float(x)) for x in quantiles])
     col = _dom_col(dom, F.col(name))
-    if rel_err and rel_err > 0:
+    if rel_err > 0:
         # Greenwald-Khanna/KLL-style mergeable approximate quantiles — the
         # scale path (single-pass, no sort; reference uses
         # df.approxQuantile at column_quantile_values.py:177-208)

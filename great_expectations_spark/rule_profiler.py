@@ -483,10 +483,17 @@ class _RuleMetricEngine:
             return
         self._values = []
         for df in self.batches:
-            # exact-percentile requests are scale-gated per batch: one cheap
-            # count (parquet row-group metadata) decides exact vs GK sketch
+            # exact-percentile requests are scale-gated per batch. The probe
+            # is a LIMIT(threshold+1) count, not a full count: batches that
+            # are derived DataFrames (filter splits, CSV inputs) would pay a
+            # full lineage recomputation for a plain count, while the limit
+            # short-circuits once threshold+1 rows are seen — for the huge
+            # batches that actually route to the sketch, the probe stops
+            # early; for small batches it costs what a count costs
             approx = bool(
-                self._routed_aliases and df.count() > MEDIAN_EXACT_MAX_ROWS
+                self._routed_aliases
+                and df.limit(MEDIAN_EXACT_MAX_ROWS + 1).count()
+                > MEDIAN_EXACT_MAX_ROWS
             )
             self._approx_batches.append(approx)
             row: dict[str, Any] = {}

@@ -86,6 +86,10 @@ class BatchDefinition:
     batch_identifiers: dict[str, str]
     base_path: str
     data_references: tuple[str, ...] = ()
+    # set by discover_batches when the files' single parent directory
+    # contains NOTHING but this batch's files (verified against the full
+    # listing) — only then may the spec point at the directory
+    dir_exclusive: bool = False
 
     @property
     def paths(self) -> list[str]:
@@ -93,11 +97,14 @@ class BatchDefinition:
         return [f"{base}/{r}" for r in self.data_references]
 
     def to_batch_spec(self, **passthrough: Any) -> BatchSpec:
-        """BatchSpec for this batch. If every grouped file sits directly in
-        one common directory, the spec points at that DIRECTORY (Spark scans
-        it natively, partition-pruned); otherwise at the explicit file
-        list. The reader method, unless pinned, is guessed from the FILE
-        names (a partition directory itself has no extension)."""
+        """BatchSpec for this batch. The spec points at the common parent
+        DIRECTORY only when discovery VERIFIED the directory holds exactly
+        this batch's files (``dir_exclusive`` — e.g. a Hive partition dir);
+        otherwise at the explicit file list — a directory scan would sweep
+        in sibling batches' files or unmatched files in flat layouts
+        (data/asset_2024_p1.csv next to asset_2025_p1.csv). The reader
+        method, unless pinned, is guessed from the FILE names (a partition
+        directory itself has no extension)."""
         from great_expectations_spark.sources.batch import (
             guess_reader_method_from_path,
         )
@@ -111,11 +118,11 @@ class BatchDefinition:
                 }
             except ValueError:
                 pass  # extensionless files: leave it to load-time guessing
-        parents = {p.rsplit("/", 1)[0] for p in paths}
-        if len(parents) == 1 and len(paths) > 1:
-            return BatchSpec(path=next(iter(parents)), **passthrough)
         if len(paths) == 1:
             return BatchSpec(path=paths[0], **passthrough)
+        parents = {p.rsplit("/", 1)[0] for p in paths}
+        if self.dir_exclusive and len(parents) == 1:
+            return BatchSpec(path=next(iter(parents)), **passthrough)
         return BatchSpec(path=sorted(paths), **passthrough)
 
 
@@ -217,6 +224,21 @@ def discover_batches(
         else:
             bd.data_references = bd.data_references + (rel,)
     defs = list(grouped.values())
+    # directory-exclusivity check against the FULL listing (matched or
+    # not): a batch may be loaded by directory only if its files' single
+    # parent holds no other listed file
+    per_dir: dict[str, int] = {}
+    for rel in refs:
+        d = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        per_dir[d] = per_dir.get(d, 0) + 1
+    for bd in defs:
+        parents = {
+            r.rsplit("/", 1)[0] if "/" in r else "" for r in bd.data_references
+        }
+        if len(parents) == 1:
+            bd.dir_exclusive = per_dir[next(iter(parents))] == len(
+                bd.data_references
+            )
     if sorters:
         defs = sort_batch_definitions(defs, sorters)
     if data_connector_query:

@@ -55,6 +55,17 @@ def test_median_allow_relative_error_scale_path(nums):
     assert evr.success
     assert evr.result["observed_value"] in (2.0, 3.0)
     assert evr.result["details"]["method"] == "percentile_approx(accuracy=1000)"
+    # invalid allow_relative_error values fail the expectation loudly (a
+    # silently accepted True would mean accuracy=1, ~100% rel err)
+    for bad in (True, -0.1, 1.0, "0.001"):
+        evr = run_one(
+            nums,
+            "expect_column_median_to_be_between",
+            column="v", min_value=0, max_value=10,
+            allow_relative_error=bad,
+        )
+        assert not evr.success
+        assert "allow_relative_error" in str(evr.exception_info), bad
     evr = run_one(
         nums,
         "expect_column_quantile_values_to_be_between",

@@ -41,12 +41,12 @@ def _idents(defs):
 
 def test_hive_discovery_groups_part_files(spark, layout):
     defs = discover_batches(layout, hive=True, spark=spark)
+    # the listing is sorted, so grouping (insertion) order is deterministic
     assert _idents(defs) == [
         {"year": "2023", "month": "12"},
         {"year": "2024", "month": "1"},
         {"year": "2024", "month": "2"},
-    ] or len(defs) == 3  # listing order is sorted; 3 partitions either way
-    assert len(defs) == 3
+    ]
     # each partition holds >1 part file but is ONE batch, spec'd by its dir
     bd = [d for d in defs if d.batch_identifiers == {"year": "2024", "month": "1"}][0]
     assert len(bd.data_references) >= 2
@@ -195,6 +195,35 @@ def test_multi_dir_batch_spec_list_path(spark, layout):
     df = load_batch(spark, spec)
     assert df.count() == 120
     assert isinstance(spec.batch_id, str)  # list paths hash deterministically
+
+
+def test_flat_layout_never_loads_by_directory(spark, tmp_path):
+    """Batches whose files share a parent directory WITH OTHER batches'
+    files (flat layouts) must load by explicit file list — a directory
+    spec would sweep sibling batches' rows into the batch."""
+    base = tmp_path / "flat"
+    base.mkdir()
+    for year, lo in (("2024", 0), ("2024", 30), ("2025", 60)):
+        part = "p1" if lo in (0, 60) else "p2"
+        spark.range(lo, lo + 30).selectExpr("id").coalesce(1).write.parquet(
+            str(tmp_path / f"stage_{year}_{part}_{lo}")
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        (src,) = _glob.glob(str(tmp_path / f"stage_{year}_{part}_{lo}" / "*.parquet"))
+        _shutil.copy(src, str(base / f"asset_{year}_{part}_{lo}.parquet"))
+    defs = discover_batches(
+        str(base), r"asset_(?P<year>\d+)_p\d+_\d+\.parquet$", ["year"]
+    )
+    by_year = {d.batch_identifiers["year"]: d for d in defs}
+    y2024 = by_year["2024"]
+    assert len(y2024.data_references) == 2 and not y2024.dir_exclusive
+    spec = y2024.to_batch_spec()
+    assert isinstance(spec.path, list), "flat layout must not collapse to dir"
+    assert load_batch(spark, spec).count() == 60  # 2025's 30 rows excluded
+    # single-file batches load by file either way
+    assert load_batch(spark, by_year["2025"].to_batch_spec()).count() == 30
 
 
 def test_checkpoint_batches_section(spark, layout, tmp_path):

@@ -197,12 +197,11 @@ def g_unique(rng):
     return "expect_column_values_to_be_unique", {"column": col}, oracle
 
 
+# every map generator is fuzzed with and without `mostly` (the uniqueness
+# path is groupBy-based but shares the (considered - unexpected)/considered
+# success rule — verified by the passing unique+mostly draws)
 MAP_GENS = [g_between, g_in_set, g_not_in_set, g_value_lengths, g_not_null,
             g_be_null, g_like, g_regex, g_unique]
-# map expectations that accept mostly (unique's engine path is groupBy-based
-# and fuzzed without it)
-MOSTLY_OK = {g_between, g_in_set, g_not_in_set, g_value_lengths, g_not_null,
-             g_be_null, g_like, g_regex}
 
 
 def _agg(rng, t, col, sql_fn, ints=False):
