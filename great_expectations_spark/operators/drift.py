@@ -131,7 +131,7 @@ def _partition_filtered(planner, ctx):
 
 
 def _observed_counts_or_exact(
-    planner, ctx, gb, column: str, values: list
+    planner, ctx, gb, column: str, values: list, rc_dom=None
 ) -> tuple[dict, int, Optional[dict]]:
     """(observed_counts, nonnull, truncation_details|None) for categorical
     deciders — global or, when ``ctx.is_partition``, restricted to one
@@ -152,6 +152,10 @@ def _observed_counts_or_exact(
         }
     else:
         base, trunc_note = planner.df, {}
+    if rc_dom is not None:
+        # keep the exact fallback on the same row_condition domain the
+        # shared groupBy pass was computed over
+        base = base.filter(rc_dom)
     aligned, extra_rows, extra_distinct, nonnull = _exact_categorical_counts(
         base, column, values
     )
@@ -320,14 +324,16 @@ def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
             raise ValueError("Internal weight holdout cannot be used for discrete data.")
         values = list(po["values"])
         weights = list(po["weights"])
+        rc_dom, rc_id = planner._rc_domain(cfg)
         key = planner._need_groupby(
-            (column,), drop_nulls=True, want_top=True, want_partition_top=True
+            (column,), drop_nulls=True, dom=rc_dom, rc_id=rc_id,
+            want_top=True, want_partition_top=True,
         )
 
         def decide(ctx) -> tuple[bool, dict]:
             gb = ctx.groupby[key]
             observed_counts, nonnull, trunc = _observed_counts_or_exact(
-                planner, ctx, gb, column, values
+                planner, ctx, gb, column, values, rc_dom=rc_dom
             )
             if ctx.is_partition and not observed_counts and nonnull == 0:
                 return True, {"observed_value": None}
@@ -408,14 +414,16 @@ def _compile_chi_square(planner: Any, cfg: ExpectationConfiguration) -> None:
     tail_holdout = float(kw.get("tail_weight_holdout", 0.0))
     values = list(po["values"])
     weights = list(po["weights"])
+    rc_dom, rc_id = planner._rc_domain(cfg)
     key = planner._need_groupby(
-        (column,), drop_nulls=True, want_top=True, want_partition_top=True
+        (column,), drop_nulls=True, dom=rc_dom, rc_id=rc_id,
+        want_top=True, want_partition_top=True,
     )
 
     def decide(ctx) -> tuple[bool, dict]:
         gb = ctx.groupby[key]
         observed_counts, nonnull, trunc = _observed_counts_or_exact(
-            planner, ctx, gb, column, values
+            planner, ctx, gb, column, values, rc_dom=rc_dom
         )
         if ctx.is_partition and not observed_counts and nonnull == 0:
             return True, {"observed_value": None}
@@ -645,14 +653,16 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
 
     if is_categorical_partition(po):
         values = list(po["values"])
+        rc_dom, rc_id = planner._rc_domain(cfg)
         key = planner._need_groupby(
-            (column,), drop_nulls=True, want_top=True, want_partition_top=True
+            (column,), drop_nulls=True, dom=rc_dom, rc_id=rc_id,
+            want_top=True, want_partition_top=True,
         )
 
         def decide(ctx) -> tuple[bool, dict]:
             gb = ctx.groupby[key]
             observed_counts, p_nonnull, trunc = _observed_counts_or_exact(
-                planner, ctx, gb, column, values
+                planner, ctx, gb, column, values, rc_dom=rc_dom
             )
             if ctx.is_partition and not observed_counts and p_nonnull == 0:
                 return True, {"observed_value": None}
@@ -741,8 +751,10 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
     kw = cfg.kwargs
     a, b = kw["column_A"], kw["column_B"]
     threshold = float(kw.get("threshold", 0.1))
+    rc_dom, rc_id = planner._rc_domain(cfg)
     key = planner._need_groupby(
-        (a, b), drop_nulls=True, want_top=True, want_partition_top=True
+        (a, b), drop_nulls=True, dom=rc_dom, rc_id=rc_id,
+        want_top=True, want_partition_top=True,
     )
 
     def decide(ctx) -> tuple[bool, dict]:

@@ -98,6 +98,8 @@ def _caster_for(df: DataFrame, column: Optional[str]) -> Callable[[str], Any]:
 class _GroupByNeed:
     cols: tuple[str, ...]
     drop_nulls: bool = False
+    # row_condition pre-filter (None = whole table); part of the need key
+    dom: Optional[Column] = None
     want_dup_stats: bool = False
     want_top: bool = False
     want_dup_sample: bool = False
@@ -218,10 +220,20 @@ class SuitePlanner:
             self._pre_aggs[alias] = expr.alias(alias)
         return alias
 
-    def _need_groupby(self, cols: tuple[str, ...], drop_nulls: bool, **wants: bool) -> tuple:
-        key = (cols, drop_nulls)
+    def _need_groupby(
+        self,
+        cols: tuple[str, ...],
+        drop_nulls: bool,
+        dom: Optional[Column] = None,
+        rc_id: str = "whole",
+        **wants: bool,
+    ) -> tuple:
+        # keyed by the ROW-CONDITION identity (not the full domain_id, which
+        # hashes `column` too) so same-column expectations without a
+        # row_condition keep sharing one groupBy pass
+        key = (cols, drop_nulls, rc_id)
         need = self._groupby_needs.setdefault(
-            key, _GroupByNeed(cols=cols, drop_nulls=drop_nulls)
+            key, _GroupByNeed(cols=cols, drop_nulls=drop_nulls, dom=dom)
         )
         for k, v in wants.items():
             setattr(need, k, getattr(need, k) or v)
@@ -235,6 +247,20 @@ class SuitePlanner:
                 cfg.domain_id,
             )
         return F.lit(True), "whole"
+
+    def _rc_domain(self, cfg: ExpectationConfiguration) -> tuple[Optional[Column], str]:
+        """(filter column, stable id) for the cfg's row_condition alone —
+        (None, "whole") when absent. Feeds _need_groupby so groupBy-backed
+        expectations (uniqueness, distinct-set, most-common) compute their
+        groups over the SAME domain their element_count uses."""
+        rc = cfg.kwargs.get("row_condition")
+        if not rc:
+            return None, "whole"
+        parser = cfg.kwargs.get("condition_parser", "spark")
+        return (
+            translate_row_condition(rc, parser),
+            deterministic_id({"row_condition": rc, "condition_parser": parser}),
+        )
 
     # ---- compilation -----------------------------------------------------
 
@@ -683,6 +709,8 @@ class SuitePlanner:
     def _run_groupby(self, df: DataFrame, need: _GroupByNeed) -> _GroupByResult:
         cols = [F.col(c) for c in need.cols]
         base = df
+        if need.dom is not None:
+            base = base.filter(need.dom)
         if need.drop_nulls:
             cond = cols[0].isNotNull()
             for c in cols[1:]:
@@ -931,8 +959,10 @@ def _partition_top_or_global(
 def _compile_distinct_set(planner: SuitePlanner, cfg: ExpectationConfiguration, mode: str) -> None:
     name = cfg.kwargs["column"]
     value_set = cfg.kwargs.get("value_set")
+    rc_dom, rc_id = planner._rc_domain(cfg)
     key = planner._need_groupby(
-        (name,), drop_nulls=True, want_top=True, want_partition_top=True
+        (name,), drop_nulls=True, dom=rc_dom, rc_id=rc_id,
+        want_top=True, want_partition_top=True,
     )
 
     def decide(ctx: _Ctx) -> tuple[bool, dict]:
@@ -980,8 +1010,10 @@ def _compile_most_common(planner: SuitePlanner, cfg: ExpectationConfiguration) -
     name = cfg.kwargs["column"]
     value_set = set(cfg.kwargs.get("value_set") or [])
     ties_okay = bool(cfg.kwargs.get("ties_okay", False))
+    rc_dom, rc_id = planner._rc_domain(cfg)
     key = planner._need_groupby(
-        (name,), drop_nulls=True, want_top=True, want_partition_top=True
+        (name,), drop_nulls=True, dom=rc_dom, rc_id=rc_id,
+        want_top=True, want_partition_top=True,
     )
 
     def decide(ctx: _Ctx) -> tuple[bool, dict]:
@@ -1035,8 +1067,10 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
         ("approx_distinct", dom_id, ",".join(cols)),
         F.approx_count_distinct(F.when(dom, key_col), rsd=0.01),
     )
+    rc_dom, rc_id = planner._rc_domain(cfg)
     key = planner._need_groupby(
-        cols, drop_nulls=drop_nulls, want_dup_stats=True, want_dup_sample=True
+        cols, drop_nulls=drop_nulls, dom=rc_dom, rc_id=rc_id,
+        want_dup_stats=True, want_dup_sample=True,
     )
     rf = planner.rf
 

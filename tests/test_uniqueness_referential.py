@@ -261,3 +261,58 @@ def test_uniqueness_per_partition_verdicts(spark, orders):
         assert evr.result["unexpected_count"] == want, status
     total = sum(e.result["unexpected_count"] for e in res.partition_results)
     assert res.results[0].result["unexpected_count"] == total > 0
+
+
+def test_unique_respects_row_condition(spark):
+    """The groupBy pass must compute duplicates over the SAME row_condition
+    domain element_count uses — before the fix it counted whole-table dups
+    (element_count 3, unexpected 4, missing_count -2)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "b")], ["v", "g"]
+    )
+    evr = run_one(
+        df,
+        "expect_column_values_to_be_unique",
+        column="v",
+        row_condition="g = 'b'",
+        condition_parser="spark",
+    )
+    r = evr.result
+    assert r["element_count"] == 3
+    assert r["unexpected_count"] == 2  # the two 2s; the 1s are out of domain
+    assert r["missing_count"] == 0
+    assert r["details"]["distinct_count_exact"] == 2
+    assert evr.success is False
+
+    evr = run_one(
+        df,
+        "expect_compound_columns_to_be_unique",
+        column_list=["v", "g"],
+        row_condition="g = 'b'",
+        condition_parser="spark",
+    )
+    assert evr.result["element_count"] == 3
+    assert evr.result["unexpected_count"] == 2  # the two (2, b) rows
+
+    # groupBy-backed set/mode expectations restrict the observed values too
+    evr = run_one(
+        df,
+        "expect_column_distinct_values_to_equal_set",
+        column="v",
+        value_set=[2, 3],
+        row_condition="g = 'b'",
+        condition_parser="spark",
+    )
+    assert evr.success is True
+    assert evr.result["observed_value"] == [2, 3]
+
+    evr = run_one(
+        df,
+        "expect_column_most_common_value_to_be_in_set",
+        column="v",
+        value_set=[2],
+        row_condition="g = 'b'",
+        condition_parser="spark",
+    )
+    assert evr.success is True
+    assert evr.result["observed_value"] == [2]
