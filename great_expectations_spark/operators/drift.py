@@ -47,25 +47,32 @@ def _bin_condition(col: Column, lo: float, hi: float, is_last: bool) -> Column:
     return cond
 
 
-def register_histogram(planner: Any, column: str, bins: list[float], dom: Column) -> dict:
-    """Register below/bin/above count aliases in the bundled main pass."""
+def register_histogram(
+    planner: Any, column: str, bins: list[float], dom: Column, dom_id: str
+) -> dict:
+    """Register below/bin/above count aliases in the bundled main pass.
+
+    ``dom_id`` must discriminate the row_condition: the expressions fold
+    ``dom``, so keys without it would collide across expectations that
+    share a column but filter different domains (first registration wins).
+    """
     col = F.col(column)
     k = len(bins) - 1
     aliases = {
         "below": planner._reg(
-            ("hist.below", column, bins[0]),
+            ("hist.below", dom_id, column, bins[0]),
             F.count(F.when(dom & (col < F.lit(float(bins[0]))), F.lit(1))),
         ),
         "above": planner._reg(
-            ("hist.above", column, bins[-1]),
+            ("hist.above", dom_id, column, bins[-1]),
             F.count(F.when(dom & (col > F.lit(float(bins[-1]))), F.lit(1))),
         ),
         "nonnull": planner._reg(
-            ("nonnull", "whole", column), F.count(F.when(dom, col))
+            ("nonnull", dom_id, column), F.count(F.when(dom, col))
         ),
         "bins": [
             planner._reg(
-                ("hist.bin", column, bins[i], bins[i + 1], i == k - 1),
+                ("hist.bin", dom_id, column, bins[i], bins[i + 1], i == k - 1),
                 F.count(
                     F.when(dom & _bin_condition(col, bins[i], bins[i + 1], i == k - 1), F.lit(1))
                 ),
@@ -297,7 +304,7 @@ def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
     tail_holdout = kw.get("tail_weight_holdout", 0)
     internal_holdout = kw.get("internal_weight_holdout", 0)
     bucketize = kw.get("bucketize_data", True)
-    dom, _ = planner._domain(cfg)
+    dom, dom_id = planner._domain(cfg)
 
     if po is None:
         # profiling mode (reference resolves column.partition eagerly,
@@ -372,7 +379,7 @@ def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
     # _validate before any compute)
     continuous_kl_weights(bins, weights, tail_weights, tail_holdout, internal_holdout,
                           [0] * len(weights), 0, 0, 1)
-    aliases = register_histogram(planner, column, bins, dom)
+    aliases = register_histogram(planner, column, bins, dom, dom_id)
 
     def decide(ctx) -> tuple[bool, dict]:
         bin_counts, below, above, nonnull = _observed_histogram(ctx.metrics, aliases)
@@ -451,9 +458,9 @@ def _compile_ks(planner: Any, cfg: ExpectationConfiguration) -> None:
     column = kw["column"]
     po = kw["partition_object"]
     p_threshold = float(kw.get("p", 0.05))
-    dom, _ = planner._domain(cfg)
+    dom, dom_id = planner._domain(cfg)
     bins = [float(b) for b in po["bins"]]
-    aliases = register_histogram(planner, column, bins, dom)
+    aliases = register_histogram(planner, column, bins, dom, dom_id)
     weights = list(po["weights"])
     method = "binned_ks"
 
@@ -513,7 +520,7 @@ def _compile_bootstrapped_ks(planner: Any, cfg: ExpectationConfiguration) -> Non
     sample_cap = int(kw.get("sample_cap", 100_000))
     seed = int(kw.get("seed", 8675309))
     dom, dom_id = planner._domain(cfg)
-    aliases = register_histogram(planner, column, bins, dom)
+    aliases = register_histogram(planner, column, bins, dom, dom_id)
     col = F.col(column)
     a_min = planner._reg(("column.min", dom_id, column), F.min(F.when(dom, col)))
     a_max = planner._reg(("column.max", dom_id, column), F.max(F.when(dom, col)))
@@ -649,7 +656,7 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
     column = kw["column"]
     po = kw["partition_object"]
     threshold = float(kw.get("threshold", 0.2))
-    dom, _ = planner._domain(cfg)
+    dom, dom_id = planner._domain(cfg)
 
     if is_categorical_partition(po):
         values = list(po["values"])
@@ -684,7 +691,7 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
         return
 
     bins = [float(b) for b in po["bins"]]
-    aliases = register_histogram(planner, column, bins, dom)
+    aliases = register_histogram(planner, column, bins, dom, dom_id)
     weights = list(po["weights"])
 
     def decide(ctx) -> tuple[bool, dict]:

@@ -311,9 +311,9 @@ def _compile_z_scores(planner: Any, cfg: ExpectationConfiguration) -> None:
     mostly = validate_mostly(kw.get("mostly"))
     dom, dom_id = planner._domain(cfg)
     col = F.col(column)
-    a_mean = planner._reg_pre(("column.mean", column), F.avg(F.when(dom, col)))
+    a_mean = planner._reg_pre(("column.mean", dom_id, column), F.avg(F.when(dom, col)))
     a_std = planner._reg_pre(
-        ("column.standard_deviation", column), F.stddev_samp(F.when(dom, col))
+        ("column.standard_deviation", dom_id, column), F.stddev_samp(F.when(dom, col))
     )
     a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
     a_nonnull = planner._reg(("nonnull", dom_id, column), F.count(F.when(dom, col)))

@@ -382,7 +382,14 @@ class SuitePlanner:
 
     def _compile_agg(self, cfg: ExpectationConfiguration) -> None:
         dom, _ = self._domain(cfg)
-        decide = AGG_BUILDERS[cfg.expectation_type](cfg.kwargs, dom, self._reg)
+        _, rc_id = self._rc_domain(cfg)
+        # builders key metrics as (metric, column); the expression folds the
+        # row_condition, so the key must carry it too or two same-column
+        # aggregates with different conditions collide on one alias
+        reg = self._reg if rc_id == "whole" else (
+            lambda key_parts, expr, **kw: self._reg((*key_parts, rc_id), expr, **kw)
+        )
+        decide = AGG_BUILDERS[cfg.expectation_type](cfg.kwargs, dom, reg)
         self._items.append(
             _Item(cfg, lambda ctx, d=decide: d(ctx.metrics), partition_capable=True)
         )

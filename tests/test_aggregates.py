@@ -203,3 +203,55 @@ def test_whole_suite_one_scan_lineitem(lineitem):
     ]
     assert res.statistics["evaluated_expectations"] == 8
     assert res.statistics["success_percent"] == 100.0
+
+
+def test_same_column_aggregates_distinct_row_conditions(spark):
+    """Metric aliases must discriminate the row_condition: before the fix
+    the first registration of (metric, column) won and every later
+    same-column aggregate silently read the first domain's value."""
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (100.0, "b")], ["v", "g"]
+    )
+    suite = ExpectationSuite("agg_rc")
+    suite.add("expect_column_mean_to_be_between", column="v",
+              row_condition="g = 'a'", condition_parser="spark",
+              min_value=1.5, max_value=1.5)
+    suite.add("expect_column_mean_to_be_between", column="v",
+              min_value=26.5, max_value=26.5)
+    suite.add("expect_column_mean_to_be_between", column="v",
+              row_condition="g = 'b'", condition_parser="spark",
+              min_value=51.5, max_value=51.5)
+    suite.add("expect_column_sum_to_be_between", column="v",
+              row_condition="g = 'a'", condition_parser="spark",
+              min_value=3, max_value=3)
+    suite.add("expect_table_row_count_to_be_between",
+              row_condition="g = 'b'", condition_parser="spark",
+              min_value=2, max_value=2)
+    suite.add("expect_table_row_count_to_be_between", min_value=4, max_value=4)
+    res = validate(df, suite)
+    observed = [r.result["observed_value"] for r in res.results]
+    assert observed == [1.5, 26.5, 51.5, 3, 2, 4]
+    assert res.success, observed
+
+
+def test_z_scores_distinct_row_conditions(spark):
+    """The mean/std pre-aggs fold the domain, so their keys must too —
+    two z-score expectations with different row_conditions each use their
+    own domain's moments."""
+    rows = [(10.0 + i * 0.1, "a") for i in range(10)] + [
+        (float(100 * i), "b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    suite = ExpectationSuite("z_rc")
+    # within group a every |z| < 2
+    suite.add("expect_column_value_z_scores_to_be_less_than", column="v",
+              threshold=2.0, row_condition="g = 'a'", condition_parser="spark")
+    # whole table at 0.5: the tight cluster sits ~.75 std below the global
+    # mean and the wide tail exceeds it -> 17 violations
+    suite.add("expect_column_value_z_scores_to_be_less_than", column="v",
+              threshold=0.5)
+    res = validate(df, suite)
+    assert res.results[0].success is True
+    assert res.results[0].result["unexpected_count"] == 0
+    assert res.results[1].success is False
+    assert res.results[1].result["unexpected_count"] == 17

@@ -216,3 +216,24 @@ def test_drift_per_partition(spark):
     parts = {r.partition["fmt"]: r for r in res.partition_results}
     assert parts["png"].success is True
     assert parts["jpeg"].success is False
+
+
+def test_histogram_drift_distinct_row_conditions(spark):
+    """register_histogram keys carry the domain id: the same column+bins
+    under different row_conditions must not share bin-count aliases."""
+    rows = [(10.0 + i * 0.1, "a") for i in range(10)] + [
+        (float(100 * i), "b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    po = {"bins": [10.0, 10.5, 11.0], "weights": [0.5, 0.5]}
+    suite = ExpectationSuite("kl_rc")
+    suite.add("expect_column_kl_divergence_to_be_less_than", column="v",
+              partition_object=po, threshold=0.1,
+              row_condition="g = 'a'", condition_parser="spark")
+    suite.add("expect_column_kl_divergence_to_be_less_than", column="v",
+              partition_object=po, threshold=0.1)
+    res = validate(df, suite)
+    assert res.results[0].success is True
+    assert res.results[0].result["observed_value"] == 0.0
+    # whole table: group b's mass lands above the bins -> tail > holdout
+    assert res.results[1].success is False
