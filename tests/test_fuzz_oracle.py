@@ -245,26 +245,40 @@ def g_row_count(rng):
 # ---------------------------------------------------------------------------
 
 
-def _finish_map_case(rng, t, kwargs, oracle):
+# row_conditions drawn from the dialect-shared subset (same parse + same
+# NULL-drop semantics in Spark SQL and DuckDB); fuzzes the domain-keyed
+# metric registration — distinct conditions on one column must not collide
+RC_POOL = [
+    "i > 3", "i <= 10", "f > 0.0", "f < -2.5",
+    "s = 'alpha'", "s <> 'beta'", "i IS NOT NULL",
+]
+
+
+def _draw_rc(rng):
+    return rng.choice(RC_POOL) if rng.random() < 0.35 else None
+
+
+def _finish_map_case(rng, t, kwargs, oracle, rc):
     mostly = None
     if rng.random() < 0.4:
         mostly = rng.choice([0.5, 0.8, 0.95])
         kwargs = {**kwargs, "mostly": mostly}
 
     def expect(con):
+        elem = _duck(con, "SELECT count(*) FROM t")  # t = the rc view
         considered, bad = oracle(con)
-        if considered == 0:
+        if elem == 0 or considered == 0:
             success = True  # vacuous truth
         elif mostly is None:
             success = bad == 0
         else:
             success = (considered - bad) / considered >= mostly
-        return success, int(bad)
+        return success, int(bad), int(elem)
 
-    return t, kwargs, "map", expect
+    return t, kwargs, "map", expect, rc
 
 
-def _finish_agg_case(rng, t, kwargs, oracle):
+def _finish_agg_case(rng, t, kwargs, oracle, rc):
     def expect(con):
         v = oracle(con)
         if v is None:
@@ -282,17 +296,18 @@ def _finish_agg_case(rng, t, kwargs, oracle):
         kwargs["min_value"], kwargs["max_value"] = lo, hi
         return (ok_lo and ok_hi), v
 
-    return t, kwargs, "agg", expect
+    return t, kwargs, "agg", expect, rc
 
 
 def _draw_case(rng):
+    rc = _draw_rc(rng)
     r = rng.random()
     if r < 0.6:
         g = rng.choice(MAP_GENS)
-        return _finish_map_case(rng, *g(rng))
+        return _finish_map_case(rng, *g(rng), rc)
     if r < 0.95:
-        return _finish_agg_case(rng, *g_aggregate(rng))
-    return _finish_agg_case(rng, *g_row_count(rng))
+        return _finish_agg_case(rng, *g_aggregate(rng), rc)
+    return _finish_agg_case(rng, *g_row_count(rng), rc)
 
 
 @pytest.mark.parametrize("ds", range(N_DATASETS))
@@ -302,13 +317,22 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
     rows = _gen_rows(rng, n)
     df = spark.createDataFrame(rows, "i bigint, f double, s string")
     con = duckdb.connect()
-    con.execute("CREATE TABLE t (i BIGINT, f DOUBLE, s VARCHAR)")
-    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR)")
+    con.executemany("INSERT INTO base VALUES (?, ?, ?)", rows)
 
     cases = [_draw_case(rng) for _ in range(EXP_PER_SUITE)]
     suite = ExpectationSuite(f"fuzz-{ds}")
     expected = []
-    for t, kwargs, kind, expect in cases:
+    for t, kwargs, kind, expect, rc in cases:
+        # rebind `t` to the case's row_condition domain so every
+        # generator's oracle SQL runs unchanged over the filtered view
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM base WHERE {rc or 'TRUE'}"
+        )
+        if rc is not None:
+            # in place: agg expect() fills bounds into this same dict
+            kwargs["row_condition"] = rc
+            kwargs["condition_parser"] = "spark"
         exp = expect(con)  # agg cases fill bounds into kwargs here
         suite.add(t, **kwargs)
         expected.append((t, kwargs, kind, exp))
@@ -318,9 +342,9 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
     for evr, (t, kwargs, kind, exp) in zip(res.results, expected):
         label = f"ds={ds} {t} {kwargs}"
         if kind == "map":
-            want_success, want_bad = exp
+            want_success, want_bad, want_elem = exp
             assert evr.result["unexpected_count"] == want_bad, label
-            assert evr.result["element_count"] == n, label
+            assert evr.result["element_count"] == want_elem, label
             assert bool(evr.success) == want_success, label
         else:
             want_success, want_v = exp
@@ -333,4 +357,122 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
                     f"{label}: {got} vs {want_v}"
                 )
                 assert bool(evr.success) == want_success, label
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# per-partition differential fuzz (north rule: per-tier verdicts) — the same
+# grammars, now validated with partition_by; every per-partition EVR is
+# checked against DuckDB over that partition's slice (composed with the
+# case's row_condition when drawn)
+# ---------------------------------------------------------------------------
+
+N_PART_DATASETS = 12
+EXP_PER_PART_SUITE = 6
+PART_VALUES = ["p1", "p2", "p3", "p4"]
+
+
+@pytest.mark.parametrize("ds", range(N_PART_DATASETS))
+def test_fuzz_partition_differential_vs_duckdb(spark, ds):
+    rng = random.Random(SEED * 7000 + ds)
+    n = rng.randrange(40, 200)
+    k_parts = rng.randrange(2, 5)
+    rows = [
+        r + (rng.choice(PART_VALUES[:k_parts]),) for r in _gen_rows(rng, n)
+    ]
+    df = spark.createDataFrame(rows, "i bigint, f double, s string, p string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, p VARCHAR)")
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?)", rows)
+
+    cases = [_draw_case(rng) for _ in range(EXP_PER_PART_SUITE)]
+    suite = ExpectationSuite(f"fuzz-part-{ds}")
+    specs = []
+    for t, kwargs, kind, expect, rc in cases:
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM base WHERE {rc or 'TRUE'}"
+        )
+        if rc is not None:
+            kwargs["row_condition"] = rc
+            kwargs["condition_parser"] = "spark"
+        expect(con)  # fills agg bounds / fixes the success rule globally
+        suite.add(t, **kwargs)
+        specs.append((t, kwargs, kind, expect, rc))
+
+    res = validate(df, suite, result_format="BASIC", partition_by=["p"])
+    assert len(res.partition_results) > 0
+    by_key = {}
+    for evr in res.partition_results:
+        cfg = evr.expectation_config
+        key = (
+            cfg["expectation_type"],
+            repr(sorted((k, str(v)) for k, v in cfg["kwargs"].items())),
+            evr.partition["p"],
+        )
+        by_key[key] = evr
+
+    seen_parts = {r[3] for r in rows}
+    checked = 0
+    for t, kwargs, kind, expect, rc in specs:
+        for pv in sorted(seen_parts):
+            con.execute(
+                "CREATE OR REPLACE VIEW t AS SELECT * FROM base "
+                f"WHERE p = '{pv}' AND ({rc or 'TRUE'})"
+            )
+            key = (t, repr(sorted((k, str(v)) for k, v in kwargs.items())), pv)
+            evr = by_key.get(key)
+            label = f"ds={ds} p={pv} {t} {kwargs}"
+            if kind == "map":
+                if t == "expect_column_values_to_be_unique":
+                    # engine semantics: GLOBALLY duplicated values are
+                    # attributed to the partitions of their rows (see
+                    # test_uniqueness_per_partition_verdicts), so the
+                    # per-partition oracle checks membership in the
+                    # domain-global duplicate set, not within-partition dups
+                    col = kwargs["column"]
+                    dom_sql = rc or "TRUE"
+                    want_elem = _duck(con, "SELECT count(*) FROM t")
+                    considered = _duck(con, f"SELECT count({col}) FROM t")
+                    want_bad = _duck(
+                        con,
+                        f"SELECT count(*) FROM t WHERE {col} IS NOT NULL "
+                        f"AND {col} IN (SELECT {col} FROM base "
+                        f"WHERE ({dom_sql}) AND {col} IS NOT NULL "
+                        f"GROUP BY {col} HAVING count(*) > 1)",
+                    )
+                    mostly = kwargs.get("mostly")
+                    if want_elem == 0 or considered == 0:
+                        want_success = True
+                    elif mostly is None:
+                        want_success = want_bad == 0
+                    else:
+                        want_success = (
+                            (considered - want_bad) / considered >= mostly
+                        )
+                else:
+                    want_success, want_bad, want_elem = expect(con)
+                assert evr is not None, label
+                assert evr.result["unexpected_count"] == want_bad, label
+                assert evr.result["element_count"] == want_elem, label
+                assert bool(evr.success) == want_success, label
+            else:
+                # re-apply the case's (already fixed) bounds to this
+                # partition's observed value
+                lo, hi = kwargs.get("min_value"), kwargs.get("max_value")
+                sql = (AGG_SQL[t].format(c=kwargs["column"])
+                       if t in AGG_SQL else "count(*)")
+                v = _duck(con, f"SELECT {sql} FROM t")
+                assert evr is not None, label
+                got = evr.result.get("observed_value")
+                if v is None:
+                    assert got is None and evr.success is False, label
+                else:
+                    tol = 1e-9 * max(1.0, abs(v))
+                    assert got is not None and abs(got - v) <= tol, (
+                        f"{label}: {got} vs {v}"
+                    )
+                    want = (lo is None or v >= lo) and (hi is None or v <= hi)
+                    assert bool(evr.success) == want, label
+            checked += 1
+    assert checked >= len(specs) * 2
     con.close()
