@@ -845,10 +845,20 @@ class SuitePlanner:
                 # attribute globally-duplicated rows to their partitions:
                 # semi-join the (usually small) duplicate-value set back to
                 # the rows, then count per partition (one bounded shuffle;
-                # AQE skew-join covers a pathological dup set)
-                dup_vals = grouped.filter(F.col("_cnt") > 1).select(*need.cols)
+                # AQE skew-join covers a pathological dup set). NULL-SAFE
+                # equality: compound keys keep NULL components as values
+                # (drop_nulls=False), and a plain equi-join would silently
+                # drop them from every partition while the global groupBy
+                # counts them — eqNullSafe is still an equi-join for the
+                # hash-join planner. Dup side renamed above the join.
+                dup_vals = grouped.filter(F.col("_cnt") > 1).select(
+                    *[F.col(c).alias(f"__dv_{i}") for i, c in enumerate(need.cols)]
+                )
+                join_cond = F.col(need.cols[0]).eqNullSafe(F.col("__dv_0"))
+                for i, c in enumerate(need.cols[1:], start=1):
+                    join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"__dv_{i}"))
                 prows = (
-                    base.join(dup_vals, on=list(need.cols), how="left_semi")
+                    base.join(dup_vals, on=join_cond, how="left_semi")
                     .groupBy(*self.partition_by)
                     .count()
                     .collect()

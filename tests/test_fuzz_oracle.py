@@ -197,11 +197,89 @@ def g_unique(rng):
     return "expect_column_values_to_be_unique", {"column": col}, oracle
 
 
+def g_compound_unique(rng):
+    # compound uniqueness considers ALL rows (drop_nulls=False): NULL keys
+    # group together on both engines
+    def oracle(con):
+        considered = _duck(con, "SELECT count(*) FROM t")
+        bad = _duck(
+            con,
+            "SELECT coalesce(sum(c), 0) FROM "
+            "(SELECT count(*) AS c FROM t GROUP BY i, s) WHERE c > 1",
+        )
+        return considered, int(bad)
+
+    return (
+        "expect_compound_columns_to_be_unique",
+        {"column_list": ["i", "s"]},
+        oracle,
+    )
+
+
 # every map generator is fuzzed with and without `mostly` (the uniqueness
 # path is groupBy-based but shares the (considered - unexpected)/considered
 # success rule — verified by the passing unique+mostly draws)
 MAP_GENS = [g_between, g_in_set, g_not_in_set, g_value_lengths, g_not_null,
-            g_be_null, g_like, g_regex, g_unique]
+            g_be_null, g_like, g_regex, g_unique, g_compound_unique]
+
+
+def _obs_sort(values):
+    # replicate the engine's cross-type-stable ordering for observed sets
+    return sorted(values, key=lambda x: (str(type(x).__name__), str(x)))
+
+
+def g_distinct_set(rng):
+    col = rng.choice(["i", "s"])
+    mode = rng.choice(["in", "equal", "contain"])
+    pool = list(range(-5, 20)) if col == "i" else WORDS + ["missing"]
+    vs = rng.sample(pool, rng.randrange(2, 10))
+    t = {
+        "in": "expect_column_distinct_values_to_be_in_set",
+        "equal": "expect_column_distinct_values_to_equal_set",
+        "contain": "expect_column_distinct_values_to_contain_set",
+    }[mode]
+
+    def oracle(con):
+        rows = con.execute(
+            f"SELECT DISTINCT {col} FROM t WHERE {col} IS NOT NULL"
+        ).fetchall()
+        obs = _obs_sort(r[0] for r in rows)
+        oset, eset = set(obs), set(vs)
+        success = {
+            "in": oset <= eset, "equal": oset == eset, "contain": eset <= oset
+        }[mode]
+        return success, obs
+
+    return t, {"column": col, "value_set": vs}, oracle
+
+
+def g_most_common(rng):
+    col = rng.choice(["i", "s"])
+    pool = list(range(-5, 20)) if col == "i" else WORDS + ["missing"]
+    vs = rng.sample(pool, rng.randrange(1, 5))
+    ties_okay = rng.random() < 0.5
+
+    def oracle(con):
+        rows = con.execute(
+            f"SELECT {col}, count(*) FROM t WHERE {col} IS NOT NULL GROUP BY {col}"
+        ).fetchall()
+        if not rows:
+            return True, []
+        mx = max(c for _, c in rows)
+        modes = _obs_sort(v for v, c in rows if c == mx)
+        inter = len(set(vs) & set(modes))
+        # reference: without ties_okay a tie is itself a failure
+        success = inter > 0 if ties_okay else (len(modes) == 1 and inter == 1)
+        return success, modes
+
+    return (
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": col, "value_set": vs, "ties_okay": ties_okay},
+        oracle,
+    )
+
+
+SET_GENS = [g_distinct_set, g_most_common]
 
 
 def _agg(rng, t, col, sql_fn, ints=False):
@@ -302,9 +380,12 @@ def _finish_agg_case(rng, t, kwargs, oracle, rc):
 def _draw_case(rng):
     rc = _draw_rc(rng)
     r = rng.random()
-    if r < 0.6:
+    if r < 0.55:
         g = rng.choice(MAP_GENS)
         return _finish_map_case(rng, *g(rng), rc)
+    if r < 0.7:
+        t, kwargs, oracle = rng.choice(SET_GENS)(rng)
+        return t, kwargs, "set", oracle, rc
     if r < 0.95:
         return _finish_agg_case(rng, *g_aggregate(rng), rc)
     return _finish_agg_case(rng, *g_row_count(rng), rc)
@@ -345,6 +426,10 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
             want_success, want_bad, want_elem = exp
             assert evr.result["unexpected_count"] == want_bad, label
             assert evr.result["element_count"] == want_elem, label
+            assert bool(evr.success) == want_success, label
+        elif kind == "set":
+            want_success, want_obs = exp
+            assert evr.result["observed_value"] == want_obs, label
             assert bool(evr.success) == want_success, label
         else:
             want_success, want_v = exp
@@ -423,23 +508,40 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
             evr = by_key.get(key)
             label = f"ds={ds} p={pv} {t} {kwargs}"
             if kind == "map":
+                uniq_cols = None
                 if t == "expect_column_values_to_be_unique":
+                    uniq_cols = [kwargs["column"]]
+                elif t == "expect_compound_columns_to_be_unique":
+                    uniq_cols = list(kwargs["column_list"])
+                if uniq_cols is not None:
                     # engine semantics: GLOBALLY duplicated values are
                     # attributed to the partitions of their rows (see
                     # test_uniqueness_per_partition_verdicts), so the
                     # per-partition oracle checks membership in the
-                    # domain-global duplicate set, not within-partition dups
-                    col = kwargs["column"]
+                    # domain-global duplicate set, not within-partition dups.
+                    # NULL-safe join: compound keys keep NULLs as values.
                     dom_sql = rc or "TRUE"
-                    want_elem = _duck(con, "SELECT count(*) FROM t")
-                    considered = _duck(con, f"SELECT count({col}) FROM t")
-                    want_bad = _duck(
-                        con,
-                        f"SELECT count(*) FROM t WHERE {col} IS NOT NULL "
-                        f"AND {col} IN (SELECT {col} FROM base "
-                        f"WHERE ({dom_sql}) AND {col} IS NOT NULL "
-                        f"GROUP BY {col} HAVING count(*) > 1)",
+                    drop_nulls = len(uniq_cols) == 1
+                    nn = (
+                        " AND ".join(f"{c} IS NOT NULL" for c in uniq_cols)
+                        if drop_nulls else "TRUE"
                     )
+                    cl = ", ".join(uniq_cols)
+                    on = " AND ".join(
+                        f"a.{c} IS NOT DISTINCT FROM d.{c}" for c in uniq_cols
+                    )
+                    want_elem = _duck(con, "SELECT count(*) FROM t")
+                    considered = _duck(
+                        con, f"SELECT count(*) FROM t WHERE {nn}"
+                    )
+                    want_bad = int(_duck(
+                        con,
+                        f"SELECT coalesce(sum(a.n), 0) FROM "
+                        f"(SELECT count(*) AS n, {cl} FROM t WHERE {nn} "
+                        f"GROUP BY {cl}) a JOIN "
+                        f"(SELECT {cl} FROM base WHERE ({dom_sql}) AND {nn} "
+                        f"GROUP BY {cl} HAVING count(*) > 1) d ON {on}",
+                    ))
                     mostly = kwargs.get("mostly")
                     if want_elem == 0 or considered == 0:
                         want_success = True
@@ -454,6 +556,13 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
                 assert evr is not None, label
                 assert evr.result["unexpected_count"] == want_bad, label
                 assert evr.result["element_count"] == want_elem, label
+                assert bool(evr.success) == want_success, label
+            elif kind == "set":
+                # distinct-set / most-common per-partition verdicts are
+                # partition-local (the groupBy tops are per partition)
+                want_success, want_obs = expect(con)
+                assert evr is not None, label
+                assert evr.result["observed_value"] == want_obs, label
                 assert bool(evr.success) == want_success, label
             else:
                 # re-apply the case's (already fixed) bounds to this
