@@ -24,7 +24,13 @@ def _gen_rows(rng: random.Random, n: int):
         i = None if rng.random() < 0.12 else rng.randrange(-5, 20)
         f = None if rng.random() < 0.10 else round(rng.uniform(-10.0, 10.0), 3)
         s = None if rng.random() < 0.15 else rng.choice(WORDS)
-        rows.append((i, f, s))
+        # j correlates with i so pair/equality/sum cases mix pass and fail
+        j = (
+            None if rng.random() < 0.15
+            else i if (i is not None and rng.random() < 0.5)
+            else rng.randrange(-5, 20)
+        )
+        rows.append((i, f, s, j))
     return rows
 
 
@@ -282,6 +288,110 @@ def g_most_common(rng):
 SET_GENS = [g_distinct_set, g_most_common]
 
 
+# --- column-pair / multicolumn map grammars (ignore_row_if policies) ------
+# Spark and DuckDB share three-valued logic, so `considered AND NOT (expr)`
+# drops NULL comparisons identically on both sides — the oracle mirrors the
+# engine's unexpected condition (dom & considered & coalesce(~expected, F))
+
+
+def _considered_sql(cols, policy):
+    if policy in ("both_values_are_missing", "all_values_are_missing"):
+        return "NOT (" + " AND ".join(f"{c} IS NULL" for c in cols) + ")"
+    if policy in ("either_value_is_missing", "any_value_is_missing"):
+        return "NOT (" + " OR ".join(f"{c} IS NULL" for c in cols) + ")"
+    return "TRUE"
+
+
+def _draw_policy(rng, default):
+    p = rng.choice([None, default, "either_value_is_missing", "neither"])
+    if default == "any_value_is_missing" and p in (
+        "either_value_is_missing", "neither"
+    ):
+        p = rng.choice([None, "any_value_is_missing", "never"])
+    return p
+
+
+def _pair_gen(rng, t, expected_sql, extra_kwargs=None):
+    policy = _draw_policy(rng, "both_values_are_missing")
+    kwargs = {"column_A": "i", "column_B": "j", **(extra_kwargs or {})}
+    if policy:
+        kwargs["ignore_row_if"] = policy
+    cons = _considered_sql(["i", "j"], policy or "both_values_are_missing")
+
+    def oracle(con):
+        considered = _duck(con, f"SELECT count(*) FROM t WHERE {cons}")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE {cons} AND NOT ({expected_sql})",
+        )
+        return considered, bad
+
+    return t, kwargs, oracle
+
+
+def g_pair_equal(rng):
+    return _pair_gen(
+        rng, "expect_column_pair_values_to_be_equal",
+        "i IS NOT DISTINCT FROM j",
+    )
+
+
+def g_pair_greater(rng):
+    or_equal = rng.random() < 0.5
+    return _pair_gen(
+        rng, "expect_column_pair_values_a_to_be_greater_than_b",
+        "i >= j" if or_equal else "i > j",
+        {"or_equal": or_equal},
+    )
+
+
+def g_multicolumn_sum(rng):
+    total = rng.randrange(-5, 30)
+    policy = rng.choice([None, "any_value_is_missing", "never"])
+    kwargs = {"column_list": ["i", "j"], "sum_total": total}
+    if policy:
+        kwargs["ignore_row_if"] = policy
+    cons = _considered_sql(["i", "j"], policy or "any_value_is_missing")
+
+    def oracle(con):
+        considered = _duck(con, f"SELECT count(*) FROM t WHERE {cons}")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE {cons} AND NOT "
+            f"(coalesce(i, 0) + coalesce(j, 0) = {total})",
+        )
+        return considered, bad
+
+    return "expect_multicolumn_sum_to_equal", kwargs, oracle
+
+
+def g_unique_within_record(rng):
+    policy = rng.choice([None, "any_value_is_missing", "never"])
+    kwargs = {"column_list": ["i", "j"]}
+    if policy:
+        kwargs["ignore_row_if"] = policy
+    cons = _considered_sql(["i", "j"], policy or "any_value_is_missing")
+
+    def oracle(con):
+        considered = _duck(con, f"SELECT count(*) FROM t WHERE {cons}")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE {cons} AND NOT "
+            f"(NOT (i IS NOT DISTINCT FROM j))",
+        )
+        return considered, bad
+
+    return (
+        "expect_select_column_values_to_be_unique_within_record",
+        kwargs, oracle,
+    )
+
+
+PAIR_GENS = [g_pair_equal, g_pair_greater, g_multicolumn_sum,
+             g_unique_within_record]
+MAP_GENS = MAP_GENS + PAIR_GENS
+
+
 def _agg(rng, t, col, sql_fn, ints=False):
     def oracle(con):
         return _duck(con, f"SELECT {sql_fn} FROM t")
@@ -396,10 +506,10 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
     rng = random.Random(SEED * 1000 + ds)
     n = rng.randrange(40, 250)
     rows = _gen_rows(rng, n)
-    df = spark.createDataFrame(rows, "i bigint, f double, s string")
+    df = spark.createDataFrame(rows, "i bigint, f double, s string, j bigint")
     con = duckdb.connect()
-    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR)")
-    con.executemany("INSERT INTO base VALUES (?, ?, ?)", rows)
+    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?)", rows)
 
     cases = [_draw_case(rng) for _ in range(EXP_PER_SUITE)]
     suite = ExpectationSuite(f"fuzz-{ds}")
@@ -465,10 +575,10 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
     rows = [
         r + (rng.choice(PART_VALUES[:k_parts]),) for r in _gen_rows(rng, n)
     ]
-    df = spark.createDataFrame(rows, "i bigint, f double, s string, p string")
+    df = spark.createDataFrame(rows, "i bigint, f double, s string, j bigint, p string")
     con = duckdb.connect()
-    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, p VARCHAR)")
-    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?)", rows)
+    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, p VARCHAR)")
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?)", rows)
 
     cases = [_draw_case(rng) for _ in range(EXP_PER_PART_SUITE)]
     suite = ExpectationSuite(f"fuzz-part-{ds}")
@@ -496,7 +606,7 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
         )
         by_key[key] = evr
 
-    seen_parts = {r[3] for r in rows}
+    seen_parts = {r[4] for r in rows}
     checked = 0
     for t, kwargs, kind, expect, rc in specs:
         for pv in sorted(seen_parts):
