@@ -166,6 +166,18 @@ def resolve_auto(
     kw = {k: v for k, v in kwargs.items() if k != "auto"}
     c = kw.get("column")
     col = F.col(c) if c else None
+    rc = kw.get("row_condition")
+    if rc:
+        # estimate from the SAME domain validation will measure (reference
+        # metrics carry row_condition in their domain kwargs); the history
+        # key hashes the full kwargs, so stored runs are domain-scoped too
+        from great_expectations_spark.operators.conditions import (
+            translate_row_condition,
+        )
+
+        df = df.filter(
+            translate_row_condition(rc, kw.get("condition_parser", "spark"))
+        )
 
     def _try_history_bounds() -> bool:
         parts = auto_history_key(expectation_type, kwargs)

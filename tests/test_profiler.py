@@ -98,6 +98,30 @@ def test_auto_parameter_resolution(spark, lineitem):
     assert in_set_cfg["kwargs"]["value_set"] == ["A", "N", "R"]
 
 
+def test_auto_respects_row_condition(spark):
+    """auto=True estimates from the SAME row_condition domain validation
+    measures — before the fix, bounds came from the whole table (min/max
+    wider than the domain; value_set leaked out-of-domain values)."""
+    from great_expectations_spark.core.config import ExpectationSuite
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (50.0, "b"), (60.0, "b")], ["v", "g"]
+    )
+    suite = ExpectationSuite(name="auto_rc")
+    suite.add("expect_column_values_to_be_between", column="v", auto=True,
+              row_condition="g = 'a'", condition_parser="spark")
+    suite.add("expect_column_mean_to_be_between", column="v", auto=True,
+              row_condition="g = 'b'", condition_parser="spark")
+    suite.add("expect_column_values_to_be_in_set", column="g", auto=True,
+              row_condition="g = 'b'", condition_parser="spark")
+    res = SparkValidationEngine(spark).validate(df, suite)
+    assert res.success
+    kws = [r.expectation_config["kwargs"] for r in res.results]
+    assert kws[0]["min_value"] == 1.0 and kws[0]["max_value"] == 2.0
+    assert kws[1]["min_value"] == kws[1]["max_value"] == 55.0
+    assert kws[2]["value_set"] == ["b"]
+
+
 def test_auto_unsupported_type_is_failed_evr(spark, lineitem):
     from great_expectations_spark.core.config import ExpectationSuite
 
