@@ -392,6 +392,65 @@ PAIR_GENS = [g_pair_equal, g_pair_greater, g_multicolumn_sum,
 MAP_GENS = MAP_GENS + PAIR_GENS
 
 
+def g_quantiles(rng):
+    # exact path: Spark F.percentile (linear interpolation) == DuckDB
+    # quantile_cont; ranges drawn straddling the global values
+    col = rng.choice(["i", "f"])
+    qs = sorted(rng.sample([0.0, 0.05, 0.25, 0.5, 0.75, 0.9, 1.0],
+                           rng.randrange(2, 5)))
+
+    def oracle(con):
+        return [
+            _duck(con, f"SELECT quantile_cont({col}, {q}) FROM t") for q in qs
+        ]
+
+    kwargs = {"column": col,
+              "quantile_ranges": {"quantiles": qs, "value_ranges": []}}
+    return "expect_column_quantile_values_to_be_between", kwargs, oracle
+
+
+def _finish_quant_case(rng, t, kwargs, oracle, rc):
+    def expect(con):
+        vals = oracle(con)
+        if any(v is None for v in vals):
+            kwargs["quantile_ranges"]["value_ranges"] = [
+                [None, None] for _ in vals
+            ]
+            return False, vals
+        ok = True
+        ranges = []
+        for v in vals:
+            lo = v - rng.choice([-0.5, 2.0, 5.0])
+            hi = v + rng.choice([-0.5, 2.0, 5.0])
+            if rng.random() < 0.2:
+                lo = None
+            if rng.random() < 0.2:
+                hi = None
+            ranges.append([lo, hi])
+            ok = ok and (lo is None or v >= lo) and (hi is None or v <= hi)
+        kwargs["quantile_ranges"]["value_ranges"] = ranges
+        return ok, vals
+
+    return t, kwargs, "quant", expect, rc
+
+
+def _assert_quant(evr, kwargs, vals, label):
+    qs = kwargs["quantile_ranges"]["quantiles"]
+    got = evr.result.get("observed_value")
+    if any(v is None for v in vals):
+        assert got is None and evr.success is False, label
+        return
+    assert got is not None and got["quantiles"] == qs, label
+    ok = True
+    for g, v, (lo, hi) in zip(
+        got["values"], vals, kwargs["quantile_ranges"]["value_ranges"]
+    ):
+        tol = 1e-9 * max(1.0, abs(v))
+        assert abs(g - v) <= tol, f"{label}: {g} vs {v}"
+        ok = ok and (lo is None or v >= lo) and (hi is None or v <= hi)
+    assert bool(evr.success) == ok, label
+
+
 def _agg(rng, t, col, sql_fn, ints=False):
     def oracle(con):
         return _duck(con, f"SELECT {sql_fn} FROM t")
@@ -496,6 +555,8 @@ def _draw_case(rng):
     if r < 0.7:
         t, kwargs, oracle = rng.choice(SET_GENS)(rng)
         return t, kwargs, "set", oracle, rc
+    if r < 0.78:
+        return _finish_quant_case(rng, *g_quantiles(rng), rc)
     if r < 0.95:
         return _finish_agg_case(rng, *g_aggregate(rng), rc)
     return _finish_agg_case(rng, *g_row_count(rng), rc)
@@ -541,6 +602,8 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
             want_success, want_obs = exp
             assert evr.result["observed_value"] == want_obs, label
             assert bool(evr.success) == want_success, label
+        elif kind == "quant":
+            _assert_quant(evr, kwargs, exp[1], label)
         else:
             want_success, want_v = exp
             got = evr.result.get("observed_value")
@@ -674,6 +737,14 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
                 assert evr is not None, label
                 assert evr.result["observed_value"] == want_obs, label
                 assert bool(evr.success) == want_success, label
+            elif kind == "quant":
+                qcol = kwargs["column"]
+                qvals = [
+                    _duck(con, f"SELECT quantile_cont({qcol}, {q}) FROM t")
+                    for q in kwargs["quantile_ranges"]["quantiles"]
+                ]
+                assert evr is not None, label
+                _assert_quant(evr, kwargs, qvals, label)
             else:
                 # re-apply the case's (already fixed) bounds to this
                 # partition's observed value
