@@ -402,15 +402,31 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
         default_ignore="both_values_are_missing",
     ),
     # --- multicolumn ---
+    # reference default_kwarg_values declare ignore_row_if=
+    # "all_values_are_missing" for BOTH multicolumn map expectations
+    # (expect_multicolumn_sum_to_equal.py:54,
+    # expect_select_column_values_to_be_unique_within_record.py:70) — a
+    # partially-null row stays in the considered denominator (and, for
+    # within-record uniqueness, two NULL components eqNullSafe-match, so
+    # such a row is a genuine violation)
     "expect_multicolumn_sum_to_equal": lambda kw: _multi_cond(
         kw,
         lambda cols: _sum_cols(cols) == lit_value(kw["sum_total"]),
-        default_ignore="any_value_is_missing",
+        default_ignore="all_values_are_missing",
     ),
     "expect_select_column_values_to_be_unique_within_record": lambda kw: _multi_cond(
         kw,
         _all_differ_within_row,
-        default_ignore="any_value_is_missing",
+        default_ignore="all_values_are_missing",
+    ),
+    # deprecated alias with IDENTICAL semantics (dataset.py:4603-4626
+    # "Expect the values for each record to be unique across the columns
+    # listed. Note that records can be duplicated.") — within-record, NOT
+    # across-rows compound uniqueness, despite the name
+    "expect_multicolumn_values_to_be_unique": lambda kw: _multi_cond(
+        kw,
+        _all_differ_within_row,
+        default_ignore="all_values_are_missing",
     ),
 }
 

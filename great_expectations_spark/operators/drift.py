@@ -308,16 +308,22 @@ def _compile_kl(planner: Any, cfg: ExpectationConfiguration) -> None:
 
     if po is None:
         # profiling mode (reference resolves column.partition eagerly,
-        # :236-252): derive the expected partition from this batch
+        # :236-252): derive the expected partition from this batch — over
+        # the SAME row_condition domain the observed side measures (the
+        # reference's column.partition metric carries the expectation's
+        # domain kwargs), else a conditioned profiling-mode KL scores the
+        # domain against the whole table instead of against itself
         from great_expectations_spark.operators.partition import (
             build_categorical_partition_object,
             build_partition_object,
         )
 
+        rc_dom0, _ = planner._rc_domain(cfg)
+        prof_df = planner.df if rc_dom0 is None else planner.df.filter(rc_dom0)
         if bucketize:
-            po = build_partition_object(planner.df, column, bins="auto")
+            po = build_partition_object(prof_df, column, bins="auto")
         else:
-            po = build_categorical_partition_object(planner.df, column)
+            po = build_categorical_partition_object(prof_df, column)
             if po is None:
                 raise ValueError("cannot profile a partition for this column")
 
@@ -775,6 +781,10 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
                 if ctx.is_partition and ctx.partition_key is not None
                 else planner.df
             )
+            if rc_dom is not None:
+                # exact fallback must stay on the row_condition domain the
+                # shared groupBy pass was computed over
+                base = base.filter(rc_dom)
             phi, chi2, rows, cols = _distributed_cramers_phi(base, a, b)
             return bool(phi < threshold), {
                 "observed_value": phi,

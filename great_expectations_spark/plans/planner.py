@@ -66,6 +66,7 @@ from great_expectations_spark.core.result import (
 from great_expectations_spark.operators import schema_checks
 from great_expectations_spark.operators.aggregates import AGG_BUILDERS
 from great_expectations_spark.operators.conditions import (
+    _ignore_row_if_considered,
     compile_map_condition,
     is_map_expectation,
     translate_row_condition,
@@ -1068,9 +1069,22 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
     if cfg.expectation_type == "expect_column_values_to_be_unique":
         cols = (cfg.kwargs["column"],)
         drop_nulls = True
+        iri = None
     else:
         cols = tuple(cfg.kwargs["column_list"])
         drop_nulls = False
+        # reference default ignore_row_if="all_values_are_missing"
+        # (expect_compound_columns_to_be_unique.py:35) — applied as a
+        # domain pre-filter, the same row drop get_domain_records performs
+        # (sparkdf_execution_engine.py:522-541); "never" keeps every row
+        iri = cfg.kwargs.get("ignore_row_if") or "all_values_are_missing"
+        if iri in ("neither", "never"):
+            iri = None
+    iri_cond = (
+        _ignore_row_if_considered([F.col(c) for c in cols], iri, iri)
+        if iri
+        else None
+    )
     mostly = validate_mostly(cfg.kwargs.get("mostly"))
     dom, dom_id = planner._domain(cfg)
     a_elem = planner._reg(("element_count", dom_id), F.count(F.when(dom, F.lit(1))))
@@ -1080,13 +1094,22 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
     # reconciliation; at 10^12 rows the approx pass alone can gate cheaply
     # before the shuffle is paid).
     key_col = F.col(cols[0]) if len(cols) == 1 else F.struct(*[F.col(c) for c in cols])
+    eff_dom = dom if iri_cond is None else (dom & iri_cond)
     a_approx = planner._reg(
-        ("approx_distinct", dom_id, ",".join(cols)),
-        F.approx_count_distinct(F.when(dom, key_col), rsd=0.01),
+        ("approx_distinct", dom_id, ",".join(cols), iri or "none"),
+        F.approx_count_distinct(F.when(eff_dom, key_col), rsd=0.01),
     )
     rc_dom, rc_id = planner._rc_domain(cfg)
+    gb_dom, gb_id = rc_dom, rc_id
+    if iri_cond is not None:
+        # the ignored rows must leave BOTH the duplicate groups and the
+        # considered basis; the need key carries the policy or two
+        # same-column_list expectations with different policies would share
+        # one (wrong) groupBy pass
+        gb_dom = iri_cond if gb_dom is None else (gb_dom & iri_cond)
+        gb_id = f"{rc_id}|iri:{iri}"
     key = planner._need_groupby(
-        cols, drop_nulls=drop_nulls, dom=rc_dom, rc_id=rc_id,
+        cols, drop_nulls=drop_nulls, dom=gb_dom, rc_id=gb_id,
         want_dup_stats=True, want_dup_sample=True,
     )
     rf = planner.rf
@@ -1148,5 +1171,9 @@ _GROUPBY_COMPILERS: dict[str, Callable[[SuitePlanner, ExpectationConfiguration],
     "expect_column_most_common_value_to_be_in_set": _compile_most_common,
     "expect_column_values_to_be_unique": _compile_unique_map,
     "expect_compound_columns_to_be_unique": _compile_unique_map,
-    "expect_multicolumn_values_to_be_unique": _compile_unique_map,
+    # expect_multicolumn_values_to_be_unique is NOT here: despite the name,
+    # its reference semantics are WITHIN-RECORD uniqueness (deprecated alias
+    # of expect_select_column_values_to_be_unique_within_record —
+    # dataset.py:4603-4626 "records can be duplicated"), so it compiles
+    # through the map-condition registry, not the groupBy pass
 }

@@ -69,12 +69,32 @@ _AUTO_HISTORY_KEYS: dict[str, tuple[str, ...]] = {
 
 def auto_history_key(expectation_type: str, kwargs: dict) -> Optional[list[str]]:
     """The stored-metric key parts whose history can bootstrap this
-    auto=True expectation's bounds; None when no history rule exists."""
+    auto=True expectation's bounds; None when no history rule exists.
+
+    Must mirror the planner's storage identity exactly: ``_compile_agg``
+    suffixes a conditioned aggregate's ``_reg`` key with the row_condition
+    id, so a conditioned auto expectation fetches the domain-scoped series —
+    the bare [metric, column] key holds the WHOLE-TABLE history, and
+    bootstrapping a conditioned bound from it would pin the expectation to
+    the wrong domain's range."""
     key = _AUTO_HISTORY_KEYS.get(expectation_type)
     if key is None:
         return None
     c = kwargs.get("column")
-    return list(key) + ([c] if c else [])
+    parts = list(key) + ([c] if c else [])
+    rc = kwargs.get("row_condition")
+    if rc:
+        from great_expectations_spark.core.config import deterministic_id
+
+        parts.append(
+            deterministic_id(
+                {
+                    "row_condition": rc,
+                    "condition_parser": kwargs.get("condition_parser", "spark"),
+                }
+            )
+        )
+    return parts
 
 
 def fetch_metric_histories(
@@ -170,7 +190,8 @@ def resolve_auto(
     if rc:
         # estimate from the SAME domain validation will measure (reference
         # metrics carry row_condition in their domain kwargs); the history
-        # key hashes the full kwargs, so stored runs are domain-scoped too
+        # key carries the row_condition id (auto_history_key), matching the
+        # rc-suffixed _reg key the planner stores conditioned values under
         from great_expectations_spark.operators.conditions import (
             translate_row_condition,
         )

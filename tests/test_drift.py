@@ -147,6 +147,44 @@ def test_kl_categorical(spark):
     assert evr.success is False
 
 
+def test_kl_profiling_mode_respects_row_condition(spark):
+    """partition_object=None (profiling mode) derives the expected partition
+    from the SAME row_condition domain the observed side measures — a
+    conditioned KL of a batch against itself is ~0. Before the fix the
+    expected side profiled the WHOLE table, so a domain whose distribution
+    differs from the table's spuriously failed."""
+    rows = [("a", "x")] * 40 + [("b", "y")] * 60
+    df = spark.createDataFrame(rows, "g string, s string")
+    evr = run_one(
+        df,
+        "expect_column_kl_divergence_to_be_less_than",
+        column="s",
+        threshold=0.05,
+        bucketize_data=False,
+        row_condition="g = 'a'",
+        condition_parser="spark",
+    )
+    assert evr.success is True, evr.result
+    op = evr.result["details"]["observed_partition"]
+    assert op["values"] == ["x"] and op["weights"] == [1.0]
+
+    # continuous branch: the domain's values sit far from the rest of the
+    # table; profiling the domain against itself must still be ~0
+    rows2 = [(float(i % 10), "a") for i in range(100)] + [
+        (100.0 + i, "b") for i in range(50)
+    ]
+    df2 = spark.createDataFrame(rows2, "v double, g string")
+    evr = run_one(
+        df2,
+        "expect_column_kl_divergence_to_be_less_than",
+        column="v",
+        threshold=0.05,
+        row_condition="g = 'a'",
+        condition_parser="spark",
+    )
+    assert evr.success is True, evr.result
+
+
 def test_psi_continuous(uniformish, spark):
     evr = run_one(
         uniformish,

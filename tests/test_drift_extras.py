@@ -196,3 +196,37 @@ def test_cramers_phi_distributed_fallback_matches(spark, monkeypatch):
     assert abs(d_trunc["observed_value"] - d_full["observed_value"]) < 1e-9
     assert abs(d_trunc["details"]["chi_squared"] - d_full["details"]["chi_squared"]) < 1e-6
     assert trunc.results[0].success == full.results[0].success
+
+
+def test_cramers_phi_distributed_fallback_respects_row_condition(spark, monkeypatch):
+    """The truncation fallback recomputes the contingency table from
+    planner.df — it must stay on the expectation's row_condition domain
+    (the shared groupBy pass is rc-filtered), else out-of-domain rows
+    dilute phi."""
+    import great_expectations_spark.plans.planner as planner_mod
+
+    # domain g='a': y fully determined by x (phi = 1.0); rows outside the
+    # domain are independent noise that would dilute phi if leaked in
+    rows = [(f"a{i % 13}", f"b{i % 13}", "a") for i in range(1500)] + [
+        (f"a{i % 13}", f"b{(i * 7) % 11}", "b") for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string, g string")
+
+    def run():
+        s = ExpectationSuite(name="phi-trunc-rc")
+        s.add(
+            "expect_column_pair_cramers_phi_value_to_be_less_than",
+            column_A="x", column_B="y", threshold=0.5,
+            row_condition="g = 'a'", condition_parser="spark",
+        )
+        return validate(df, s)
+
+    full = run()
+    assert full.results[0].result["observed_value"] > 0.99
+    monkeypatch.setattr(planner_mod, "DISTINCT_CAP", 8)
+    trunc = run()
+    d_trunc = trunc.results[0].result
+    assert d_trunc["details"].get("method") == "distributed_exact"
+    assert abs(
+        d_trunc["observed_value"] - full.results[0].result["observed_value"]
+    ) < 1e-9

@@ -19,8 +19,12 @@ WORDS = ["alpha", "beta", "gamma", "delta", "Epsilon", "zeta01", "", "x y"]
 
 
 def _gen_rows(rng: random.Random, n: int):
+    # k: unique shuffled rank — a deterministic global ordering for the
+    # monotonic grammar's order_by (never null, never tied)
+    ks = list(range(n))
+    rng.shuffle(ks)
     rows = []
-    for _ in range(n):
+    for k in ks:
         i = None if rng.random() < 0.12 else rng.randrange(-5, 20)
         f = None if rng.random() < 0.10 else round(rng.uniform(-10.0, 10.0), 3)
         s = None if rng.random() < 0.15 else rng.choice(WORDS)
@@ -30,7 +34,7 @@ def _gen_rows(rng: random.Random, n: int):
             else i if (i is not None and rng.random() < 0.5)
             else rng.randrange(-5, 20)
         )
-        rows.append((i, f, s, j))
+        rows.append((i, f, s, j, k))
     return rows
 
 
@@ -204,20 +208,30 @@ def g_unique(rng):
 
 
 def g_compound_unique(rng):
-    # compound uniqueness considers ALL rows (drop_nulls=False): NULL keys
-    # group together on both engines
+    # compound uniqueness drops rows per ignore_row_if BEFORE grouping
+    # (reference default "all_values_are_missing"); surviving NULL key
+    # components group together on both engines
+    policy = rng.choice(
+        [None, "all_values_are_missing", "any_value_is_missing", "never"]
+    )
+    kwargs: dict = {"column_list": ["i", "s"]}
+    if policy:
+        kwargs["ignore_row_if"] = policy
+    cons = _considered_sql(["i", "s"], policy or "all_values_are_missing")
+
     def oracle(con):
-        considered = _duck(con, "SELECT count(*) FROM t")
+        considered = _duck(con, f"SELECT count(*) FROM t WHERE {cons}")
         bad = _duck(
             con,
-            "SELECT coalesce(sum(c), 0) FROM "
-            "(SELECT count(*) AS c FROM t GROUP BY i, s) WHERE c > 1",
+            f"SELECT coalesce(sum(c), 0) FROM "
+            f"(SELECT count(*) AS c FROM t WHERE {cons} GROUP BY i, s) "
+            f"WHERE c > 1",
         )
         return considered, int(bad)
 
     return (
         "expect_compound_columns_to_be_unique",
-        {"column_list": ["i", "s"]},
+        kwargs,
         oracle,
     )
 
@@ -346,12 +360,17 @@ def g_pair_greater(rng):
 
 
 def g_multicolumn_sum(rng):
+    # engine + reference Spark impl COALESCE each column to 0
+    # (multicolumn_sum_equal.py _spark), so the oracle coalesces too;
+    # default ignore_row_if is all_values_are_missing
     total = rng.randrange(-5, 30)
-    policy = rng.choice([None, "any_value_is_missing", "never"])
+    policy = rng.choice(
+        [None, "all_values_are_missing", "any_value_is_missing", "never"]
+    )
     kwargs = {"column_list": ["i", "j"], "sum_total": total}
     if policy:
         kwargs["ignore_row_if"] = policy
-    cons = _considered_sql(["i", "j"], policy or "any_value_is_missing")
+    cons = _considered_sql(["i", "j"], policy or "all_values_are_missing")
 
     def oracle(con):
         considered = _duck(con, f"SELECT count(*) FROM t WHERE {cons}")
@@ -366,11 +385,20 @@ def g_multicolumn_sum(rng):
 
 
 def g_unique_within_record(rng):
-    policy = rng.choice([None, "any_value_is_missing", "never"])
+    policy = rng.choice(
+        [None, "all_values_are_missing", "any_value_is_missing", "never"]
+    )
     kwargs = {"column_list": ["i", "j"]}
     if policy:
         kwargs["ignore_row_if"] = policy
-    cons = _considered_sql(["i", "j"], policy or "any_value_is_missing")
+    cons = _considered_sql(["i", "j"], policy or "all_values_are_missing")
+    # the deprecated alias shares the exact semantics (dataset.py:4603-4626)
+    t = rng.choice(
+        [
+            "expect_select_column_values_to_be_unique_within_record",
+            "expect_multicolumn_values_to_be_unique",
+        ]
+    )
 
     def oracle(con):
         considered = _duck(con, f"SELECT count(*) FROM t WHERE {cons}")
@@ -381,15 +409,51 @@ def g_unique_within_record(rng):
         )
         return considered, bad
 
-    return (
-        "expect_select_column_values_to_be_unique_within_record",
-        kwargs, oracle,
-    )
+    return (t, kwargs, oracle)
 
 
 PAIR_GENS = [g_pair_equal, g_pair_greater, g_multicolumn_sum,
              g_unique_within_record]
 MAP_GENS = MAP_GENS + PAIR_GENS
+
+
+def g_monotonic(rng):
+    # distributed monotonic scan (range repartition + Arrow lag kernel +
+    # driver boundary exchange, operators/special.py) vs DuckDB's global
+    # window lag over the same order_by; NULLs drop BEFORE the lag, so a
+    # row's predecessor is the previous NONNULL value. k is unique — the
+    # global ordering is deterministic on both engines. Global-suite only:
+    # monotonic items are not partition_capable.
+    col = rng.choice(["i", "f"])
+    increasing = rng.random() < 0.5
+    strictly = rng.random() < 0.5
+    t = (
+        "expect_column_values_to_be_increasing"
+        if increasing
+        else "expect_column_values_to_be_decreasing"
+    )
+    kwargs = {"column": col, "order_by": "k"}
+    if strictly:
+        kwargs["strictly"] = True
+    cmp = {
+        (True, True): ">",
+        (True, False): ">=",
+        (False, True): "<",
+        (False, False): "<=",
+    }[(increasing, strictly)]
+
+    def oracle(con):
+        nn = _duck(con, f"SELECT count({col}) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM ("
+            f"SELECT {col} AS c, lag({col}) OVER (ORDER BY k) AS prev "
+            f"FROM t WHERE {col} IS NOT NULL) "
+            f"WHERE prev IS NOT NULL AND NOT (c {cmp} prev)",
+        )
+        return nn, bad
+
+    return t, kwargs, oracle
 
 
 def g_quantiles(rng):
@@ -546,11 +610,11 @@ def _finish_agg_case(rng, t, kwargs, oracle, rc):
     return t, kwargs, "agg", expect, rc
 
 
-def _draw_case(rng):
+def _draw_case(rng, map_gens=None):
     rc = _draw_rc(rng)
     r = rng.random()
     if r < 0.55:
-        g = rng.choice(MAP_GENS)
+        g = rng.choice(map_gens or MAP_GENS)
         return _finish_map_case(rng, *g(rng), rc)
     if r < 0.7:
         t, kwargs, oracle = rng.choice(SET_GENS)(rng)
@@ -567,12 +631,14 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
     rng = random.Random(SEED * 1000 + ds)
     n = rng.randrange(40, 250)
     rows = _gen_rows(rng, n)
-    df = spark.createDataFrame(rows, "i bigint, f double, s string, j bigint")
+    df = spark.createDataFrame(rows, "i bigint, f double, s string, j bigint, k bigint")
     con = duckdb.connect()
-    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT)")
-    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        "CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, k BIGINT)"
+    )
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?)", rows)
 
-    cases = [_draw_case(rng) for _ in range(EXP_PER_SUITE)]
+    cases = [_draw_case(rng, MAP_GENS + [g_monotonic]) for _ in range(EXP_PER_SUITE)]
     suite = ExpectationSuite(f"fuzz-{ds}")
     expected = []
     for t, kwargs, kind, expect, rc in cases:
@@ -638,10 +704,15 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
     rows = [
         r + (rng.choice(PART_VALUES[:k_parts]),) for r in _gen_rows(rng, n)
     ]
-    df = spark.createDataFrame(rows, "i bigint, f double, s string, j bigint, p string")
+    df = spark.createDataFrame(
+        rows, "i bigint, f double, s string, j bigint, k bigint, p string"
+    )
     con = duckdb.connect()
-    con.execute("CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, p VARCHAR)")
-    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(
+        "CREATE TABLE base "
+        "(i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, k BIGINT, p VARCHAR)"
+    )
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?, ?)", rows)
 
     cases = [_draw_case(rng) for _ in range(EXP_PER_PART_SUITE)]
     suite = ExpectationSuite(f"fuzz-part-{ds}")
@@ -669,7 +740,7 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
         )
         by_key[key] = evr
 
-    seen_parts = {r[4] for r in rows}
+    seen_parts = {r[-1] for r in rows}
     checked = 0
     for t, kwargs, kind, expect, rc in specs:
         for pv in sorted(seen_parts):
@@ -697,7 +768,12 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
                     drop_nulls = len(uniq_cols) == 1
                     nn = (
                         " AND ".join(f"{c} IS NOT NULL" for c in uniq_cols)
-                        if drop_nulls else "TRUE"
+                        if drop_nulls
+                        else _considered_sql(
+                            uniq_cols,
+                            kwargs.get("ignore_row_if")
+                            or "all_values_are_missing",
+                        )
                     )
                     cl = ", ".join(uniq_cols)
                     on = " AND ".join(

@@ -247,6 +247,66 @@ def test_unique_within_record(spark):
     assert evr.result["unexpected_count"] == 1
 
 
+def test_multicolumn_values_to_be_unique_is_within_record(spark):
+    """The deprecated expect_multicolumn_values_to_be_unique has
+    WITHIN-RECORD semantics (dataset.py:4603-4626: 'Expect the values for
+    each record to be unique across the columns listed. Note that records
+    can be duplicated.'), not across-rows compound uniqueness."""
+    # two IDENTICAL (1, 2, 3) records: duplicated records are fine; only
+    # the row with a repeated value inside it fails
+    df = spark.createDataFrame(
+        [(1, 2, 3), (1, 2, 3), (1, 1, 2), (8, 2, 7)], ["p", "q", "r"]
+    )
+    evr = run_one(
+        df,
+        "expect_multicolumn_values_to_be_unique",
+        column_list=["p", "q", "r"],
+    )
+    assert evr.result["unexpected_count"] == 1
+    assert evr.success is False
+
+    df_ok = spark.createDataFrame([(1, 2, 3), (1, 2, 3)], ["p", "q", "r"])
+    evr = run_one(
+        df_ok,
+        "expect_multicolumn_values_to_be_unique",
+        column_list=["p", "q", "r"],
+    )
+    assert evr.success is True
+
+
+def test_multicolumn_default_ignore_row_if_keeps_partial_nulls(spark):
+    """Reference default ignore_row_if='all_values_are_missing' for BOTH
+    multicolumn map expectations: a partially-null row stays considered.
+    For within-record uniqueness two NULL components eqNullSafe-match (a
+    violation, select_column_values_unique_within_record.py _spark); for
+    sum_to_equal the reference Spark impl COALESCEs each column to 0."""
+    df = spark.createDataFrame(
+        [(None, None, 5), (1, 2, 3), (None, None, None)],
+        "p int, q int, r int",
+    )
+    evr = run_one(
+        df,
+        "expect_select_column_values_to_be_unique_within_record",
+        column_list=["p", "q", "r"],
+    )
+    # (NULL, NULL, 5) is considered and fails; the all-NULL row is ignored
+    assert evr.result["unexpected_count"] == 1
+    assert evr.success is False
+
+    # sum: (NULL, NULL, 5) coalesces to 5 != 6 -> unexpected; all-NULL
+    # row ignored by default, but COUNTED (coalesced to 0) under 'never'
+    evr = run_one(
+        df, "expect_multicolumn_sum_to_equal", column_list=["p", "q", "r"],
+        sum_total=6,
+    )
+    assert evr.result["unexpected_count"] == 1
+    evr = run_one(
+        df, "expect_multicolumn_sum_to_equal", column_list=["p", "q", "r"],
+        sum_total=6, ignore_row_if="never",
+    )
+    assert evr.result["unexpected_count"] == 2
+
+
 def test_strftime(spark):
     df = spark.createDataFrame(
         [("2024-01-01",), ("2024-13-45",), ("nope",)], ["d"]

@@ -308,6 +308,76 @@ def test_auto_bootstrap_range_from_metrics_history(spark, tmp_path):
     assert kw_fb["min_value"] == kw_fb["max_value"]
 
 
+def test_auto_history_is_domain_scoped(spark, tmp_path):
+    """A conditioned auto=True expectation bootstraps from the
+    row_condition domain's OWN metric series — the planner stores
+    conditioned aggregates under the rc-suffixed _reg key, and
+    auto_history_key must mirror that identity. Before the fix the bare
+    [metric, column] key fetched the WHOLE-TABLE history, bounding a
+    stable domain by the wrong distribution."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.core.config import ExpectationSuite
+    from great_expectations_spark.engine import SparkValidationEngine
+    from great_expectations_spark.profiler import auto_history_key, resolve_auto
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    # key identity: rc-suffixed, matching the planner's storage key
+    bare = auto_history_key("expect_column_mean_to_be_between", {"column": "v"})
+    cond = auto_history_key(
+        "expect_column_mean_to_be_between",
+        {"column": "v", "row_condition": "g = 'a'", "condition_parser": "spark"},
+    )
+    assert bare == ["column.mean", "v"]
+    assert cond[:2] == bare and len(cond) == 3
+
+    store = ResultsStore(spark, str(tmp_path / "domstore"))
+    eng = SparkValidationEngine(spark)
+    seed = ExpectationSuite(name="history")
+    # whole-table mean ~51 per run; domain g='a' mean 1.0 / 1.5 / 2.0
+    seed.add(
+        "expect_column_mean_to_be_between", column="v", min_value=-1e9, max_value=1e9
+    )
+    seed.add(
+        "expect_column_mean_to_be_between",
+        column="v",
+        row_condition="g = 'a'",
+        condition_parser="spark",
+        min_value=-1e9,
+        max_value=1e9,
+    )
+
+    def batch(i):
+        return spark.range(0, 200).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+            F.when(F.col("id") % 2 == 0, 1.0 + i * 0.5)
+            .otherwise(100.0 + i)
+            .alias("v"),
+        )
+
+    for i in range(3):
+        store.write_metrics(eng.validate(batch(i), seed), run_id=f"r{i}")
+
+    kw = resolve_auto(
+        batch(1),
+        "expect_column_mean_to_be_between",
+        {
+            "column": "v",
+            "auto": True,
+            "row_condition": "g = 'a'",
+            "condition_parser": "spark",
+        },
+        store=store,
+        seed=7,
+        suite_name="history",
+    )
+    # bounds bracket the DOMAIN's history (means 1.0-2.0), a genuine range
+    # — nowhere near the whole-table ~51 series the bare key holds
+    assert kw["min_value"] < kw["max_value"]
+    assert 0.0 <= kw["min_value"] <= 1.5
+    assert 1.5 <= kw["max_value"] <= 5.0
+
+
 def test_volume_assistant_from_metrics_history(spark, tmp_path):
     from great_expectations_spark.core.config import ExpectationSuite
     from great_expectations_spark.engine import SparkValidationEngine

@@ -40,6 +40,45 @@ def test_compound_unique(spark):
     assert evr.result["unexpected_count"] == 2  # the two (1, x) rows
 
 
+def test_compound_unique_ignore_row_if(spark):
+    """Reference default ignore_row_if='all_values_are_missing'
+    (expect_compound_columns_to_be_unique.py:35, applied by
+    get_domain_records, sparkdf_execution_engine.py:522-541): all-NULL key
+    rows drop BEFORE grouping instead of counting as duplicates of each
+    other; 'any_value_is_missing' drops partially-null rows too; 'never'
+    keeps everything."""
+    df = spark.createDataFrame(
+        [(None, None), (None, None), (1, "x"), (1, None), (1, None), (2, "y")],
+        "a int, b string",
+    )
+    # default: the two (NULL, NULL) rows are ignored; the two (1, NULL)
+    # rows still count as duplicates (only ALL-missing rows drop)
+    evr = run_one(df, "expect_compound_columns_to_be_unique", column_list=["a", "b"])
+    assert evr.success is False
+    assert evr.result["unexpected_count"] == 2
+    assert evr.result["element_count"] == 6
+
+    # any_value_is_missing: the (1, NULL) rows drop too -> all unique
+    evr = run_one(
+        df,
+        "expect_compound_columns_to_be_unique",
+        column_list=["a", "b"],
+        ignore_row_if="any_value_is_missing",
+    )
+    assert evr.success is True
+    assert evr.result["unexpected_count"] == 0
+
+    # never: every row considered; both NULL-keyed groups are duplicates
+    evr = run_one(
+        df,
+        "expect_compound_columns_to_be_unique",
+        column_list=["a", "b"],
+        ignore_row_if="never",
+    )
+    assert evr.success is False
+    assert evr.result["unexpected_count"] == 4
+
+
 def test_referential_anti_join(spark):
     data = spark.createDataFrame([("i1",), ("i2",), ("i3",), ("i9",), (None,)], ["id"])
     ref = spark.createDataFrame([("i1",), ("i2",), ("i3",), ("i4",)], ["image_id"])
