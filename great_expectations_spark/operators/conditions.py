@@ -159,6 +159,31 @@ class MapCondition:
         return self.columns[0] if len(self.columns) == 1 else None
 
 
+# reference get_domain_records accepts distinct policy spellings per domain
+# kind and raises for the rest (sparkdf_execution_engine.py:494-545): pair
+# domains take both/either/neither (+ "never" accepted as a deprecated
+# no-action alias, :511-515); column_list domains take all/any/never
+PAIR_IGNORE_POLICIES = (
+    "both_values_are_missing",
+    "either_value_is_missing",
+    "neither",
+    "never",
+)
+MULTICOLUMN_IGNORE_POLICIES = (
+    "all_values_are_missing",
+    "any_value_is_missing",
+    "never",
+)
+
+
+def validate_ignore_row_if(policy: Optional[str], allowed: tuple) -> None:
+    """Reject domain-kind-inappropriate policies the way the reference does
+    (ValueError -> exception EVR) instead of silently computing a verdict
+    under a remapped policy."""
+    if policy is not None and policy not in allowed:
+        raise ValueError(f'Unrecognized value of ignore_row_if ("{policy}").')
+
+
 def _ignore_row_if_considered(cols: list[Column], policy: str, default: str) -> Column:
     policy = policy or default
     if policy in ("both_values_are_missing", "all_values_are_missing"):
@@ -467,6 +492,7 @@ def _pair_cond(
     kwargs: dict, fn: Callable[[Column, Column], Column], default_ignore: str
 ) -> MapCondition:
     a, b, names = _pair(kwargs)
+    validate_ignore_row_if(kwargs.get("ignore_row_if"), PAIR_IGNORE_POLICIES)
     considered = _ignore_row_if_considered(
         [a, b], kwargs.get("ignore_row_if"), default_ignore
     )
@@ -486,6 +512,9 @@ def _multi_cond(
     kwargs: dict, fn: Callable[[list[Column]], Column], default_ignore: str
 ) -> MapCondition:
     cols, names = _multi(kwargs)
+    validate_ignore_row_if(
+        kwargs.get("ignore_row_if"), MULTICOLUMN_IGNORE_POLICIES
+    )
     considered = _ignore_row_if_considered(
         cols, kwargs.get("ignore_row_if"), default_ignore
     )

@@ -1076,9 +1076,18 @@ def _compile_unique_map(planner: SuitePlanner, cfg: ExpectationConfiguration) ->
         # reference default ignore_row_if="all_values_are_missing"
         # (expect_compound_columns_to_be_unique.py:35) — applied as a
         # domain pre-filter, the same row drop get_domain_records performs
-        # (sparkdf_execution_engine.py:522-541); "never" keeps every row
+        # (sparkdf_execution_engine.py:522-541); "never" keeps every row;
+        # pair-only spellings raise, as in the reference (-> exception EVR)
+        from great_expectations_spark.operators.conditions import (
+            MULTICOLUMN_IGNORE_POLICIES,
+            validate_ignore_row_if,
+        )
+
+        validate_ignore_row_if(
+            cfg.kwargs.get("ignore_row_if"), MULTICOLUMN_IGNORE_POLICIES
+        )
         iri = cfg.kwargs.get("ignore_row_if") or "all_values_are_missing"
-        if iri in ("neither", "never"):
+        if iri == "never":
             iri = None
     iri_cond = (
         _ignore_row_if_considered([F.col(c) for c in cols], iri, iri)

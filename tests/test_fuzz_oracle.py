@@ -211,9 +211,7 @@ def g_compound_unique(rng):
     # compound uniqueness drops rows per ignore_row_if BEFORE grouping
     # (reference default "all_values_are_missing"); surviving NULL key
     # components group together on both engines
-    policy = rng.choice(
-        [None, "all_values_are_missing", "any_value_is_missing", "never"]
-    )
+    policy = _draw_multicol_policy(rng)
     kwargs: dict = {"column_list": ["i", "s"]}
     if policy:
         kwargs["ignore_row_if"] = policy
@@ -325,6 +323,15 @@ def _draw_policy(rng, default):
     return p
 
 
+def _draw_multicol_policy(rng):
+    # the column_list policy grammar (engine validates against exactly
+    # this set); shared by every multicolumn generator so coverage can't
+    # silently drift between them
+    return rng.choice(
+        [None, "all_values_are_missing", "any_value_is_missing", "never"]
+    )
+
+
 def _pair_gen(rng, t, expected_sql, extra_kwargs=None):
     policy = _draw_policy(rng, "both_values_are_missing")
     kwargs = {"column_A": "i", "column_B": "j", **(extra_kwargs or {})}
@@ -364,9 +371,7 @@ def g_multicolumn_sum(rng):
     # (multicolumn_sum_equal.py _spark), so the oracle coalesces too;
     # default ignore_row_if is all_values_are_missing
     total = rng.randrange(-5, 30)
-    policy = rng.choice(
-        [None, "all_values_are_missing", "any_value_is_missing", "never"]
-    )
+    policy = _draw_multicol_policy(rng)
     kwargs = {"column_list": ["i", "j"], "sum_total": total}
     if policy:
         kwargs["ignore_row_if"] = policy
@@ -385,9 +390,7 @@ def g_multicolumn_sum(rng):
 
 
 def g_unique_within_record(rng):
-    policy = rng.choice(
-        [None, "all_values_are_missing", "any_value_is_missing", "never"]
-    )
+    policy = _draw_multicol_policy(rng)
     kwargs = {"column_list": ["i", "j"]}
     if policy:
         kwargs["ignore_row_if"] = policy

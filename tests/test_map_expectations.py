@@ -307,6 +307,65 @@ def test_multicolumn_default_ignore_row_if_keeps_partial_nulls(spark):
     assert evr.result["unexpected_count"] == 2
 
 
+def test_ignore_row_if_domain_kind_validation(spark):
+    """Domain-kind-inappropriate ignore_row_if spellings raise, as in the
+    reference's get_domain_records (sparkdf_execution_engine.py:494-545) —
+    a failed EVR with the ValueError, not a silently remapped verdict."""
+    from great_expectations_spark import ExpectationSuite, validate
+
+    df = spark.createDataFrame([(1, 2, "a")], "p int, q int, g string")
+    suite = ExpectationSuite("iri-validation")
+    # pair-only spelling on a column_list domain
+    suite.add(
+        "expect_compound_columns_to_be_unique",
+        column_list=["p", "q"],
+        ignore_row_if="neither",
+    )
+    suite.add(
+        "expect_multicolumn_sum_to_equal",
+        column_list=["p", "q"],
+        sum_total=3,
+        ignore_row_if="either_value_is_missing",
+    )
+    # column_list-only spelling on a pair domain
+    suite.add(
+        "expect_column_pair_values_to_be_equal",
+        column_A="p",
+        column_B="q",
+        ignore_row_if="all_values_are_missing",
+    )
+    # valid spellings still work
+    suite.add(
+        "expect_column_pair_values_to_be_equal",
+        column_A="p", column_B="q", ignore_row_if="neither",
+    )
+    res = validate(df, suite)
+    by_type = {}
+    for r in res.results:
+        by_type.setdefault(
+            r.expectation_config["expectation_type"], []
+        ).append(r)
+    for t in (
+        "expect_compound_columns_to_be_unique",
+        "expect_multicolumn_sum_to_equal",
+    ):
+        (evr,) = by_type[t]
+        assert evr.success is False
+        assert "Unrecognized value of ignore_row_if" in (
+            evr.exception_info or {}
+        ).get("exception_message", ""), evr.exception_info
+    pair_evrs = sorted(
+        by_type["expect_column_pair_values_to_be_equal"],
+        key=lambda r: str(r.expectation_config["kwargs"]["ignore_row_if"]),
+    )
+    bad_pair, ok_pair = pair_evrs  # all_values... sorts before neither
+    assert "Unrecognized value of ignore_row_if" in (
+        bad_pair.exception_info or {}
+    ).get("exception_message", "")
+    assert ok_pair.success is False  # 1 != 2 — a genuine verdict, no error
+    assert not (ok_pair.exception_info or {}).get("raised_exception")
+
+
 def test_strftime(spark):
     df = spark.createDataFrame(
         [("2024-01-01",), ("2024-13-45",), ("nope",)], ["d"]
