@@ -192,6 +192,86 @@ def g_regex(rng):
     return "expect_column_values_to_match_regex", kwargs, oracle
 
 
+def g_like_variants(rng):
+    # negative + list forms share the LIKE dialect subset of g_like
+    pats = rng.sample(["a%", "%a%", "_lpha", "%01", "%z%"], rng.randrange(1, 3))
+    variant = rng.choice(["not", "list_any", "list_all", "not_list"])
+    if variant == "not":
+        t = "expect_column_values_to_not_match_like_pattern"
+        kwargs = {"column": "s", "like_pattern": pats[0]}
+        bad_sql = f"s IS NOT NULL AND s LIKE {_sql_lit(pats[0])}"
+    elif variant in ("list_any", "list_all"):
+        t = "expect_column_values_to_match_like_pattern_list"
+        kwargs = {"column": "s", "like_pattern_list": pats}
+        op = " OR " if variant == "list_any" else " AND "
+        match = op.join(f"s LIKE {_sql_lit(p)}" for p in pats)
+        if variant == "list_all":
+            kwargs["match_on"] = "all"
+        bad_sql = f"s IS NOT NULL AND NOT ({match})"
+    else:
+        t = "expect_column_values_to_not_match_like_pattern_list"
+        kwargs = {"column": "s", "like_pattern_list": pats}
+        match = " OR ".join(f"s LIKE {_sql_lit(p)}" for p in pats)
+        bad_sql = f"s IS NOT NULL AND ({match})"
+
+    def oracle(con):
+        nn = _duck(con, "SELECT count(s) FROM t")
+        bad = _duck(con, f"SELECT count(*) FROM t WHERE {bad_sql}")
+        return nn, bad
+
+    return t, kwargs, oracle
+
+
+def g_regex_variants(rng):
+    # negative + list forms over the same dialect-safe pattern pool as
+    # g_regex (partial-match semantics agree: Spark RLIKE vs regexp_matches)
+    pats = rng.sample(
+        ["^a", "a$", "^[a-z]+$", "[0-9]", "^x y$"], rng.randrange(1, 3)
+    )
+    variant = rng.choice(["not", "list_any", "list_all", "not_list"])
+    rx = [f"regexp_matches(s, {_sql_lit(p)})" for p in pats]
+    if variant == "not":
+        t = "expect_column_values_to_not_match_regex"
+        kwargs = {"column": "s", "regex": pats[0]}
+        bad_sql = f"s IS NOT NULL AND {rx[0]}"
+    elif variant in ("list_any", "list_all"):
+        t = "expect_column_values_to_match_regex_list"
+        kwargs = {"column": "s", "regex_list": pats}
+        op = " OR " if variant == "list_any" else " AND "
+        if variant == "list_all":
+            kwargs["match_on"] = "all"
+        bad_sql = f"s IS NOT NULL AND NOT ({op.join(rx)})"
+    else:
+        t = "expect_column_values_to_not_match_regex_list"
+        kwargs = {"column": "s", "regex_list": pats}
+        bad_sql = f"s IS NOT NULL AND ({' OR '.join(rx)})"
+
+    def oracle(con):
+        nn = _duck(con, "SELECT count(s) FROM t")
+        bad = _duck(con, f"SELECT count(*) FROM t WHERE {bad_sql}")
+        return nn, bad
+
+    return t, kwargs, oracle
+
+
+def g_value_length_eq(rng):
+    L = rng.randrange(3, 8)
+
+    def oracle(con):
+        nn = _duck(con, "SELECT count(s) FROM t")
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE s IS NOT NULL AND length(s) <> {L}",
+        )
+        return nn, bad
+
+    return (
+        "expect_column_value_lengths_to_equal",
+        {"column": "s", "value": L},
+        oracle,
+    )
+
+
 def g_unique(rng):
     col = rng.choice(["i", "s"])
 
@@ -238,7 +318,8 @@ def g_compound_unique(rng):
 # path is groupBy-based but shares the (considered - unexpected)/considered
 # success rule — verified by the passing unique+mostly draws)
 MAP_GENS = [g_between, g_in_set, g_not_in_set, g_value_lengths, g_not_null,
-            g_be_null, g_like, g_regex, g_unique, g_compound_unique]
+            g_be_null, g_like, g_regex, g_like_variants, g_regex_variants,
+            g_value_length_eq, g_unique, g_compound_unique]
 
 
 def _obs_sort(values):
