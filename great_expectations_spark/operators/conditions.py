@@ -265,7 +265,10 @@ def _not_in_set(col: Column, kw: dict) -> Column:
 def _json_parseable(col: Column, kw: dict) -> Column:
     # native replacement for the reference's per-row F.udf(json.loads)
     # (column_values_json_parseable.py:28-38); Spark 4 try_parse_json
-    # returns NULL for invalid JSON.
+    # returns NULL for invalid JSON. Known edge divergence from json.loads:
+    # Python accepts the non-standard literals NaN/Infinity, the variant
+    # parser (correctly, per RFC 8259) does not. Fuzz-guarded against
+    # DuckDB json_valid on the agreed dialect subset.
     return F.expr(f"try_parse_json(`{kw['column']}`) IS NOT NULL")
 
 

@@ -16,6 +16,13 @@ SEED = 20260818
 N_DATASETS = 30
 EXP_PER_SUITE = 8  # 30 x 8 = 240 fuzz cases
 WORDS = ["alpha", "beta", "gamma", "delta", "Epsilon", "zeta01", "", "x y"]
+# Spark try_parse_json and DuckDB json_valid agree on every entry here
+# (verified empirically; trailing-comma forms like '{"a": 1,}' are excluded
+# — DuckDB's yyjson accepts them, Spark's variant parser does not)
+JSONISH = [
+    '{"a": 1}', "[1,2,3]", "{oops", "3", '"x"', "null",
+    '{"a": [1, {"b": 2}]}', "not json", "", '  {"b":2} ', "true",
+]
 
 
 def _gen_rows(rng: random.Random, n: int):
@@ -34,7 +41,8 @@ def _gen_rows(rng: random.Random, n: int):
             else i if (i is not None and rng.random() < 0.5)
             else rng.randrange(-5, 20)
         )
-        rows.append((i, f, s, j, k))
+        js = None if rng.random() < 0.12 else rng.choice(JSONISH)
+        rows.append((i, f, s, j, k, js))
     return rows
 
 
@@ -272,6 +280,20 @@ def g_value_length_eq(rng):
     )
 
 
+def g_json(rng):
+    # the one Arrow-free JSON gate: Spark try_parse_json IS NOT NULL vs
+    # DuckDB json_valid — the JSONISH pool is the verified agreement set
+    def oracle(con):
+        nn = _duck(con, "SELECT count(js) FROM t")
+        bad = _duck(
+            con,
+            "SELECT count(*) FROM t WHERE js IS NOT NULL AND NOT json_valid(js)",
+        )
+        return nn, bad
+
+    return "expect_column_values_to_be_json_parseable", {"column": "js"}, oracle
+
+
 def g_unique(rng):
     col = rng.choice(["i", "s"])
 
@@ -319,7 +341,7 @@ def g_compound_unique(rng):
 # success rule — verified by the passing unique+mostly draws)
 MAP_GENS = [g_between, g_in_set, g_not_in_set, g_value_lengths, g_not_null,
             g_be_null, g_like, g_regex, g_like_variants, g_regex_variants,
-            g_value_length_eq, g_unique, g_compound_unique]
+            g_value_length_eq, g_json, g_unique, g_compound_unique]
 
 
 def _obs_sort(values):
@@ -715,12 +737,15 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
     rng = random.Random(SEED * 1000 + ds)
     n = rng.randrange(40, 250)
     rows = _gen_rows(rng, n)
-    df = spark.createDataFrame(rows, "i bigint, f double, s string, j bigint, k bigint")
+    df = spark.createDataFrame(
+        rows, "i bigint, f double, s string, j bigint, k bigint, js string"
+    )
     con = duckdb.connect()
     con.execute(
-        "CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, k BIGINT)"
+        "CREATE TABLE base "
+        "(i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, k BIGINT, js VARCHAR)"
     )
-    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?)", rows)
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?, ?)", rows)
 
     cases = [_draw_case(rng, MAP_GENS + [g_monotonic]) for _ in range(EXP_PER_SUITE)]
     suite = ExpectationSuite(f"fuzz-{ds}")
@@ -789,14 +814,15 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
         r + (rng.choice(PART_VALUES[:k_parts]),) for r in _gen_rows(rng, n)
     ]
     df = spark.createDataFrame(
-        rows, "i bigint, f double, s string, j bigint, k bigint, p string"
+        rows,
+        "i bigint, f double, s string, j bigint, k bigint, js string, p string",
     )
     con = duckdb.connect()
     con.execute(
-        "CREATE TABLE base "
-        "(i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, k BIGINT, p VARCHAR)"
+        "CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, "
+        "k BIGINT, js VARCHAR, p VARCHAR)"
     )
-    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?, ?, ?)", rows)
 
     cases = [_draw_case(rng) for _ in range(EXP_PER_PART_SUITE)]
     suite = ExpectationSuite(f"fuzz-part-{ds}")
