@@ -205,10 +205,6 @@ def load_checkpoint_config(
         doc = copy.deepcopy(source)
         base_dir = os.getcwd()
 
-    unknown = set(doc) - _ALLOWED_KEYS
-    if unknown:
-        raise ValueError(f"unknown checkpoint config keys: {sorted(unknown)}")
-
     if doc.get("template"):
         tpath = doc["template"]
         if not os.path.isabs(tpath):
@@ -241,6 +237,12 @@ def load_checkpoint_config(
         else:
             doc[k] = v
 
+    # validate AFTER template merge and runtime overrides: a typo'd key
+    # arriving from either source must error, not be silently dropped
+    unknown = set(doc) - _ALLOWED_KEYS
+    if unknown:
+        raise ValueError(f"unknown checkpoint config keys: {sorted(unknown)}")
+
     doc = substitute_env_variables(doc, env)
 
     batch = doc.get("batch") or {}
@@ -271,7 +273,7 @@ def load_checkpoint_config(
 
     pb = doc.get("partition_by") or []
     if isinstance(pb, str):
-        pb = [c for c in pb.split(",") if c]
+        pb = [c.strip() for c in pb.split(",") if c.strip()]
 
     return CheckpointConfig(
         name=doc.get("name", "checkpoint"),
@@ -335,7 +337,13 @@ def run_checkpoint(
 
     if cfg.store and cfg.partition_by:
         store = ResultsStore(spark, cfg.store)
-        fingerprint = spec.batch_id if cfg.resume else f"{spec.batch_id}-{rid}"
+        # resume:false must salt with a PER-INVOCATION nonce, not the run_id:
+        # a coarse run_name_template (e.g. '%Y%m%d-nightly') repeats within
+        # a day, and a repeated salt would match the earlier run's lineage
+        # rows and silently skip every partition despite resume being off
+        fingerprint = (
+            spec.batch_id if cfg.resume else f"{spec.batch_id}-{uuid.uuid4()}"
+        )
         if cfg.evaluation_parameters:
             # the suite id hashes UNsubstituted $PARAMETER placeholders, so
             # without this salt a re-run with CHANGED parameter values would
@@ -372,15 +380,22 @@ def run_checkpoint(
                 & (~results.success)
                 & results.partition_key.isNull()
             ).count()
+        # latest-lineage failures, scoped to the partitions actually
+        # resume-SKIPPED this run — a partition that ran and failed THIS run
+        # is already in `failed` (and '__global__' in global_failed when the
+        # global pass ran), and must not be double-reported as skipped
+        import json as _json
+
+        skipped_keys = {
+            _json.dumps(p, default=str) for p in out["partitions_skipped"]
+        }
+        if out.get("global_skipped"):
+            skipped_keys.add("__global__")
         skipped_failed = (
-            store.failed_partitions(suite.id, fingerprint)
-            if (out["partitions_skipped"] or out.get("global_skipped"))
+            store.failed_partitions(suite.id, fingerprint) & skipped_keys
+            if skipped_keys
             else set()
         )
-        if not out.get("global_skipped"):
-            # the global pass ran (or didn't exist) this run: its verdict is
-            # already in global_failed, don't double-count the lineage row
-            skipped_failed.discard("__global__")
         return {
             "checkpoint": cfg.name,
             "run_id": rid,

@@ -236,8 +236,20 @@ def discover_batches(
             r.rsplit("/", 1)[0] if "/" in r else "" for r in bd.data_references
         }
         if len(parents) == 1:
-            bd.dir_exclusive = per_dir[next(iter(parents))] == len(
-                bd.data_references
+            d = next(iter(parents))
+            # a directory spec must ALSO have no listed file anywhere under
+            # a subdirectory of the parent: Spark's partition discovery
+            # reads a directory recursively, so 'a=1' holding only this
+            # batch's files directly but a sibling batch under 'a=1/b=2/'
+            # would sweep that batch's rows in
+            prefix = f"{d}/" if d else ""
+            has_subdir_files = any(
+                r.startswith(prefix)
+                and (r.rsplit("/", 1)[0] if "/" in r else "") != d
+                for r in refs
+            )
+            bd.dir_exclusive = (
+                per_dir[d] == len(bd.data_references) and not has_subdir_files
             )
     if sorters:
         defs = sort_batch_definitions(defs, sorters)
@@ -379,8 +391,12 @@ class BatchFilter:
         if self.custom_filter_function:
             return bool(self.custom_filter_function(batch_identifiers=idents))
         if self.batch_filter_parameters:
+            # identifiers extracted from paths are always strings; compare
+            # as strings so a YAML-typed parameter ({year: 2024}, an int)
+            # still selects the '2024' batch instead of silently matching
+            # nothing
             return all(
-                k in idents and idents[k] == v
+                k in idents and str(idents[k]) == str(v)
                 for k, v in self.batch_filter_parameters.items()
             )
         return True

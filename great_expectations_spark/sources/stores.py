@@ -129,6 +129,18 @@ class ResultsStore:
         df.write.mode("append").parquet(self._path("validation_results"))
         return rows
 
+    def run_exists(self, run_id: str) -> bool:
+        """True iff a committed results row exists for ``run_id`` — the
+        foreachBatch retry idempotence check (streaming validation_sink).
+        A retried micro-batch whose previous attempt committed its result
+        write must not append a second copy; a mid-write crash leaves no
+        committed files (Spark stages the job), so the retry writes fresh."""
+        try:
+            df = self.spark.read.parquet(self._path("validation_results"))
+        except Exception:
+            return False
+        return bool(df.filter(F.col("run_id") == run_id).limit(1).count())
+
     def write_metrics(self, result: SuiteValidationResult, run_id: str) -> None:
         """Resolved metric values, global + per partition — the cross-run
         metric history (reference: metric_store.py, StoreMetricsAction

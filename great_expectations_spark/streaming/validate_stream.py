@@ -6,8 +6,8 @@ this module is new surface for pipelines that land data continuously:
 1. ``validation_sink`` / ``validate_stream`` — per-micro-batch suite
    validation via ``foreachBatch``: each micro-batch is a Batch in the
    reference's sense, validated with the same planner (bundled agg passes),
-   results appended to a ResultsStore. Exactly-once-ish by (run_id=batch_id)
-   idempotence.
+   results appended to a ResultsStore — effectively-once: a retried
+   micro-batch whose rows already committed is skipped via run_exists.
 2. ``streaming_metrics`` — fully streaming alternative for map expectations:
    compiles every map condition to ``sum(when(unexpected,1))`` aggregates
    over event-time windows with a watermark, so late data folds in and state
@@ -26,6 +26,7 @@ from great_expectations_spark.core.config import ExpectationSuite
 from great_expectations_spark.operators.conditions import (
     compile_map_condition,
     is_map_expectation,
+    translate_row_condition,
 )
 
 
@@ -39,8 +40,12 @@ def validation_sink(
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback: validate each micro-batch with the full engine.
 
-    ``store``: ResultsStore — results/lineage appended per batch with
-    run_id = "stream-<batch_id>" (idempotent on retries of the same batch).
+    ``store``: ResultsStore — results appended per batch with
+    run_id = "stream-<batch_id>"; a retried micro-batch whose previous
+    attempt already committed its rows is detected (store.run_exists) and
+    NOT re-appended, so stored results are effectively-once. Actions and
+    ``on_result`` remain at-least-once on retries, the usual foreachBatch
+    side-effect contract.
     ``on_result(result, batch_id)``: in-process hook (alerting, metrics).
     ``actions``: notification actions (sources/stores.py roster) fired once
     per micro-batch with an event_type='micro_batch_validated' event —
@@ -56,7 +61,7 @@ def validation_sink(
             batch_df, suite, result_format=result_format, partition_by=partition_by
         )
         result.meta["batch_id"] = batch_id
-        if store is not None:
+        if store is not None and not store.run_exists(f"stream-{batch_id}"):
             store.write_results(result, run_id=f"stream-{batch_id}")
         if actions:
             from great_expectations_spark.sources.stores import fire_actions
@@ -135,6 +140,14 @@ def streaming_metrics(
             continue
         mc = compile_map_condition(cfg.expectation_type, cfg.kwargs)
         unexpected = mc.considered & F.coalesce(~mc.expected, F.lit(False))
+        rc = cfg.kwargs.get("row_condition")
+        if rc:
+            # same domain restriction the batch planner applies
+            # (plans/planner.py _domain) — without it the window counts
+            # out-of-domain rows as unexpected
+            unexpected = translate_row_condition(
+                rc, cfg.kwargs.get("condition_parser", "spark")
+            ) & unexpected
         n = seen.get(cfg.expectation_type, 0)
         seen[cfg.expectation_type] = n + 1
         label = cfg.expectation_type if n == 0 else f"{cfg.expectation_type}#{n}"

@@ -290,6 +290,86 @@ def test_checkpoint_config_loading_rules(tmp_path):
     cfg4 = load_checkpoint_config({**base, "run_name_template": "run-%Y%m%d"}, env=env)
     assert cfg4.run_id(datetime.datetime(2026, 8, 18)) == "run-20260818"
 
+    # unknown keys arriving FROM the template or runtime overrides error
+    # too — validation runs on the fully merged document
+    (tmp_path / "t3.json").write_text(
+        json.dumps({"config_version": 1.0, "partition_key": ["dt"]})
+    )
+    doc3 = tmp_path / "c3.json"
+    doc3.write_text(json.dumps({**base, "template": "t3.json"}))
+    with pytest.raises(ValueError, match="unknown checkpoint config keys"):
+        load_checkpoint_config(str(doc3), env=env)
+    with pytest.raises(ValueError, match="unknown checkpoint config keys"):
+        load_checkpoint_config(
+            base, runtime_overrides={"partiton_by": ["x"]}, env=env
+        )
+
+    # a comma-separated partition_by string strips whitespace
+    cfg5 = load_checkpoint_config({**base, "partition_by": "date, region"}, env=env)
+    assert cfg5.partition_by == ["date", "region"]
+
+
+def test_run_checkpoint_summary_scoping_and_noresume_nonce(spark, tmp_path):
+    """Two summary-accounting contracts: (1) skipped_partitions_with_failures
+    counts only partitions actually resume-SKIPPED this run — a partition
+    that ran and failed THIS run is reported once, in failed_expectations;
+    (2) resume:false revalidates every partition even when a coarse
+    run_name_template yields the same run_id as an earlier run (the lineage
+    fingerprint is salted with a per-invocation nonce, not the run_id)."""
+    from great_expectations_spark.sources.checkpoint_config import (
+        load_checkpoint_config,
+        run_checkpoint,
+    )
+
+    data = str(tmp_path / "data.parquet")
+    df1 = spark.createDataFrame([(1, "A"), (2, "A")], "v int, g string")
+    df1.write.mode("overwrite").parquet(data)
+    doc = {
+        "name": "ck",
+        "batch": {"path": data},
+        "suite": {
+            "name": "s",
+            "expectations": [
+                {
+                    "expectation_type": "expect_column_values_to_be_between",
+                    "kwargs": {"column": "v", "min_value": 0, "max_value": 10},
+                }
+            ],
+        },
+        "partition_by": ["g"],
+        "store": str(tmp_path / "store"),
+    }
+    cfg = load_checkpoint_config(doc, env={})
+    s1 = run_checkpoint(spark, cfg, run_id="r1")
+    assert s1["success"] is True and s1["partitions_run"] == 1
+
+    # a NEW failing partition appears; the re-run resume-skips A, runs B
+    df1.unionByName(
+        spark.createDataFrame([(99, "B")], "v int, g string")
+    ).write.mode("overwrite").parquet(data)
+    s2 = run_checkpoint(spark, cfg, run_id="r2")
+    assert s2["partitions_skipped"] == 1 and s2["partitions_run"] == 1
+    assert s2["failed_expectations"] >= 1
+    # B failed THIS run — it is not a "skipped partition with failures"
+    assert s2["skipped_partitions_with_failures"] == 0
+    assert s2["success"] is False
+
+    # resume:false + a day-granular run_name_template: both invocations
+    # derive the same run_id, yet NOTHING may be skipped
+    cfg_nr = load_checkpoint_config(
+        {
+            **doc,
+            "store": str(tmp_path / "store_nr"),
+            "resume": False,
+            "run_name_template": "nightly-%Y%m%d",
+        },
+        env={},
+    )
+    a = run_checkpoint(spark, cfg_nr)
+    b = run_checkpoint(spark, cfg_nr)
+    for out in (a, b):
+        assert out["partitions_run"] == 2 and out["partitions_skipped"] == 0
+
 
 def test_cli_profile_suite_onboarding_and_rule_config(tmp_path):
     """scripts/profile_suite.py multi-batch modes: --onboarding bootstraps a

@@ -197,6 +197,41 @@ def test_multi_dir_batch_spec_list_path(spark, layout):
     assert isinstance(spec.batch_id, str)  # list paths hash deterministically
 
 
+def test_dir_spec_rejected_when_subdir_holds_other_batches(spark, tmp_path):
+    """A directory-path spec requires the parent to hold ONLY this batch's
+    files, including nothing in subdirectories: Spark partition discovery
+    reads a directory recursively, so a batch at a=1 with a sibling batch
+    under a=1/b=2/ would otherwise sweep the sibling's rows in."""
+    base = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [(i, "top") for i in range(10)], "v int, src string"
+    ).coalesce(1).write.parquet(f"{base}/a=1")
+    spark.createDataFrame(
+        [(i, "sub") for i in range(5)], "v int, src string"
+    ).coalesce(1).write.parquet(f"{base}/a=1/b=2")
+
+    defs = discover_batches(base, hive=True, spark=spark)
+    by = {tuple(sorted(d.batch_identifiers.items())) for d in defs}
+    assert by == {(("a", "1"),), (("a", "1"), ("b", "2"))}
+    top = [d for d in defs if d.batch_identifiers == {"a": "1"}][0]
+    sub = [d for d in defs if d.batch_identifiers == {"a": "1", "b": "2"}][0]
+    assert top.dir_exclusive is False  # subdir files forbid the dir spec
+    assert load_batch(spark, top.to_batch_spec()).count() == 10
+    assert load_batch(spark, sub.to_batch_spec()).count() == 5
+
+
+def test_batch_filter_parameters_accept_typed_values(spark, layout):
+    """Identifiers extracted from paths are strings; a YAML-typed filter
+    parameter ({year: 2024}, an int) must still select the '2024' batches
+    instead of silently matching nothing."""
+    defs = discover_batches(layout, hive=True, spark=spark)
+    got = build_batch_filter({"batch_filter_parameters": {"year": 2024}}).select(defs)
+    assert [d.batch_identifiers for d in got] == [
+        {"year": "2024", "month": "1"},
+        {"year": "2024", "month": "2"},
+    ]
+
+
 def test_flat_layout_never_loads_by_directory(spark, tmp_path):
     """Batches whose files share a parent directory WITH OTHER batches'
     files (flat layouts) must load by explicit file list — a directory

@@ -94,6 +94,67 @@ def test_streaming_metrics_windowed(spark, events_stream_dir):
         )
 
 
+def test_streaming_metrics_respects_row_condition(spark, events_stream_dir):
+    """A conditioned map expectation's windowed unexpected count must be
+    restricted to its row_condition domain, matching batch semantics —
+    out-of-domain violations don't count."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    s = ExpectationSuite(name="stream-rc")
+    s.add(
+        "expect_column_values_to_be_in_set",
+        column="event_type",
+        value_set=["click", "view", "purchase", "signup"],
+        row_condition="value > 50",
+        condition_parser="spark",
+    )
+    metrics = streaming_metrics(
+        stream, s, ts_col="ts", window_duration="1 day",
+        watermark_delay="0 seconds",
+    )
+    q = (
+        metrics.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_metrics_rc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stream_metrics_rc").collect()
+    assert rows
+    batch = spark.read.parquet(events_stream_dir)
+    checked_nonzero = 0
+    for r in rows:
+        start, end = r["window"]["start"], r["window"]["end"]
+        sub = batch.filter((F.col("ts") >= start) & (F.col("ts") < end))
+        want = sub.filter("value > 50 AND event_type = 'error'").count()
+        assert r["expect_column_values_to_be_in_set_unexpected"] == want
+        # prove the domain actually excludes rows: some window must have
+        # out-of-domain errors that would inflate an unconditioned count
+        if sub.filter("value <= 50 AND event_type = 'error'").count():
+            checked_nonzero += 1
+    assert checked_nonzero > 0
+
+
+def test_validation_sink_idempotent_on_retry(spark, tmp_path):
+    """foreachBatch re-invokes the sink with the same batch_id after a
+    failure; a retry whose previous attempt committed its rows must not
+    append a second copy (store.run_exists gate)."""
+    from great_expectations_spark.sources.stores import ResultsStore
+    from great_expectations_spark.streaming.validate_stream import validation_sink
+
+    store = ResultsStore(spark, str(tmp_path / "sink_store"))
+    sink = validation_sink(_suite(), store=store)
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(100)
+    sink(df, 7)
+    n1 = store.read_results().count()
+    assert n1 > 0
+    sink(df, 7)  # retry of the same micro-batch
+    assert store.read_results().count() == n1
+    sink(df, 8)  # a NEW batch still appends
+    assert store.read_results().count() == 2 * n1
+
+
 def test_build_partition_uniform_and_auto(spark, lineitem):
     po = build_partition_object(lineitem, "l_quantity", bins="uniform", n_bins=5)
     assert len(po["bins"]) == 6
