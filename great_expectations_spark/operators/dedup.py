@@ -267,7 +267,14 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """End-to-end MinHash+LSH near-dup pairs with estimated jaccard ≥ τ."""
+    """End-to-end MinHash+LSH near-dup pairs with estimated jaccard ≥ τ.
+
+    Persists the signature table internally (it feeds BOTH the band join
+    and the est-jaccard verify) and cannot release it — the cache lives
+    until the session ends or ``spark.catalog.clearCache()``. Long-lived
+    applications should compose ``minhash_signatures`` /
+    ``minhash_lsh_candidates`` / ``minhash_estimate_jaccard`` directly and
+    manage the persist themselves (clean_corpus does exactly that)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     sigs = sigs.persist()

@@ -90,7 +90,12 @@ def decode_meta_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 
 def enrich_images(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Add the `_decoded` struct column (one decode per image, reused by every
-    image expectation in the suite)."""
+    image expectation in the suite). The decode is the CPU-heavy stage: an
+    under-partitioned input (e.g. a single-file parquet) would run it on one
+    core, so rebalance first — a no-op on well-partitioned tables."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.withColumn(DECODED_COL, decode_meta_udf(F.col(bytes_col)))
 
 

@@ -128,13 +128,28 @@ def audio_features_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Decode/resample/frame kernels are the CPU-heavy stage; an
+    under-partitioned input (single-file parquet) would run them on one
+    core. Round-robin rebalance — a no-op on well-partitioned tables."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def enrich_audio(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    return df.withColumn("_audio", audio_features_udf(F.col(bytes_col)))
+    return _rebalance(df).withColumn("_audio", audio_features_udf(F.col(bytes_col)))
 
 
 def resample_audio(df: DataFrame, target_rate: int, bytes_col: str = "bytes") -> DataFrame:
     """Nearest-sample resample to ``target_rate`` — new bytes column
     ``bytes_resampled`` (mapInPandas; schema = input + new column)."""
+    if not isinstance(target_rate, int) or target_rate < 1:
+        # a zero/negative rate would otherwise hit the per-row except and
+        # silently NULL every output instead of surfacing the config error
+        raise ValueError(f"target_rate must be a positive int, got {target_rate!r}")
+    df = _rebalance(df)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("bytes_resampled", T.BinaryType())]
     )
@@ -202,7 +217,7 @@ def video_features_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 
 
 def enrich_video(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    return df.withColumn("_video", video_features_udf(F.col(bytes_col)))
+    return _rebalance(df).withColumn("_video", video_features_udf(F.col(bytes_col)))
 
 
 def sample_frames(
@@ -213,6 +228,11 @@ def sample_frames(
     shape for image models fed from video."""
     from great_expectations_spark.testing.images import encode_image
 
+    if not isinstance(every_n, int) or every_n < 1:
+        # range(..., 0) raises ValueError inside the executor with an
+        # opaque traceback; validate at the API surface instead
+        raise ValueError(f"every_n must be a positive int, got {every_n!r}")
+    df = _rebalance(df)
     out_schema = f"{id_col} string, frame_idx int, frame_bytes binary"
 
     def gen(batches):

@@ -199,10 +199,13 @@ def embedding_near_duplicate_pairs(
         )
     )
     sim = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+    # no pair-dedup pass: each vector hashes to exactly ONE bucket (single
+    # concatenated-sign key), so a pair can collide at most once — unlike
+    # the multi-band simhash path, where band collisions duplicate pairs
+    # and the dropDuplicates shuffle is load-bearing
     return (
         pairs.select("a", "b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["a", "b"])
     )
 
 
@@ -381,9 +384,13 @@ def train_pq_codebooks(
         C = Xj[rng.choice(len(Xj), size=kk, replace=False)].copy()
         for _ in range(iters):
             # plain Lloyd: nearest centroid by L2, empty clusters keep
-            # their previous centroid (stable, deterministic)
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            # their previous centroid (stable, deterministic). Distance via
+            # the expansion ||c||^2 - 2 x.c (||x||^2 is argmin-constant per
+            # row) — the broadcast temp (n, k, ds) of the naive form is
+            # ~4 GB at defaults for 768-dim input; this is (n, k) ~40 MB,
+            # the same identity pq_encode uses
+            scores = (C ** 2).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+            assign = scores.argmin(axis=1)
             for c in range(kk):
                 members = Xj[assign == c]
                 if len(members):

@@ -274,8 +274,11 @@ def canonical_url(col: Column) -> Column:
     )
     # fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # default ports
-    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(?:80|443)(?=[/?#]|$)", r"$1")
+    # default ports — scheme-specific: only :80 is default for http and
+    # :443 for https (http://h:443 and https://h:80 are DIFFERENT
+    # resources and must not merge under canonicalization)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(?=[/?#]|$)", r"$1")
     # tracking params: drop "param=value&" (keeping the preceding ?/& for
     # the successor) or a trailing "param=value", then tidy the leftover
     # separator a trailing removal can strand
@@ -397,9 +400,13 @@ def pack_sequences(
         if token_count_col is not None
         else token_count(F.col(text_col))
     )
+    # NULL/negative counts pack as 0 tokens (a NULL text has none) — a
+    # nullable long reaches Arrow as float64 with NaN and int(NaN) would
+    # crash the kernel mid-stage
+    n_tok = F.greatest(F.lit(0), F.coalesce(n_tok.cast("long"), F.lit(0)))
     src = df.select(
         F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).alias("_bucket"),
     )
 

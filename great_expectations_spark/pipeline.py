@@ -37,11 +37,17 @@ class CorpusCleanResult:
     # can release it (result.unpersist()) once the cleaned corpus is
     # materialized — otherwise the cache stays pinned for the app lifetime
     persisted: Optional[DataFrame] = None
+    # every OTHER cache the pipeline created (minhash signatures, the
+    # token-budget input) — released by the same unpersist() call
+    caches: list = field(default_factory=list)
 
     def unpersist(self) -> None:
         if self.persisted is not None:
             self.persisted.unpersist()
             self.persisted = None
+        for c in self.caches:
+            c.unpersist()
+        self.caches = []
 
 
 def clean_corpus(
@@ -126,6 +132,7 @@ def clean_corpus(
         benchmark is not None
     ) + (token_budgets is not None)
     persisted = None
+    caches: list = []
     if persist_intermediate and forks:
         out = persisted = out.persist()
         record("persist")
@@ -133,8 +140,15 @@ def clean_corpus(
         out = dd.exact_dedup(out, id_col=id_col, text_col=text_col)
         record("dedup_exact")
     elif dedup == "minhash":
-        pairs = dd.minhash_dedup_pairs(
-            out, id_col=id_col, text_col=text_col, threshold=dedup_threshold
+        # inline minhash_dedup_pairs so the signature cache it needs (sigs
+        # feed BOTH the band join and the est-jaccard verify) is tracked in
+        # ``caches`` and released by result.unpersist() — the packaged
+        # helper pins its internal persist for the app lifetime
+        sigs = dd.minhash_signatures(out, id_col, text_col).persist()
+        caches.append(sigs)
+        cands = dd.minhash_lsh_candidates(sigs, id_col, bands=16, rows_per_band=4)
+        pairs = dd.minhash_estimate_jaccard(sigs, cands, id_col).filter(
+            F.col("est_jaccard") >= dedup_threshold
         )
         out = dd.dedup_by_clusters(out, pairs, id_col=id_col)
         record("dedup_minhash")
@@ -162,6 +176,13 @@ def clean_corpus(
         out = out.join(contaminated, on=id_col, how="left_anti")
         record("decontaminate")
     if token_budgets is not None:
+        if persist_intermediate and forks > 1:
+            # token_budget_sample makes three passes over its input; the
+            # opt-in persist point sits ABOVE the dedup/span/decontam
+            # joins, so each pass would re-run them — cache the cleaned
+            # corpus at this boundary too (released by result.unpersist())
+            out = out.persist()
+            caches.append(out)
         out = tx.token_budget_sample(
             out,
             token_budgets,
@@ -177,6 +198,7 @@ def clean_corpus(
         stages=stages,
         stage_counts=counts,
         persisted=persisted,
+        caches=caches,
         params={
             "min_quality": min_quality,
             "min_tokens": min_tokens,
@@ -238,6 +260,7 @@ def clean_image_corpus(
         if count_stages:
             counts[stage] = out.count()
 
+    phash_requested = phash_col
     if drop_undecodable or phash_col is None:
         # single-file inputs decode on one core otherwise (the Arrow decode
         # is the most expensive stage of this pipeline)
@@ -279,6 +302,11 @@ def clean_image_corpus(
         out = out.join(contaminated, on=id_col, how="left_anti")
         record("decontaminate")
 
+    if phash_requested is None:
+        # the recomputed phash is pipeline-internal scaffolding — the
+        # returned corpus keeps the caller's input schema
+        out = out.drop("_recomputed_phash")
+
     return CorpusCleanResult(
         df=out,
         stages=stages,
@@ -286,7 +314,7 @@ def clean_image_corpus(
         persisted=persisted,
         params={
             "drop_undecodable": drop_undecodable,
-            "phash_col": phash_col,
+            "phash_col": phash_requested,
             "dedup_max_hamming": dedup_max_hamming,
             "benchmark_max_hamming": (
                 benchmark_max_hamming if benchmark is not None else None

@@ -691,6 +691,12 @@ def test_canonical_url(spark):
         ("https://example.com/path?utm_source=a&gclid=b&q=1", "https://example.com/path?q=1"),
         ("https://example.com/?utm_source=only", "https://example.com"),
         ("https://example.com/p?q=1&fbclid=zz", "https://example.com/p?q=1"),
+        # default ports are SCHEME-specific: http:443 / https:80 name
+        # different resources and must survive canonicalization
+        ("http://example.com:443/login", "http://example.com:443/login"),
+        ("https://example.com:80/login", "https://example.com:80/login"),
+        ("http://example.com:80/login", "http://example.com/login"),
+        ("https://example.com:443/login", "https://example.com/login"),
     ]
     df = spark.createDataFrame(rows, "u string, want string")
     bad = df.filter(text.canonical_url(F.col("u")) != F.col("want")).count()
@@ -910,6 +916,31 @@ def test_pack_sequences_oversize_and_precomputed(spark):
     assert packed[2]["pack_id"] == packed[3]["pack_id"]
     with pytest.raises(ValueError):
         text.pack_sequences(df, max_tokens=0)
+
+
+def test_pack_sequences_null_token_counts(spark):
+    """NULL text / NULL precomputed counts pack as 0 tokens instead of
+    crashing the Arrow kernel (a nullable long reaches pandas as float64
+    with NaN, and int(NaN) raised mid-stage)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "d e")], "doc_id long, text string"
+    )
+    packed = {r["doc_id"]: r for r in text.pack_sequences(df, max_tokens=5).collect()}
+    assert len(packed) == 3
+    assert packed[1]["n_tokens"] == 0
+
+    df2 = spark.createDataFrame(
+        [(1, "x", None), (2, "y", -7), (3, "z", 3)],
+        "doc_id long, text string, n long",
+    )
+    packed2 = {
+        r["doc_id"]: r
+        for r in text.pack_sequences(
+            df2, max_tokens=5, token_count_col="n", num_buckets=1
+        ).collect()
+    }
+    assert packed2[1]["n_tokens"] == 0 and packed2[2]["n_tokens"] == 0
+    assert packed2[3]["n_tokens"] == 3
 
 
 def test_pack_sequences_randomized_invariants(spark):

@@ -65,6 +65,12 @@ def test_clean_corpus_minhash_and_disable_stages(spark, corpus):
     ids = {r["doc_id"] for r in res.df.select("doc_id").collect()}
     assert 1 in ids and 2 not in ids  # near-dup cluster keeps the min id
     assert {3, 4, 5, 6} <= ids
+    # the minhash signature cache is tracked, not leaked for the app
+    # lifetime — unpersist() releases it
+    assert res.caches and all(c.is_cached for c in res.caches)
+    released = list(res.caches)
+    res.unpersist()
+    assert not res.caches and not any(c.is_cached for c in released)
 
     with pytest.raises(ValueError, match="unknown dedup"):
         clean_corpus(corpus, dedup="nope")
@@ -133,6 +139,20 @@ def test_clean_image_corpus(spark):
     ids = {r["image_id"] for r in res.df.collect()}
     assert ids == {1, 5}
     assert res.stage_counts["decodable"] == 4
+
+    # phash_col=None: the recomputed phash drives dedup but stays
+    # pipeline-internal — the returned corpus keeps the input schema and
+    # params record the caller's None, not the internal name
+    res_auto = clean_image_corpus(
+        df.drop("phash"), phash_col=None, dedup_max_hamming=4,
+    )
+    assert "_recomputed_phash" not in res_auto.df.columns
+    assert set(res_auto.df.columns) == {"image_id", "bytes"}
+    assert res_auto.params["phash_col"] is None
+    # decode-derived dedup still collapsed the near-dup pair {1, 2}? The
+    # synthetic codec's phash comes from pixels, so only EXACT re-encodes
+    # collide — assert the undecodable row dropped and no column leaked
+    assert 3 not in {r["image_id"] for r in res_auto.df.collect()}
 
 
 def test_token_budget_sample_contract(spark):
