@@ -1022,9 +1022,18 @@ FROM chi
 
 
 def q_param_ks(spark, sf_dir):
-    """One-sample KS vs uniform(1,49) via GK quantile sketch (approximate —
-    rows-only check)."""
-    li = _load(spark, sf_dir, "lineitem")
+    """One-sample KS via GK quantile sketch, two legs with opposite verdicts:
+    integer-valued l_quantity vs uniform(1,49) (discretization ⇒ d≈0.02,
+    p≈1e-20 ⇒ FAIL) and a hash-derived continuous uniform u∈[0,1) (p≈O(0.1+)
+    ⇒ PASS). Oracle: testing/seeded_oracles.py recomputes both verdicts from
+    EXACT empirical-CDF KS stats — the sketch's quantile error is orders of
+    magnitude smaller than either margin to the 0.001 threshold."""
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "u",
+        F.xxhash64("l_orderkey", "l_linenumber").cast("double")
+        / F.lit(18446744073709551616.0)
+        + F.lit(0.5),
+    )
     res = _run_suite(
         spark,
         li,
@@ -1038,11 +1047,23 @@ def q_param_ks(spark, sf_dir):
                     "params": {"min": 1.0, "range": 49.0},
                     "p_value": 0.001,
                 },
-            )
+            ),
+            (
+                "param_ks_hash_uniform",
+                "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+                {
+                    "column": "u",
+                    "distribution": "uniform",
+                    "params": {"min": 0.0, "range": 1.0},
+                    "p_value": 0.001,
+                },
+            ),
         ],
     )
-    evr = res.results[0]
-    rows = [("param_ks_uniform", 1 if evr.success else 0)]
+    rows = [
+        (evr.expectation_config["meta"]["label"], 1 if evr.success else 0)
+        for evr in res.results
+    ]
     return spark.createDataFrame(rows, "expectation string, success long")
 
 
@@ -2663,6 +2684,21 @@ def _multimodal_oracles() -> dict[str, str]:
     }
 
 
+def _seeded_oracles() -> dict[str, str]:
+    """VALUES-based DuckDB oracles for the seeded-hash / approximate queries,
+    recomputed pure-Python+numpy over the sf0.01 parquet fixtures with the
+    spec-rederived Spark hash functions (testing/seeded_oracles.py,
+    testing/hashes.py — verified bit-for-bit in tests/test_testing_hashes.py)."""
+    from great_expectations_spark.testing import seeded_oracles as so
+
+    return {
+        "dedup_minhash": so.minhash_pairs_sql(threshold=0.5),
+        "dedup_simhash": so.simhash_pairs_sql(max_hamming=8),
+        "sim_lsh_topk": so.lsh_topk_sql(k=10, n_planes=8, multi_probe_hamming=2),
+        "param_ks": so.param_ks_sql(),
+    }
+
+
 _ORACLES: dict[str, str] = {
     "nullness": SQL_NULLNESS,
     "between": SQL_BETWEEN,
@@ -2706,8 +2742,7 @@ _ORACLES: dict[str, str] = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "dedup_spans": SQL_DEDUP_SPANS,
     **_multimodal_oracles(),
-    # rows-only (non-SQL-expressible): param_ks, dedup_minhash,
-    # dedup_simhash, sim_lsh_topk (seeded-hash / approximate)
+    **_seeded_oracles(),
 }
 
 

@@ -44,6 +44,9 @@ def _sql_lit(v: Any, typ: str) -> str:
 def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     """rows + [(name, duckdb_type)] → SELECT over a VALUES table."""
     names = ", ".join(n for n, _ in cols)
+    if not rows:  # VALUES needs ≥1 tuple — emit a typed zero-row select
+        typed = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return f"SELECT {typed} WHERE FALSE"
     tuples = ",\n".join(
         "(" + ", ".join(_sql_lit(v, t) for v, (_, t) in zip(r, cols)) + ")"
         for r in rows
