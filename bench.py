@@ -28,6 +28,59 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
 
 
+def _host_busy_seconds() -> float:
+    """Total non-idle CPU seconds across all cores since boot (/proc/stat)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
+def _tree_cpu_seconds() -> float:
+    """CPU seconds of this process tree (python + the local-mode JVM child):
+    live descendants from /proc plus already-reaped children (os.times)."""
+    import glob
+
+    children: dict[int, list[int]] = {}
+    times: dict[int, int] = {}
+    for st in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(st) as f:
+                s = f.read()
+        except OSError:
+            continue  # raced a process exit
+        pid = int(s[: s.index(" ")])
+        rest = s[s.rindex(")") + 2 :].split()
+        children.setdefault(int(rest[1]), []).append(pid)
+        times[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += times.get(p, 0)
+        stack.extend(children.get(p, []))
+    t = os.times()
+    return total / os.sysconf("SC_CLK_TCK") + t.children_user + t.children_system
+
+
+class _ExternalLoadMeter:
+    """External (non-bench) CPU pressure during the run, in average busy
+    cores: (host busy Δ − own process-tree busy Δ) / wall. This is what the
+    loadavg fields can't show once the bench's own threads saturate them —
+    call stop() BEFORE spark.stop() so the JVM's time is still in /proc."""
+
+    def start(self) -> None:
+        self._t0 = time.time()
+        self._host0 = _host_busy_seconds()
+        self._tree0 = _tree_cpu_seconds()
+
+    def stop(self) -> float:
+        wall = time.time() - self._t0
+        ext = (_host_busy_seconds() - self._host0) - (
+            _tree_cpu_seconds() - self._tree0
+        )
+        return round(max(0.0, ext) / max(wall, 1e-9), 2)
+
+
 def make_spark(cores: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cores}]")
@@ -130,20 +183,24 @@ def run_headline(spark) -> dict[str, float]:
 
     engine = SparkValidationEngine(spark)
     timings: dict[str, float] = {}
+    raw_trials: dict[str, list[float]] = {}
 
     def timed(name, fn, trials: int = 2):
         # the host is shared (external load bursts make single timings swing
         # 3x) — per query take the best of `trials` back-to-back runs, the
         # same least-contended-measurement methodology as the scaling bench
-        best = float("inf")
+        times = []
         for _ in range(trials):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
+            times.append(round(time.time() - t0, 3))
             # drop persisted intermediates (e.g. minhash signatures) so one
             # run's cache doesn't pressure the next run's memory
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        raw_trials[name] = times
+        timings[name] = min(times)
+
+    run_headline.raw_trials = raw_trials  # exposed for the JSON record
 
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
@@ -388,19 +445,27 @@ def main() -> None:
     if "--streaming" in sys.argv:
         spark = make_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
+        load_start = [round(x, 2) for x in os.getloadavg()]
         bench_images(spark, 5000)  # warm codegen + python workers
-        print(json.dumps(bench_streaming(spark)))
+        out = bench_streaming(spark)
+        out["loadavg_start"] = load_start
+        out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        print(json.dumps(out))
         spark.stop()
         return
 
     if "--scaling-dedup" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "480000"))
         out = {}
+        load_start = [round(x, 2) for x in os.getloadavg()]
+        raw: dict[str, list[float]] = {}
         for cores in (8, 32):
             spark = make_spark(cores)
             spark.sparkContext.setLogLevel("ERROR")
             bench_dedup(spark, 20000)  # warm codegen + python workers
-            best = min(bench_dedup(spark, n)["sec"] for _ in range(2))
+            times = [round(bench_dedup(spark, n)["sec"], 2) for _ in range(2)]
+            raw[f"local[{cores}]"] = times
+            best = min(times)
             out[f"local[{cores}]"] = {
                 "sec": round(best, 2),
                 "rows_per_sec": round(n / best, 1),
@@ -410,6 +475,9 @@ def main() -> None:
         out["speedup_8_to_32"] = round(speedup, 3)
         out["scaling_efficiency"] = round(speedup / 4.0, 3)
         out["n_docs"] = n
+        out["raw_trials"] = raw
+        out["loadavg_start"] = load_start
+        out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
         print(json.dumps(out))
         return
 
@@ -425,15 +493,21 @@ def main() -> None:
         # the host is shared/noisy — interleave cluster sizes across rounds
         # so a contention burst hits both sizes, then take each size's best
         # (least-contended) time
-        best = {c: float("inf") for c in sizes}
+        load_start = [round(x, 2) for x in os.getloadavg()]
+        trials: dict[int, list[float]] = {c: [] for c in sizes}
+        ext_cores: dict[int, list[float]] = {c: [] for c in sizes}
         for r in range(rounds):
             for cores in sizes:
                 spark = make_spark(cores)
                 spark.sparkContext.setLogLevel("ERROR")
                 _images_path(spark, n)  # materialize input outside timing
                 bench_images(spark, 20000)  # warm JVM codegen + python workers
-                best[cores] = min(best[cores], bench_images(spark, n)["sec"])
+                meter = _ExternalLoadMeter()
+                meter.start()
+                trials[cores].append(round(bench_images(spark, n)["sec"], 2))
+                ext_cores[cores].append(meter.stop())
                 spark.stop()
+        best = {c: min(trials[c]) for c in sizes}
         out = {
             f"local[{c}]": {"sec": round(best[c], 2), "rows_per_sec": round(n / best[c], 1)}
             for c in sizes
@@ -443,12 +517,26 @@ def main() -> None:
         out["scaling_efficiency"] = round(speedup / 4.0, 3)
         out["n_images"] = n
         out["rounds"] = rounds
+        out["raw_trials"] = {f"local[{c}]": trials[c] for c in sizes}
+        out["external_cpu_cores_per_trial"] = {
+            f"local[{c}]": ext_cores[c] for c in sizes
+        }
+        out["loadavg_start"] = load_start
+        out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
         print(json.dumps(out))
         return
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    # self-annotating record (VERDICT r4 #4): host load at start/end plus the
+    # raw per-trial times, so a contended capture is identifiable from the
+    # JSON alone (this host's external load swings timings 3x)
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    meter = _ExternalLoadMeter()
+    meter.start()
     timings = run_headline(spark)
+    external_cores = meter.stop()
+    load_end = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -458,6 +546,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "per_query": "best of 2 back-to-back trials (shared noisy host)",
+                "raw_trials": run_headline.raw_trials,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
+                "external_cpu_cores_avg": external_cores,
+                "idle_reference_sec": 14.398,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "n_images": N_IMAGES,
