@@ -7,6 +7,18 @@ collect_list/collect_set, exact distinct-per-key, and joins whose build side
 has heavy-hitter keys (AQE skew-join covers sort-merge joins at runtime —
 `spark.sql.adaptive.skewJoin.enabled` is set in our sessions — but
 aggregation-state skew needs the two-phase rewrite below).
+
+MEASURED CAVEAT (tools/scale_rehearsal.py --skew-rows, 10M/40M rows with a
+20%-of-rows hot key): Spark >=3.5 natively rescues two of the classic
+salting targets, and the naive plans beat the salted rewrites there —
+rank-limit window tops compile to WindowGroupLimit with a Partial pass
+before the shuffle (per-map-task top-k pruning; naive 11.9s vs salted
+18.5s at 40M), and count_distinct's multi-phase rewrite dedupes
+(key, value) map-side (naive 5.6s vs salted 25.7s). Reach for these
+utilities only when the optimizer can't: rank k above
+spark.sql.optimizer.windowGroupLimitThreshold (default 1000), non-rank
+holistic windows, collect_* state growth, or a single key whose distinct
+set exceeds one final-merge task's memory.
 """
 
 from __future__ import annotations
