@@ -43,34 +43,73 @@ def _is_data_reference(rel_path: str) -> bool:
     )
 
 
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/]*)?")
+
+
+def _uri_path_part(uri: str) -> str:
+    """The path component of a URI (scheme and authority stripped); bare
+    paths pass through."""
+    m = _URI_SCHEME.match(uri)
+    return uri[m.end():] if m else uri
+
+
 def list_data_references(
     base_path: str, spark: Optional[Any] = None
 ) -> list[str]:
     """Recursively list data files under ``base_path`` as sorted
     '/'-separated paths relative to it, skipping hidden/metadata entries.
-    With a SparkSession the listing uses Hadoop's FileSystem (any scheme the
-    cluster can read); without one, ``os.walk``."""
+    With a SparkSession the listing rides Spark's own file index (the
+    ``binaryFile`` source with recursiveFileLookup, path column only — no
+    bytes are read): one job returns every path, and above the
+    parallelPartitionDiscovery threshold Spark distributes the directory
+    walk across executors — the only listing shape that survives
+    million-file layouts. The first draft drove Hadoop's
+    ``fs.listFiles`` RemoteIterator from Python, which is TWO py4j
+    round-trips per file and measured ~145 files/s at 50k files
+    (tests/test_discovery.py::test_listing_scale_50k_files); any scheme the
+    cluster can read (file://, hdfs://, s3a://) works through either path.
+    Without a session, ``os.walk``.
+
+    Deliberate divergence from the reference's name-only listing: ZERO-BYTE
+    files are not data references on either path (Spark's scan planning
+    skips them, so they can never contribute rows to a batch; a "batch"
+    of only empty files would list in the reference and then fail to
+    load)."""
     if spark is not None:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         jpath = jvm.org.apache.hadoop.fs.Path(base_path)
         fs = jpath.getFileSystem(hconf)
-        qualified = fs.makeQualified(jpath).toString().rstrip("/") + "/"
-        it = fs.listFiles(jpath, True)
+        qualified = fs.makeQualified(jpath).toString()
+        base_part = _uri_path_part(qualified).rstrip("/") + "/"
+        rows = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(base_path)
+            .select("path")
+            .collect()
+        )
         out = []
-        while it.hasNext():
-            p = it.next().getPath().toString()
-            if p.startswith(qualified):
-                rel = p[len(qualified):]
+        for r in rows:
+            # compare on the path component: Spark renders file:///x where
+            # Hadoop's Path.toString gives file:/x (same authority rules
+            # apply to both sides for authority-bearing schemes)
+            p = _uri_path_part(r["path"])
+            if p.startswith(base_part):
+                rel = p[len(base_part):]
                 if _is_data_reference(rel):
                     out.append(rel)
         return sorted(out)
     out = []
     for root, _dirs, files in os.walk(base_path):
         for f in files:
-            rel = os.path.relpath(os.path.join(root, f), base_path).replace(
-                os.sep, "/"
-            )
+            full = os.path.join(root, f)
+            try:
+                if os.path.getsize(full) == 0:
+                    continue  # zero-byte: never loadable (see docstring)
+            except OSError:
+                continue
+            rel = os.path.relpath(full, base_path).replace(os.sep, "/")
             if _is_data_reference(rel):
                 out.append(rel)
     return sorted(out)

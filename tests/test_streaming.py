@@ -453,3 +453,72 @@ def test_validate_stream_image_suite_auto_enrich(spark, tmp_path):
     assert all(r.success for r in results)
     total = sum(r.results[0].result["element_count"] for r in results)
     assert total == 90
+
+
+def test_validate_stream_kill_and_restart_exactly_once(
+    spark, events_stream_dir, tmp_path
+):
+    """Kill a stream mid-run and restart it from the same Spark checkpoint:
+    the killed micro-batch must replay under its ORIGINAL batch_id,
+    already-committed batches must not reprocess, and the results store must
+    end exactly-once — every input row validated in exactly one stored run,
+    no duplicate and no lost rows (VERDICT r4 #5). The kill is injected
+    AFTER the store write of the second batch, so the replayed batch also
+    exercises the run_exists idempotence gate under a real restart (not a
+    same-process sink retry)."""
+    from great_expectations_spark.sources.stores import ResultsStore
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    total_rows = spark.read.parquet(events_stream_dir).count()
+    store = ResultsStore(spark, str(tmp_path / "kr_store"))
+    ckpt = str(tmp_path / "kr_ckpt")
+
+    def stream():
+        # 4 source files (module fixture repartitions to 4), one per batch
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_stream_dir)
+        )
+
+    first_run = []
+
+    def killer(result, batch_id):
+        first_run.append(batch_id)
+        if len(first_run) == 2:
+            raise RuntimeError("injected mid-stream kill")
+
+    q = validate_stream(
+        stream(),
+        _suite(),
+        checkpoint_location=ckpt,
+        store=store,
+        trigger={"availableNow": True},
+        on_result=killer,
+    )
+    with pytest.raises(Exception, match="injected mid-stream kill"):
+        q.awaitTermination(120)
+    assert first_run == [0, 1]  # died on the second micro-batch
+
+    replayed = []
+    q2 = validate_stream(
+        stream(),
+        _suite(),
+        checkpoint_location=ckpt,
+        store=store,
+        trigger={"availableNow": True},
+        on_result=lambda r, bid: replayed.append(bid),
+    )
+    q2.awaitTermination(120)
+
+    # the failed batch replays with its original id; committed batch 0 does
+    # not reprocess; the remaining batches follow in order
+    assert replayed[0] == 1 and 0 not in replayed
+    rows = store.read_results().filter(
+        F.col("expectation_type") == "expect_column_values_to_not_be_null"
+    )
+    per_run = {r["run_id"]: r["element_count"] for r in rows.collect()}
+    n_batches = len(set(first_run) | set(replayed))
+    assert set(per_run) == {f"stream-{i}" for i in range(n_batches)}
+    assert rows.count() == len(per_run)  # each batch stored exactly once
+    assert sum(per_run.values()) == total_rows  # no lost, no duplicated rows
