@@ -952,3 +952,492 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
             checked += 1
     assert checked >= len(specs) * 2
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# drift-family differential fuzz (VERDICT r4 #7): KL (categorical +
+# continuous), PSI (both), chi-square, binned KS — observed bin/category
+# counts recomputed by DuckDB over the same (row_condition-filtered) view,
+# the driver math reimplemented independently below, thresholds drawn at a
+# guarded distance from the computed statistic so expected success can't
+# flip on cross-engine float noise.
+# ---------------------------------------------------------------------------
+
+N_DRIFT_DATASETS = 12
+EXP_PER_DRIFT_SUITE = 6
+
+
+def _inorm(xs):
+    t = float(sum(xs))
+    return [x / t for x in xs] if t > 0 else [0.0] * len(xs)
+
+
+def _ikl(pk, qk):
+    pk, qk = _inorm(pk), _inorm(qk)
+    s = 0.0
+    for p, q in zip(pk, qk):
+        if p > 0:
+            if q == 0:
+                return math.inf
+            s += p * math.log(p / q)
+    return s
+
+
+def _ipsi(p, q, eps=1e-6):
+    p = [max(x, eps) for x in _inorm(p)]
+    q = [max(x, eps) for x in _inorm(q)]
+    p, q = _inorm(p), _inorm(q)
+    return sum((a - b) * math.log(a / b) for a, b in zip(p, q))
+
+
+def _igammainc_q(a, x):
+    """Regularized upper incomplete gamma Q(a, x) — series for x < a+1,
+    Lentz continued fraction otherwise (standard numerics, written fresh)."""
+    if a <= 0 or x < 0:
+        return 1.0
+    if x == 0:
+        return 1.0
+    lg = math.lgamma(a)
+    if x < a + 1:
+        term = 1.0 / a
+        s = term
+        n = a
+        for _ in range(1000):
+            n += 1
+            term *= x / n
+            s += term
+            if abs(term) < abs(s) * 1e-16:
+                break
+        return max(0.0, min(1.0, 1.0 - s * math.exp(-x + a * math.log(x) - lg)))
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 1000):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-16:
+            break
+    return max(0.0, min(1.0, h * math.exp(-x + a * math.log(x) - lg)))
+
+
+def _ichi2_sf(stat, df):
+    if df <= 0:
+        return 1.0
+    if math.isinf(stat):
+        return 0.0
+    return _igammainc_q(df / 2.0, stat / 2.0)
+
+
+def _ikolm_sf(lam):
+    if lam <= 0:
+        return 1.0
+    s = sum(
+        (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    return max(0.0, min(1.0, 2.0 * s))
+
+
+def _iks_pvalue(d, n):
+    if n <= 0:
+        return 1.0
+    return _ikolm_sf((math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * d)
+
+
+def _cat_adjust(observed_counts, nonnull, values, weights, tail_holdout):
+    """Reference categorical alignment (union sorted by (type, str); unseen
+    values share tail_holdout; expected scaled by 1-tail_holdout)."""
+    expected = dict(zip(values, weights))
+    union = sorted(
+        set(values) | set(observed_counts),
+        key=lambda v: (str(type(v).__name__), str(v)),
+    )
+    pk = [observed_counts.get(v, 0) / nonnull if nonnull else 0.0 for v in union]
+    missing = [v for v in union if v not in expected]
+    if missing and tail_holdout > 0:
+        qk = [
+            expected[v] * (1 - tail_holdout)
+            if v in expected
+            else tail_holdout / len(missing)
+            for v in union
+        ]
+    else:
+        qk = [expected.get(v, 0.0) for v in union]
+    return union, pk, qk
+
+
+def _icont_weights(bins, weights, tail_weights, th, ih, counts, below, above, nn):
+    ew = [w * (1 - th - ih) for w in weights]
+    if ih > 0:
+        zeros = [i for i, w in enumerate(ew) if w == 0]
+        for i in zeros:
+            ew[i] = ih / len(zeros)
+    ow = [c / nn for c in counts]
+    left_inf, right_inf = math.isinf(bins[0]), math.isinf(bins[-1])
+    if left_inf and right_inf:
+        return ow, ew
+    if left_inf:
+        return ow + [above / nn], ew + [th]
+    if right_inf:
+        return [below / nn] + ow, [th] + ew
+    if tail_weights is not None:
+        return [below / nn] + ow + [above / nn], [tail_weights[0]] + ew + [tail_weights[1]]
+    return [below / nn] + ow + [above / nn], [th / 2] + ew + [th / 2]
+
+
+def _flit(v):
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}infinity' AS DOUBLE)"
+    return repr(float(v))
+
+
+def _duck_cat_counts(con, col):
+    rows = con.execute(
+        f"SELECT {col}, count(*) FROM t WHERE {col} IS NOT NULL GROUP BY {col}"
+    ).fetchall()
+    return {r[0]: int(r[1]) for r in rows}, sum(int(r[1]) for r in rows)
+
+
+def _duck_hist(con, col, bins):
+    """Observed histogram with the engine's binning: [lo, hi) bins, last
+    closed; below = x < b0; above = x > b_last; plus the nonnull count."""
+    k = len(bins) - 1
+    parts = []
+    for i in range(k):
+        hi_op = "<=" if i == k - 1 else "<"
+        parts.append(
+            f"count(*) FILTER (WHERE {col} >= {_flit(bins[i])} "
+            f"AND {col} {hi_op} {_flit(bins[i + 1])})"
+        )
+    parts.append(f"count(*) FILTER (WHERE {col} < {_flit(bins[0])})")
+    parts.append(f"count(*) FILTER (WHERE {col} > {_flit(bins[-1])})")
+    parts.append(f"count({col})")
+    row = con.execute(f"SELECT {', '.join(parts)} FROM t").fetchone()
+    return [int(c) for c in row[:k]], int(row[k]), int(row[k + 1]), int(row[k + 2])
+
+
+def _cat_po(rng, col):
+    pool = WORDS + ["missing"] if col == "s" else list(range(-5, 20))
+    vals = rng.sample(pool, rng.randrange(2, 6))
+    w = [rng.uniform(0.05, 1.0) for _ in vals]
+    s = sum(w)
+    return {"values": vals, "weights": [x / s for x in w]}
+
+
+def _cont_po(rng, allow_tails=True):
+    k = rng.randrange(2, 6)
+    start = rng.uniform(-12.0, 0.0)
+    edges = [start]
+    for _ in range(k):
+        edges.append(edges[-1] + rng.uniform(0.5, 8.0))
+    w = [0.0 if rng.random() < 0.12 else rng.uniform(0.05, 1.0) for _ in range(k)]
+    if sum(w) == 0:
+        w[0] = 1.0
+    r = rng.random()
+    po = {"bins": edges}
+    th = 0.0
+    ih = rng.uniform(0.01, 0.1) if rng.random() < 0.25 else 0.0
+    if r < 0.15:
+        edges[0] = -math.inf
+        po["weights"] = _inorm(w)
+    elif r < 0.30:
+        edges[-1] = math.inf
+        po["weights"] = _inorm(w)
+        if rng.random() < 0.5:
+            th = rng.uniform(0.01, 0.15)
+    elif r < 0.40:
+        edges[0], edges[-1] = -math.inf, math.inf
+        po["weights"] = _inorm(w)
+    elif allow_tails and r < 0.65:
+        tw = [rng.uniform(0.01, 0.1), rng.uniform(0.01, 0.1)]
+        t = sum(w) + sum(tw)
+        po["weights"] = [x / t for x in w]
+        po["tail_weights"] = [x / t for x in tw]
+    else:
+        po["weights"] = _inorm(w)
+        if rng.random() < 0.5:
+            th = rng.uniform(0.01, 0.2)
+    return po, th, ih
+
+
+def _away(rng, v, delta, lo=None, hi=None):
+    """A threshold at distance >= min(deltas)·~1 from v, clipped to bounds —
+    expected success can never flip on float noise."""
+    opts = [v + delta]
+    if (lo is None or v - delta > lo) and v - delta >= 0:
+        opts.append(v - delta)
+    t = rng.choice(opts)
+    if lo is not None:
+        t = max(t, lo)
+    if hi is not None:
+        t = min(t, hi)
+    return t
+
+
+def g_drift_kl_cat(rng):
+    col = rng.choice(["s", "i"])
+    po = _cat_po(rng, col)
+    th_hold = rng.uniform(0.01, 0.2) if rng.random() < 0.4 else 0.0
+    kwargs = {
+        "column": col,
+        "partition_object": po,
+        "tail_weight_holdout": th_hold,
+    }
+
+    def check(con):
+        counts, nonnull = _duck_cat_counts(con, col)
+        _, pk, qk = _cat_adjust(counts, nonnull, po["values"], po["weights"], th_hold)
+        kl = _ikl(pk, qk)
+        bad = math.isinf(kl) or math.isnan(kl)
+        if rng.random() < 0.15:
+            kwargs["threshold"] = None
+            return {"success": True, "observed": None if bad else kl}
+        thr = 1.0 if bad else _away(rng, kl, 0.05 + 0.1 * abs(kl), lo=0.0)
+        kwargs["threshold"] = thr
+        return {
+            "success": (not bad) and kl <= thr,
+            "observed": None if bad else kl,
+        }
+
+    return "expect_column_kl_divergence_to_be_less_than", kwargs, check
+
+
+def g_drift_kl_cont(rng):
+    col = rng.choice(["i", "f"])
+    po, th_hold, ih = _cont_po(rng)
+    bins = [float(b) for b in po["bins"]]
+    kwargs = {
+        "column": col,
+        "partition_object": po,
+        "tail_weight_holdout": th_hold,
+        "internal_weight_holdout": ih,
+    }
+
+    def check(con):
+        counts, below, above, nonnull = _duck_hist(con, col, bins)
+        if nonnull == 0:
+            kwargs["threshold"] = rng.uniform(0.1, 2.0)
+            return {"success": True, "observed": None}
+        comb_o, comb_e = _icont_weights(
+            bins, po["weights"], po.get("tail_weights"), th_hold, ih,
+            counts, below, above, nonnull,
+        )
+        kl = _ikl(comb_o, comb_e)
+        bad = math.isinf(kl) or math.isnan(kl)
+        if rng.random() < 0.15:
+            kwargs["threshold"] = None
+            return {"success": True, "observed": None if bad else kl}
+        thr = 1.0 if bad else _away(rng, kl, 0.05 + 0.1 * abs(kl), lo=0.0)
+        kwargs["threshold"] = thr
+        return {
+            "success": (not bad) and kl <= thr,
+            "observed": None if bad else kl,
+        }
+
+    return "expect_column_kl_divergence_to_be_less_than", kwargs, check
+
+
+def g_drift_psi(rng):
+    col_cat = rng.choice(["s", "i"])
+    if rng.random() < 0.5:
+        po = _cat_po(rng, col_cat)
+        kwargs = {"column": col_cat, "partition_object": po}
+
+        def check(con):
+            counts, nonnull = _duck_cat_counts(con, col_cat)
+            aligned = [counts.get(v, 0) for v in po["values"]]
+            vset = set(po["values"])
+            extra = sum(c for v, c in counts.items() if v not in vset)
+            pk = aligned + ([extra] if extra else [])
+            qk = list(po["weights"]) + ([0.0] if extra else [])
+            v = _ipsi(pk, qk)
+            thr = _away(rng, v, 0.05 + 0.1 * v, lo=1e-4)
+            kwargs["threshold"] = thr
+            return {"success": v < thr, "observed": v}
+
+        return "expect_column_psi_to_be_less_than", kwargs, check
+
+    col = rng.choice(["i", "f"])
+    po, _, _ = _cont_po(rng, allow_tails=False)
+    po.pop("tail_weights", None)
+    bins = [float(b) for b in po["bins"]]
+    kwargs = {"column": col, "partition_object": po}
+
+    def check(con):
+        counts, below, above, nonnull = _duck_hist(con, col, bins)
+        if nonnull == 0:
+            kwargs["threshold"] = rng.uniform(0.1, 2.0)
+            return {"success": True, "observed": None}
+        v = _ipsi([below] + counts + [above], [0.0] + po["weights"] + [0.0])
+        thr = _away(rng, v, 0.05 + 0.1 * v, lo=1e-4)
+        kwargs["threshold"] = thr
+        return {"success": v < thr, "observed": v}
+
+    return "expect_column_psi_to_be_less_than", kwargs, check
+
+
+def g_drift_chi2(rng):
+    col = rng.choice(["s", "i"])
+    po = _cat_po(rng, col)
+    th_hold = rng.uniform(0.01, 0.2) if rng.random() < 0.4 else 0.0
+    t = rng.choice([
+        "expect_column_chi_square_test_p_value_to_be_greater_than",
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+    ])
+    kwargs = {
+        "column": col,
+        "partition_object": po,
+        "tail_weight_holdout": th_hold,
+    }
+
+    def check(con):
+        counts, nonnull = _duck_cat_counts(con, col)
+        union, _, qk = _cat_adjust(counts, nonnull, po["values"], po["weights"], th_hold)
+        obs = [counts.get(v, 0) for v in union]
+        n = float(sum(obs))
+        w = _inorm(qk)
+        stat = 0.0
+        for o, wi in zip(obs, w):
+            e = n * wi
+            if e == 0:
+                if o > 0:
+                    stat = math.inf
+                    break
+                continue
+            stat += (o - e) ** 2 / e
+        pval = _ichi2_sf(stat, len(obs) - 1)
+        p_thr = _away(rng, pval, 0.15, lo=1e-3, hi=0.999)
+        if abs(pval - p_thr) < 1e-4:  # clip collision — force the other side
+            p_thr = max(1e-3, pval - 0.15)
+        kwargs["p"] = p_thr
+        aligned = [counts.get(v, 0) for v in po["values"]]
+        return {
+            "success": pval > p_thr,
+            "observed": pval,
+            "details": {
+                "chi_square_statistic": stat,
+                "observed_counts": aligned,
+            },
+        }
+
+    return t, kwargs, check
+
+
+def g_drift_binned_ks(rng):
+    col = rng.choice(["i", "f"])
+    po, _, _ = _cont_po(rng, allow_tails=False)
+    po.pop("tail_weights", None)
+    # finite edges only: the binned-KS compiler takes the po verbatim
+    bins = [float(b) for b in po["bins"]]
+    if math.isinf(bins[0]):
+        bins[0] = -50.0
+    if math.isinf(bins[-1]):
+        bins[-1] = 60.0
+    po["bins"] = bins
+    kwargs = {"column": col, "partition_object": po}
+
+    def check(con):
+        counts, below, above, nonnull = _duck_hist(con, col, bins)
+        if nonnull == 0:
+            kwargs["p"] = 0.05
+            return {"success": True, "observed": None}
+        obs = _inorm([below] + counts + [above])
+        exp = _inorm([0.0] + po["weights"] + [0.0])
+        d = cp = cq = 0.0
+        for pi, qi in zip(obs, exp):
+            cp += pi
+            cq += qi
+            d = max(d, abs(cp - cq))
+        pval = _iks_pvalue(d, nonnull)
+        p_thr = _away(rng, pval, 0.15, lo=1e-3, hi=0.999)
+        if abs(pval - p_thr) < 1e-4:
+            p_thr = max(1e-3, pval - 0.15)
+        kwargs["p"] = p_thr
+        return {
+            "success": pval > p_thr,
+            "observed": pval,
+            "details": {"ks_statistic": d},
+        }
+
+    return "expect_column_kstest_p_value_to_be_greater_than", kwargs, check
+
+
+DRIFT_GENS = [
+    g_drift_kl_cat,
+    g_drift_kl_cont,
+    g_drift_psi,
+    g_drift_chi2,
+    g_drift_binned_ks,
+]
+
+
+@pytest.mark.parametrize("ds", range(N_DRIFT_DATASETS))
+def test_fuzz_drift_differential_vs_duckdb(spark, ds):
+    rng = random.Random(SEED * 3300 + ds)
+    n = rng.randrange(40, 250)
+    rows = _gen_rows(rng, n)
+    df = spark.createDataFrame(
+        rows, "i bigint, f double, s string, j bigint, k bigint, js string"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base "
+        "(i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, k BIGINT, js VARCHAR)"
+    )
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?, ?)", rows)
+
+    suite = ExpectationSuite(f"fuzz-drift-{ds}")
+    expected = []
+    for _ in range(EXP_PER_DRIFT_SUITE):
+        rc = _draw_rc(rng)
+        t, kwargs, check = rng.choice(DRIFT_GENS)(rng)
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM base WHERE {rc or 'TRUE'}"
+        )
+        if rc is not None:
+            kwargs["row_condition"] = rc
+            kwargs["condition_parser"] = "spark"
+        exp = check(con)  # computes the oracle AND fills threshold/p kwargs
+        suite.add(t, **kwargs)
+        expected.append((t, kwargs, exp))
+
+    res = validate(df, suite, result_format="BASIC")
+    assert len(res.results) == len(expected)
+    for evr, (t, kwargs, exp) in zip(res.results, expected):
+        label = f"ds={ds} {t} {kwargs}"
+        assert evr.exception_info is None or not evr.exception_info.get(
+            "raised_exception"
+        ), f"{label}: {evr.exception_info}"
+        got = evr.result.get("observed_value")
+        want = exp["observed"]
+        if want is None:
+            assert got is None, f"{label}: {got} vs None"
+        else:
+            tol = 1e-7 * max(1.0, abs(want))
+            assert got is not None and abs(got - want) <= tol, (
+                f"{label}: {got} vs {want}"
+            )
+        assert bool(evr.success) == exp["success"], label
+        for dk, dv in exp.get("details", {}).items():
+            gd = evr.result["details"][dk]
+            if isinstance(dv, float):
+                if math.isinf(dv):
+                    assert math.isinf(gd), f"{label}: {dk}"
+                else:
+                    assert abs(gd - dv) <= 1e-7 * max(1.0, abs(dv)), (
+                        f"{label}: {dk} {gd} vs {dv}"
+                    )
+            else:
+                assert gd == dv, f"{label}: {dk} {gd} vs {dv}"
+    con.close()
