@@ -62,6 +62,51 @@ def _tree_cpu_seconds() -> float:
     return total / os.sysconf("SC_CLK_TCK") + t.children_user + t.children_system
 
 
+def _bw_copy_worker(mib: int, seconds: float) -> float:
+    """Steady-state copy bandwidth in GiB/s (read+write), self-timed:
+    src/dst preallocated and touched before the clock starts so allocator
+    and first-touch page faults stay out of the measurement."""
+    import numpy as np
+
+    src = np.ones(mib * 131072, dtype=np.float64)  # mib MiB
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm dst pages
+    t0 = time.time()
+    passes = 0
+    while time.time() - t0 < seconds:
+        np.copyto(dst, src)
+        passes += 1
+    return passes * 2 * mib / 1024.0 / (time.time() - t0)
+
+
+def _mem_bandwidth_probe(workers: int = 16) -> dict[str, float]:
+    """Effective memory-copy bandwidth, 1 process vs `workers` concurrent
+    processes (GiB/s, read+write). The scaling bench's wide leg is
+    bandwidth-bound on this single box, and hypervisor-neighbor bandwidth
+    pressure is invisible to /proc/stat — this probe makes each capture
+    carry the hardware ceiling it actually ran under. The aggregate/worker
+    ratio vs the 1-process figure bounds the parallel efficiency ANY
+    memory-bound job can show on this box at that moment."""
+    import multiprocessing as mp
+
+    # best-of-2 windows per leg: an external burst caught by one window
+    # would otherwise understate a leg and skew the ratio either way
+    one = max(_bw_copy_worker(512, 3.0) for _ in range(2))
+    ctx = mp.get_context("fork")
+    with ctx.Pool(workers) as pool:
+        # each worker self-times its steady-state loop, so pool startup
+        # skew stays out; aggregate = sum of concurrent per-worker rates
+        agg = max(
+            sum(pool.starmap(_bw_copy_worker, [(256, 3.0)] * workers))
+            for _ in range(2)
+        )
+    return {
+        "mem_bw_gibps_1p": round(one, 1),
+        f"mem_bw_gibps_{workers}p": round(agg, 1),
+        "mem_bw_parallel_ratio": round(agg / one / workers, 3),
+    }
+
+
 class _ExternalLoadMeter:
     """External (non-bench) CPU pressure during the run, in average busy
     cores: (host busy Δ − own process-tree busy Δ) / wall. This is what the
@@ -494,6 +539,7 @@ def main() -> None:
         # so a contention burst hits both sizes, then take each size's best
         # (least-contended) time
         load_start = [round(x, 2) for x in os.getloadavg()]
+        bw_start = _mem_bandwidth_probe(sizes[1])
         trials: dict[int, list[float]] = {c: [] for c in sizes}
         ext_cores: dict[int, list[float]] = {c: [] for c in sizes}
         for r in range(rounds):
@@ -521,6 +567,8 @@ def main() -> None:
         out["external_cpu_cores_per_trial"] = {
             f"local[{c}]": ext_cores[c] for c in sizes
         }
+        out["mem_bw_start"] = bw_start
+        out["mem_bw_end"] = _mem_bandwidth_probe(sizes[1])
         out["loadavg_start"] = load_start
         out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
         print(json.dumps(out))
