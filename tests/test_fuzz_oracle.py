@@ -1185,6 +1185,125 @@ def _away(rng, v, delta, lo=None, hi=None):
     return t
 
 
+# raw-statistic recomputations shared by the global generators and the
+# per-partition replay: (raw_stat, nonnull, details); raw None = empty slice
+def _kl_cat_raw(con, col, po, th_hold):
+    counts, nonnull = _duck_cat_counts(con, col)
+    _, pk, qk = _cat_adjust(counts, nonnull, po["values"], po["weights"], th_hold)
+    return _ikl(pk, qk), nonnull, {}
+
+
+def _kl_cont_raw(con, col, po, th_hold, ih):
+    bins = [float(b) for b in po["bins"]]
+    counts, below, above, nonnull = _duck_hist(con, col, bins)
+    if nonnull == 0:
+        return None, 0, {}
+    comb_o, comb_e = _icont_weights(
+        bins, po["weights"], po.get("tail_weights"), th_hold, ih,
+        counts, below, above, nonnull,
+    )
+    return _ikl(comb_o, comb_e), nonnull, {}
+
+
+def _psi_cat_raw(con, col, po):
+    counts, nonnull = _duck_cat_counts(con, col)
+    aligned = [counts.get(v, 0) for v in po["values"]]
+    vset = set(po["values"])
+    extra = sum(c for v, c in counts.items() if v not in vset)
+    pk = aligned + ([extra] if extra else [])
+    qk = list(po["weights"]) + ([0.0] if extra else [])
+    return _ipsi(pk, qk), nonnull, {}
+
+
+def _psi_cont_raw(con, col, po):
+    bins = [float(b) for b in po["bins"]]
+    counts, below, above, nonnull = _duck_hist(con, col, bins)
+    if nonnull == 0:
+        return None, 0, {}
+    v = _ipsi([below] + counts + [above], [0.0] + po["weights"] + [0.0])
+    return v, nonnull, {}
+
+
+def _chi2_raw(con, col, po, th_hold):
+    counts, nonnull = _duck_cat_counts(con, col)
+    union, _, qk = _cat_adjust(counts, nonnull, po["values"], po["weights"], th_hold)
+    obs = [counts.get(v, 0) for v in union]
+    n = float(sum(obs))
+    w = _inorm(qk)
+    stat = 0.0
+    for o, wi in zip(obs, w):
+        e = n * wi
+        if e == 0:
+            if o > 0:
+                stat = math.inf
+                break
+            continue
+        stat += (o - e) ** 2 / e
+    pval = _ichi2_sf(stat, len(obs) - 1)
+    aligned = [counts.get(v, 0) for v in po["values"]]
+    return pval, nonnull, {
+        "chi_square_statistic": stat,
+        "observed_counts": aligned,
+    }
+
+
+def _binned_ks_raw(con, col, po):
+    bins = [float(b) for b in po["bins"]]
+    counts, below, above, nonnull = _duck_hist(con, col, bins)
+    if nonnull == 0:
+        return None, 0, {}
+    obs = _inorm([below] + counts + [above])
+    exp = _inorm([0.0] + po["weights"] + [0.0])
+    d = cp = cq = 0.0
+    for pi, qi in zip(obs, exp):
+        cp += pi
+        cq += qi
+        d = max(d, abs(cp - cq))
+    return _iks_pvalue(d, nonnull), nonnull, {"ks_statistic": d}
+
+
+def _kl_slice_check(kwargs, raw_fn):
+    """Per-slice expected result under the case's already-fixed threshold;
+    None = slice skipped (no nonnull rows — vacuous semantics not pinned)."""
+    def slice_check(con):
+        raw, nonnull, det = raw_fn(con)
+        if nonnull == 0:
+            return None
+        thr = kwargs.get("threshold")
+        bad = raw is None or math.isinf(raw) or math.isnan(raw)
+        return {
+            "success": True if thr is None else (not bad) and raw <= thr,
+            "observed": None if bad else raw,
+            "details": det,
+        }
+
+    return slice_check
+
+
+def _pval_slice_check(kwargs, raw_fn, param):
+    def slice_check(con):
+        raw, nonnull, det = raw_fn(con)
+        if nonnull == 0:
+            return None
+        return {"success": raw > kwargs[param], "observed": raw, "details": det}
+
+    return slice_check
+
+
+def _psi_slice_check(kwargs, raw_fn):
+    def slice_check(con):
+        raw, nonnull, det = raw_fn(con)
+        if nonnull == 0:
+            return None
+        return {
+            "success": raw < kwargs["threshold"],
+            "observed": raw,
+            "details": det,
+        }
+
+    return slice_check
+
+
 def g_drift_kl_cat(rng):
     col = rng.choice(["s", "i"])
     po = _cat_po(rng, col)
@@ -1194,11 +1313,10 @@ def g_drift_kl_cat(rng):
         "partition_object": po,
         "tail_weight_holdout": th_hold,
     }
+    raw_fn = lambda con: _kl_cat_raw(con, col, po, th_hold)  # noqa: E731
 
     def check(con):
-        counts, nonnull = _duck_cat_counts(con, col)
-        _, pk, qk = _cat_adjust(counts, nonnull, po["values"], po["weights"], th_hold)
-        kl = _ikl(pk, qk)
+        kl, _, _ = raw_fn(con)
         bad = math.isinf(kl) or math.isnan(kl)
         if rng.random() < 0.15:
             kwargs["threshold"] = None
@@ -1210,7 +1328,12 @@ def g_drift_kl_cat(rng):
             "observed": None if bad else kl,
         }
 
-    return "expect_column_kl_divergence_to_be_less_than", kwargs, check
+    return (
+        "expect_column_kl_divergence_to_be_less_than",
+        kwargs,
+        check,
+        _kl_slice_check(kwargs, raw_fn),
+    )
 
 
 def g_drift_kl_cont(rng):
@@ -1224,16 +1347,13 @@ def g_drift_kl_cont(rng):
         "internal_weight_holdout": ih,
     }
 
+    raw_fn = lambda con: _kl_cont_raw(con, col, po, th_hold, ih)  # noqa: E731
+
     def check(con):
-        counts, below, above, nonnull = _duck_hist(con, col, bins)
+        kl, nonnull, _ = raw_fn(con)
         if nonnull == 0:
             kwargs["threshold"] = rng.uniform(0.1, 2.0)
             return {"success": True, "observed": None}
-        comb_o, comb_e = _icont_weights(
-            bins, po["weights"], po.get("tail_weights"), th_hold, ih,
-            counts, below, above, nonnull,
-        )
-        kl = _ikl(comb_o, comb_e)
         bad = math.isinf(kl) or math.isnan(kl)
         if rng.random() < 0.15:
             kwargs["threshold"] = None
@@ -1245,7 +1365,12 @@ def g_drift_kl_cont(rng):
             "observed": None if bad else kl,
         }
 
-    return "expect_column_kl_divergence_to_be_less_than", kwargs, check
+    return (
+        "expect_column_kl_divergence_to_be_less_than",
+        kwargs,
+        check,
+        _kl_slice_check(kwargs, raw_fn),
+    )
 
 
 def g_drift_psi(rng):
@@ -1254,19 +1379,20 @@ def g_drift_psi(rng):
         po = _cat_po(rng, col_cat)
         kwargs = {"column": col_cat, "partition_object": po}
 
+        raw_cat = lambda con: _psi_cat_raw(con, col_cat, po)  # noqa: E731
+
         def check(con):
-            counts, nonnull = _duck_cat_counts(con, col_cat)
-            aligned = [counts.get(v, 0) for v in po["values"]]
-            vset = set(po["values"])
-            extra = sum(c for v, c in counts.items() if v not in vset)
-            pk = aligned + ([extra] if extra else [])
-            qk = list(po["weights"]) + ([0.0] if extra else [])
-            v = _ipsi(pk, qk)
+            v, _, _ = raw_cat(con)
             thr = _away(rng, v, 0.05 + 0.1 * v, lo=1e-4)
             kwargs["threshold"] = thr
             return {"success": v < thr, "observed": v}
 
-        return "expect_column_psi_to_be_less_than", kwargs, check
+        return (
+            "expect_column_psi_to_be_less_than",
+            kwargs,
+            check,
+            _psi_slice_check(kwargs, raw_cat),
+        )
 
     col = rng.choice(["i", "f"])
     po, _, _ = _cont_po(rng, allow_tails=False)
@@ -1274,17 +1400,23 @@ def g_drift_psi(rng):
     bins = [float(b) for b in po["bins"]]
     kwargs = {"column": col, "partition_object": po}
 
+    raw_cont = lambda con: _psi_cont_raw(con, col, po)  # noqa: E731
+
     def check(con):
-        counts, below, above, nonnull = _duck_hist(con, col, bins)
+        v, nonnull, _ = raw_cont(con)
         if nonnull == 0:
             kwargs["threshold"] = rng.uniform(0.1, 2.0)
             return {"success": True, "observed": None}
-        v = _ipsi([below] + counts + [above], [0.0] + po["weights"] + [0.0])
         thr = _away(rng, v, 0.05 + 0.1 * v, lo=1e-4)
         kwargs["threshold"] = thr
         return {"success": v < thr, "observed": v}
 
-    return "expect_column_psi_to_be_less_than", kwargs, check
+    return (
+        "expect_column_psi_to_be_less_than",
+        kwargs,
+        check,
+        _psi_slice_check(kwargs, raw_cont),
+    )
 
 
 def g_drift_chi2(rng):
@@ -1301,37 +1433,17 @@ def g_drift_chi2(rng):
         "tail_weight_holdout": th_hold,
     }
 
+    raw_fn = lambda con: _chi2_raw(con, col, po, th_hold)  # noqa: E731
+
     def check(con):
-        counts, nonnull = _duck_cat_counts(con, col)
-        union, _, qk = _cat_adjust(counts, nonnull, po["values"], po["weights"], th_hold)
-        obs = [counts.get(v, 0) for v in union]
-        n = float(sum(obs))
-        w = _inorm(qk)
-        stat = 0.0
-        for o, wi in zip(obs, w):
-            e = n * wi
-            if e == 0:
-                if o > 0:
-                    stat = math.inf
-                    break
-                continue
-            stat += (o - e) ** 2 / e
-        pval = _ichi2_sf(stat, len(obs) - 1)
+        pval, _, det = raw_fn(con)
         p_thr = _away(rng, pval, 0.15, lo=1e-3, hi=0.999)
         if abs(pval - p_thr) < 1e-4:  # clip collision — force the other side
             p_thr = max(1e-3, pval - 0.15)
         kwargs["p"] = p_thr
-        aligned = [counts.get(v, 0) for v in po["values"]]
-        return {
-            "success": pval > p_thr,
-            "observed": pval,
-            "details": {
-                "chi_square_statistic": stat,
-                "observed_counts": aligned,
-            },
-        }
+        return {"success": pval > p_thr, "observed": pval, "details": det}
 
-    return t, kwargs, check
+    return t, kwargs, check, _pval_slice_check(kwargs, raw_fn, "p")
 
 
 def g_drift_binned_ks(rng):
@@ -1347,30 +1459,25 @@ def g_drift_binned_ks(rng):
     po["bins"] = bins
     kwargs = {"column": col, "partition_object": po}
 
+    raw_fn = lambda con: _binned_ks_raw(con, col, po)  # noqa: E731
+
     def check(con):
-        counts, below, above, nonnull = _duck_hist(con, col, bins)
+        pval, nonnull, det = raw_fn(con)
         if nonnull == 0:
             kwargs["p"] = 0.05
             return {"success": True, "observed": None}
-        obs = _inorm([below] + counts + [above])
-        exp = _inorm([0.0] + po["weights"] + [0.0])
-        d = cp = cq = 0.0
-        for pi, qi in zip(obs, exp):
-            cp += pi
-            cq += qi
-            d = max(d, abs(cp - cq))
-        pval = _iks_pvalue(d, nonnull)
         p_thr = _away(rng, pval, 0.15, lo=1e-3, hi=0.999)
         if abs(pval - p_thr) < 1e-4:
             p_thr = max(1e-3, pval - 0.15)
         kwargs["p"] = p_thr
-        return {
-            "success": pval > p_thr,
-            "observed": pval,
-            "details": {"ks_statistic": d},
-        }
+        return {"success": pval > p_thr, "observed": pval, "details": det}
 
-    return "expect_column_kstest_p_value_to_be_greater_than", kwargs, check
+    return (
+        "expect_column_kstest_p_value_to_be_greater_than",
+        kwargs,
+        check,
+        _pval_slice_check(kwargs, raw_fn, "p"),
+    )
 
 
 DRIFT_GENS = [
@@ -1401,7 +1508,7 @@ def test_fuzz_drift_differential_vs_duckdb(spark, ds):
     expected = []
     for _ in range(EXP_PER_DRIFT_SUITE):
         rc = _draw_rc(rng)
-        t, kwargs, check = rng.choice(DRIFT_GENS)(rng)
+        t, kwargs, check, _slice = rng.choice(DRIFT_GENS)(rng)
         con.execute(
             f"CREATE OR REPLACE VIEW t AS SELECT * FROM base WHERE {rc or 'TRUE'}"
         )
@@ -1419,25 +1526,109 @@ def test_fuzz_drift_differential_vs_duckdb(spark, ds):
         assert evr.exception_info is None or not evr.exception_info.get(
             "raised_exception"
         ), f"{label}: {evr.exception_info}"
-        got = evr.result.get("observed_value")
-        want = exp["observed"]
-        if want is None:
-            assert got is None, f"{label}: {got} vs None"
-        else:
-            tol = 1e-7 * max(1.0, abs(want))
-            assert got is not None and abs(got - want) <= tol, (
-                f"{label}: {got} vs {want}"
-            )
-        assert bool(evr.success) == exp["success"], label
-        for dk, dv in exp.get("details", {}).items():
-            gd = evr.result["details"][dk]
-            if isinstance(dv, float):
-                if math.isinf(dv):
-                    assert math.isinf(gd), f"{label}: {dk}"
-                else:
-                    assert abs(gd - dv) <= 1e-7 * max(1.0, abs(dv)), (
-                        f"{label}: {dk} {gd} vs {dv}"
-                    )
+        _assert_drift_evr(evr, exp, label)
+    con.close()
+
+
+def _assert_drift_evr(evr, exp, label):
+    got = evr.result.get("observed_value")
+    want = exp["observed"]
+    if want is None:
+        assert got is None, f"{label}: {got} vs None"
+    else:
+        tol = 1e-7 * max(1.0, abs(want))
+        assert got is not None and abs(got - want) <= tol, (
+            f"{label}: {got} vs {want}"
+        )
+    assert bool(evr.success) == exp["success"], label
+    for dk, dv in exp.get("details", {}).items():
+        gd = evr.result["details"][dk]
+        if isinstance(dv, float):
+            if math.isinf(dv):
+                assert math.isinf(gd), f"{label}: {dk}"
             else:
-                assert gd == dv, f"{label}: {dk} {gd} vs {dv}"
+                assert abs(gd - dv) <= 1e-7 * max(1.0, abs(dv)), (
+                    f"{label}: {dk} {gd} vs {dv}"
+                )
+        else:
+            assert gd == dv, f"{label}: {dk} {gd} vs {dv}"
+
+
+# ---------------------------------------------------------------------------
+# per-partition drift replay (north rule: per-tier verdicts): the same drift
+# cases with their globally-fixed thresholds, validated with partition_by;
+# every per-partition EVR's observed statistic, verdict, and details are
+# recomputed over that partition's slice (composed with the row_condition).
+# Slices with zero nonnull rows are skipped — their vacuous semantics are
+# pinned by the engine's own tests, not replicated here.
+# ---------------------------------------------------------------------------
+
+N_DRIFT_PART_DATASETS = 8
+EXP_PER_DRIFT_PART_SUITE = 5
+
+
+@pytest.mark.parametrize("ds", range(N_DRIFT_PART_DATASETS))
+def test_fuzz_drift_partition_differential_vs_duckdb(spark, ds):
+    rng = random.Random(SEED * 4100 + ds)
+    n = rng.randrange(60, 250)
+    k_parts = rng.randrange(2, 5)
+    rows = [
+        r + (rng.choice(PART_VALUES[:k_parts]),) for r in _gen_rows(rng, n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i bigint, f double, s string, j bigint, k bigint, js string, p string",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base (i BIGINT, f DOUBLE, s VARCHAR, j BIGINT, "
+        "k BIGINT, js VARCHAR, p VARCHAR)"
+    )
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?, ?, ?, ?)", rows)
+
+    suite = ExpectationSuite(f"fuzz-drift-part-{ds}")
+    specs = []
+    for _ in range(EXP_PER_DRIFT_PART_SUITE):
+        rc = _draw_rc(rng)
+        t, kwargs, check, slice_check = rng.choice(DRIFT_GENS)(rng)
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM base WHERE {rc or 'TRUE'}"
+        )
+        if rc is not None:
+            kwargs["row_condition"] = rc
+            kwargs["condition_parser"] = "spark"
+        check(con)  # fixes threshold/p in kwargs against the global view
+        suite.add(t, **kwargs)
+        specs.append((t, kwargs, slice_check, rc))
+
+    res = validate(df, suite, result_format="BASIC", partition_by=["p"])
+    assert len(res.partition_results) > 0
+    by_key = {}
+    for evr in res.partition_results:
+        cfg = evr.expectation_config
+        key = (
+            cfg["expectation_type"],
+            repr(sorted((k, str(v)) for k, v in cfg["kwargs"].items())),
+            evr.partition["p"],
+        )
+        by_key[key] = evr
+
+    seen_parts = {r[-1] for r in rows}
+    checked = 0
+    for t, kwargs, slice_check, rc in specs:
+        for pv in sorted(seen_parts):
+            con.execute(
+                "CREATE OR REPLACE VIEW t AS SELECT * FROM base "
+                f"WHERE p = '{pv}' AND ({rc or 'TRUE'})"
+            )
+            exp = slice_check(con)
+            if exp is None:
+                continue  # empty slice
+            key = (t, repr(sorted((k, str(v)) for k, v in kwargs.items())), pv)
+            evr = by_key.get(key)
+            label = f"ds={ds} p={pv} {t} {kwargs}"
+            assert evr is not None, label
+            _assert_drift_evr(evr, exp, label)
+            checked += 1
+    assert checked >= len(specs) * 2
     con.close()
