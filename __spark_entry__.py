@@ -2742,7 +2742,10 @@ _ORACLES: dict[str, str] = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "dedup_spans": SQL_DEDUP_SPANS,
     **_multimodal_oracles(),
-    **_seeded_oracles(),
+    # the four seeded-hash oracles (_seeded_oracles) are appended lazily in
+    # oracle_sql(): they read the sf0.01 parquet fixtures and run ~2 s of
+    # pure-Python hashing, which would otherwise tax EVERY import of this
+    # module (and hard-fail imports on machines without the fixtures)
 }
 
 
@@ -2771,5 +2774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
 
+_SEEDED_CACHE: dict[str, str] = {}
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    if not _SEEDED_CACHE:
+        _SEEDED_CACHE.update(_seeded_oracles())
+    return {**_ORACLES, **_SEEDED_CACHE}

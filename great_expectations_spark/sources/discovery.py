@@ -43,6 +43,19 @@ def _is_data_reference(rel_path: str) -> bool:
     )
 
 
+# DataFrameReader.load() glob-expands its path (Hadoop GlobPattern), so a
+# base directory whose NAME contains glob metacharacters ('logs[prod]',
+# 'run{1}') would raise PATH_NOT_FOUND instead of listing. Hadoop globs
+# support backslash-escaping of the special characters — escape them so the
+# base path is always taken literally (the os.walk fallback and the Hadoop
+# Path API are literal already).
+_GLOB_META = re.compile(r"([\\*?\[\]{}])")
+
+
+def _glob_escape(path: str) -> str:
+    return _GLOB_META.sub(r"\\\1", path)
+
+
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/]*)?")
 
 
@@ -85,7 +98,7 @@ def list_data_references(
         rows = (
             spark.read.format("binaryFile")
             .option("recursiveFileLookup", "true")
-            .load(base_path)
+            .load(_glob_escape(base_path))
             .select("path")
             .collect()
         )

@@ -42,9 +42,13 @@ def _sf_dir(sf_dir: str | None) -> str:
 
 
 def _round_half_up(v: float, digits: int) -> float:
-    """Spark's F.round(double, d): HALF_UP on the exact binary expansion."""
+    """Spark's F.round(double, d): HALF_UP over the double's SHORTEST decimal
+    repr (BigDecimal.valueOf -> Double.toString), not its exact binary
+    expansion: round(2.675, 2) is 2.68 in Spark because "2.675" rounds up,
+    while the stored double 2.67499999...9 would round down. Python's repr()
+    is the same shortest-repr algorithm, so Decimal(repr(v)) reproduces it."""
     q = Decimal(1).scaleb(-digits)
-    return float(Decimal(v).quantize(q, rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 # ---- text fixtures ---------------------------------------------------------
@@ -288,14 +292,25 @@ def param_ks_success_bits(sf_dir: str | None = None, p_threshold: float = 0.001)
     p1 = _ks_pvalue_asymptotic(d1, n1)
 
     # leg 2: u = xxhash64(l_orderkey, l_linenumber)/2^64 + 0.5 — Spark's
-    # multi-column xxhash64 chains the first hash as the second's seed
+    # multi-column xxhash64 chains the first hash as the second's seed.
+    # Spark hashes each column at ITS type's width (IntegerType → the
+    # 4-byte path, LongType → 8 bytes), so the byte width must follow the
+    # parquet schema: l_linenumber is int32 in the fixtures and hashing it
+    # as 8 LE bytes would recompute a completely different u stream than
+    # the engine validates (verified bit-for-bit vs F.xxhash64).
     ok = t["l_orderkey"].to_pylist()
     ln = t["l_linenumber"].to_pylist()
-    mask = (1 << 64) - 1
+    widths = tuple(
+        4 if t.schema.field(c).type.bit_width == 32 else 8
+        for c in ("l_orderkey", "l_linenumber")
+    )
+    masks = tuple((1 << (8 * w)) - 1 for w in widths)
     us = np.empty(len(ok), dtype=np.float64)
     for i, (a, b) in enumerate(zip(ok, ln)):
-        h1 = xxh64((a & mask).to_bytes(8, "little"), 42)
-        h2 = xxh64((b & mask).to_bytes(8, "little"), h1 & mask)
+        h1 = xxh64((a & masks[0]).to_bytes(widths[0], "little"), 42)
+        h2 = xxh64(
+            (b & masks[1]).to_bytes(widths[1], "little"), h1 & ((1 << 64) - 1)
+        )
         us[i] = float(h2) / 18446744073709551616.0 + 0.5
     d2, n2 = _exact_ks_uniform(us, 0.0, 1.0)
     p2 = _ks_pvalue_asymptotic(d2, n2)

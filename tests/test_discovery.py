@@ -399,3 +399,17 @@ def test_listing_skips_zero_byte_files(spark, tmp_path):
     (base / "empty.csv").touch()
     assert list_data_references(str(base), spark=spark) == ["real.csv"]
     assert list_data_references(str(base)) == ["real.csv"]
+
+
+def test_listing_base_path_with_glob_metacharacters(spark, tmp_path):
+    """A base directory whose NAME contains Hadoop-glob metacharacters
+    ('logs[prod]', 'run{1}') must list literally on the Spark path:
+    DataFrameReader.load() glob-expands its input, so an unescaped base
+    would raise PATH_NOT_FOUND (or silently match the wrong directory).
+    list_data_references backslash-escapes the base before load()."""
+    for name in ("logs[prod]", "run{1}", "q?mark", "star*dir"):
+        base = tmp_path / name
+        base.mkdir()
+        (base / "data.csv").write_bytes(b"a\n1")
+        assert list_data_references(str(base), spark=spark) == ["data.csv"], name
+        assert list_data_references(str(base)) == ["data.csv"], name
