@@ -542,17 +542,38 @@ def main() -> None:
         bw_start = _mem_bandwidth_probe(sizes[1])
         trials: dict[int, list[float]] = {c: [] for c in sizes}
         ext_cores: dict[int, list[float]] = {c: [] for c in sizes}
+
+        def one_trial(cores: int) -> None:
+            spark = make_spark(cores)
+            spark.sparkContext.setLogLevel("ERROR")
+            _images_path(spark, n)  # materialize input outside timing
+            bench_images(spark, 20000)  # warm JVM codegen + python workers
+            meter = _ExternalLoadMeter()
+            meter.start()
+            trials[cores].append(round(bench_images(spark, n)["sec"], 2))
+            ext_cores[cores].append(meter.stop())
+            spark.stop()
+
         for r in range(rounds):
             for cores in sizes:
-                spark = make_spark(cores)
-                spark.sparkContext.setLogLevel("ERROR")
-                _images_path(spark, n)  # materialize input outside timing
-                bench_images(spark, 20000)  # warm JVM codegen + python workers
-                meter = _ExternalLoadMeter()
-                meter.start()
-                trials[cores].append(round(bench_images(spark, n)["sec"], 2))
-                ext_cores[cores].append(meter.stop())
-                spark.stop()
+                one_trial(cores)
+        # contamination-aware retry: if EVERY trial of a size was squeezed by
+        # external load (per-trial meter >= CLEAN_EXT cores), min() has no
+        # clean trial to pick — t29's two wide trials ate 4.3- and 1.8-core
+        # bursts and the capture was unusable. Re-run that size (bounded) until
+        # one machine-verified-clean trial exists; every attempt stays in
+        # raw_trials/external_cpu_cores_per_trial, so the record shows exactly
+        # which trials were externally squeezed and which were clean.
+        clean_ext = float(os.environ.get("SPARK_GRAFT_SCALING_CLEAN_EXT", "0.3"))
+        max_extra = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "3"))
+        extra_used: dict[int, int] = {c: 0 for c in sizes}
+        for cores in sizes:
+            while (
+                extra_used[cores] < max_extra
+                and not any(e < clean_ext for e in ext_cores[cores])
+            ):
+                extra_used[cores] += 1
+                one_trial(cores)
         best = {c: min(trials[c]) for c in sizes}
         out = {
             f"local[{c}]": {"sec": round(best[c], 2), "rows_per_sec": round(n / best[c], 1)}
@@ -567,6 +588,10 @@ def main() -> None:
         out["external_cpu_cores_per_trial"] = {
             f"local[{c}]": ext_cores[c] for c in sizes
         }
+        out["contamination_retries"] = {
+            f"local[{c}]": extra_used[c] for c in sizes
+        }
+        out["clean_ext_threshold_cores"] = clean_ext
         out["mem_bw_start"] = bw_start
         out["mem_bw_end"] = _mem_bandwidth_probe(sizes[1])
         out["loadavg_start"] = load_start
