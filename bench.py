@@ -545,14 +545,19 @@ def main() -> None:
 
         def one_trial(cores: int) -> None:
             spark = make_spark(cores)
-            spark.sparkContext.setLogLevel("ERROR")
-            _images_path(spark, n)  # materialize input outside timing
-            bench_images(spark, 20000)  # warm JVM codegen + python workers
-            meter = _ExternalLoadMeter()
-            meter.start()
-            trials[cores].append(round(bench_images(spark, n)["sec"], 2))
-            ext_cores[cores].append(meter.stop())
-            spark.stop()
+            try:
+                spark.sparkContext.setLogLevel("ERROR")
+                _images_path(spark, n)  # materialize input outside timing
+                bench_images(spark, 20000)  # warm JVM codegen + python workers
+                meter = _ExternalLoadMeter()
+                meter.start()
+                sec = round(bench_images(spark, n)["sec"], 2)
+                ext = meter.stop()  # before spark.stop(): JVM time still in /proc
+                # append as a pair so a failed trial never desyncs the lists
+                trials[cores].append(sec)
+                ext_cores[cores].append(ext)
+            finally:
+                spark.stop()
 
         for r in range(rounds):
             for cores in sizes:
@@ -574,9 +579,21 @@ def main() -> None:
             ):
                 extra_used[cores] += 1
                 one_trial(cores)
+        # min over ALL trials: external contention only ever INFLATES a
+        # trial's wall time, so the fastest trial is the least-contaminated
+        # estimate even when its meter reading is above clean_ext (a burst can
+        # land in a phase that isn't the bottleneck — t30's winner did exactly
+        # that). The retry's job was only to guarantee a fair candidate
+        # exists; which trial actually won, and whether a clean one existed,
+        # is recorded per size so the selection is auditable from the JSON.
         best = {c: min(trials[c]) for c in sizes}
         out = {
-            f"local[{c}]": {"sec": round(best[c], 2), "rows_per_sec": round(n / best[c], 1)}
+            f"local[{c}]": {
+                "sec": round(best[c], 2),
+                "rows_per_sec": round(n / best[c], 1),
+                "best_trial_ext_cores": ext_cores[c][trials[c].index(best[c])],
+                "clean_trial_exists": any(e < clean_ext for e in ext_cores[c]),
+            }
             for c in sizes
         }
         speedup = best[sizes[0]] / best[sizes[1]]
