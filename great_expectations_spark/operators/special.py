@@ -301,6 +301,14 @@ def _compile_z_scores(planner: Any, cfg: ExpectationConfiguration) -> None:
     agg); the z-condition is then folded into the main pass as literals
     (reference models the same cross-metric dependency at
     column_values_z_score.py:113-127).
+
+    Deliberate divergence on degenerate domains (stddev undefined — fewer
+    than two non-null values — or zero): this engine fails explicitly with
+    details.error, where the reference's Spark path folds the degenerate std
+    into the condition column (column_values_z_score.py _spark_function) and
+    silently vacuous-passes on NULL std / NaN-fails every row on zero std.
+    Pinned by tests/test_aggregates.py::test_zscore_degenerate_domains and
+    the zmap fuzz grammar.
     """
     from great_expectations_spark.plans.planner import _Item
 

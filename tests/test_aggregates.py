@@ -184,6 +184,41 @@ def test_zscore(spark):
     assert evr.result["partial_unexpected_list"] == [100.0]
 
 
+def test_zscore_degenerate_domains(spark):
+    """stddev zero (constant column) or undefined (fewer than two non-null
+    values) -> explicit failure with details.error and observed_value None.
+    Deliberate divergence from the reference's Spark path, which folds the
+    degenerate std into the condition column (column_values_z_score.py:
+    _spark_function) and silently vacuous-passes when std is NULL: a
+    z-score over an undefined spread is meaningless and should surface."""
+    const = spark.createDataFrame([(1.0,), (1.0,), (1.0,)], ["v"])
+    evr = run_one(
+        const, "expect_column_value_z_scores_to_be_less_than",
+        column="v", threshold=3.0,
+    )
+    assert evr.success is False
+    assert evr.result["observed_value"] is None
+    assert "stddev" in evr.result["details"]["error"]
+
+    one_row = spark.createDataFrame([(5.0,), (None,)], "v double")
+    evr1 = run_one(
+        one_row, "expect_column_value_z_scores_to_be_less_than",
+        column="v", threshold=3.0,
+    )
+    assert evr1.success is False
+    assert evr1.result["observed_value"] is None
+
+    # degenerate DOMAIN, healthy column: the row_condition leaves one row
+    rc = spark.createDataFrame([(1.0, "a"), (2.0, "b"), (3.0, "b")], ["v", "g"])
+    evr2 = run_one(
+        rc, "expect_column_value_z_scores_to_be_less_than",
+        column="v", threshold=3.0,
+        row_condition="g = 'a'", condition_parser="spark",
+    )
+    assert evr2.success is False
+    assert "stddev" in evr2.result["details"]["error"]
+
+
 def test_whole_suite_one_scan_lineitem(lineitem):
     """A realistic suite across many metric families, all green, one run."""
     suite = ExpectationSuite("lineitem_core")

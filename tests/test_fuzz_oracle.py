@@ -469,6 +469,30 @@ def g_pair_greater(rng):
     )
 
 
+def g_pair_in_set(rng):
+    # engine's _pair_in_set ORs eqNullSafe terms, so the condition is never
+    # NULL and the considered/NOT-expected oracle transfers verbatim; NULL
+    # pair members are meaningful (they match NULL cells)
+    pool = [None] + list(range(-3, 12))
+    pairs = [
+        (rng.choice(pool), rng.choice(pool)) for _ in range(rng.randrange(2, 6))
+    ]
+
+    def lit(v):
+        return "NULL" if v is None else str(v)
+
+    expected = " OR ".join(
+        f"(i IS NOT DISTINCT FROM {lit(x)} AND j IS NOT DISTINCT FROM {lit(y)})"
+        for x, y in pairs
+    )
+    return _pair_gen(
+        rng,
+        "expect_column_pair_values_to_be_in_set",
+        expected,
+        {"value_pairs_set": pairs},
+    )
+
+
 def g_multicolumn_sum(rng):
     # engine + reference Spark impl COALESCE each column to 0
     # (multicolumn_sum_equal.py _spark), so the oracle coalesces too;
@@ -518,8 +542,8 @@ def g_unique_within_record(rng):
     return (t, kwargs, oracle)
 
 
-PAIR_GENS = [g_pair_equal, g_pair_greater, g_multicolumn_sum,
-             g_unique_within_record]
+PAIR_GENS = [g_pair_equal, g_pair_greater, g_pair_in_set,
+             g_multicolumn_sum, g_unique_within_record]
 MAP_GENS = MAP_GENS + PAIR_GENS
 
 
@@ -716,12 +740,88 @@ def _finish_agg_case(rng, t, kwargs, oracle, rc):
     return t, kwargs, "agg", expect, rc
 
 
+def _finish_zscore_case(rng, rc):
+    """expect_column_value_z_scores_to_be_less_than — the one map condition
+    whose literals (mean/stddev) are ENGINE-COMPUTED over the global
+    row_condition domain, so the oracle recomputes them in DuckDB and the
+    threshold is drawn at the midpoint between two adjacent realized z
+    values (guarded distance: cross-engine double noise on the folded
+    moments is ~1e-12 relative, realized-z gaps are >= ~1e-4). Degenerate
+    domains (stddev undefined or zero) pin the engine's deliberate
+    divergence from the reference's Spark path: explicit failure with
+    observed_value None, not a silent vacuous pass."""
+    col = rng.choice(["i", "f"])
+    double_sided = rng.random() < 0.6
+    kwargs = {"column": col, "double_sided": double_sided}
+    mostly = None
+    if rng.random() < 0.4:
+        mostly = rng.choice([0.5, 0.8, 0.95])
+        kwargs["mostly"] = mostly
+
+    def zstats(con):
+        return con.execute(
+            f"SELECT avg({col}), stddev_samp({col}) FROM t"
+        ).fetchone()
+
+    def expect(con, stats=None):
+        m, sd = stats if stats is not None else zstats(con)
+        elem = _duck(con, "SELECT count(*) FROM t")
+        nonnull = _duck(con, f"SELECT count({col}) FROM t")
+        if m is None or sd is None or sd == 0:
+            kwargs.setdefault("threshold", 1.0)
+            return None  # engine: degenerate -> success False, observed None
+        if "threshold" not in kwargs:
+            vals = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT {col} FROM t "
+                    f"WHERE {col} IS NOT NULL ORDER BY 1"
+                ).fetchall()
+            ]
+            zs = sorted(
+                {
+                    abs((v - m) / sd) if double_sided else (v - m) / sd
+                    for v in vals
+                }
+            )
+            if len(zs) >= 2:
+                idx = rng.randrange(len(zs) - 1)
+                kwargs["threshold"] = (zs[idx] + zs[idx + 1]) / 2
+            else:
+                kwargs["threshold"] = (zs[0] + 1.0) if zs else 1.0
+        threshold = kwargs["threshold"]
+        z = f"(({col} - {m!r}) / {sd!r})"
+        zexp = f"abs{z} < {threshold!r}" if double_sided else f"{z} < {threshold!r}"
+        bad = _duck(
+            con,
+            f"SELECT count(*) FROM t WHERE {col} IS NOT NULL AND NOT ({zexp})",
+        )
+        if elem == 0 or nonnull == 0:
+            success = True
+        elif mostly is None:
+            success = bad == 0
+        else:
+            success = (nonnull - bad) / nonnull >= mostly
+        return success, int(bad), int(elem)
+
+    expect.zstats = zstats
+    return (
+        "expect_column_value_z_scores_to_be_less_than",
+        kwargs,
+        "zmap",
+        expect,
+        rc,
+    )
+
+
 def _draw_case(rng, map_gens=None):
     rc = _draw_rc(rng)
     r = rng.random()
-    if r < 0.55:
+    if r < 0.52:
         g = rng.choice(map_gens or MAP_GENS)
         return _finish_map_case(rng, *g(rng), rc)
+    if r < 0.57:
+        return _finish_zscore_case(rng, rc)
     if r < 0.7:
         t, kwargs, oracle = rng.choice(SET_GENS)(rng)
         return t, kwargs, "set", oracle, rc
@@ -773,6 +873,16 @@ def test_fuzz_differential_vs_duckdb(spark, ds):
             assert evr.result["unexpected_count"] == want_bad, label
             assert evr.result["element_count"] == want_elem, label
             assert bool(evr.success) == want_success, label
+        elif kind == "zmap":
+            if exp is None:  # degenerate: stddev undefined or zero
+                assert evr.success is False, label
+                assert evr.result.get("observed_value") is None, label
+                assert "stddev" in evr.result["details"]["error"], label
+            else:
+                want_success, want_bad, want_elem = exp
+                assert evr.result["unexpected_count"] == want_bad, label
+                assert evr.result["element_count"] == want_elem, label
+                assert bool(evr.success) == want_success, label
         elif kind == "set":
             want_success, want_obs = exp
             assert evr.result["observed_value"] == want_obs, label
@@ -916,6 +1026,29 @@ def test_fuzz_partition_differential_vs_duckdb(spark, ds):
                 assert evr.result["unexpected_count"] == want_bad, label
                 assert evr.result["element_count"] == want_elem, label
                 assert bool(evr.success) == want_success, label
+            elif kind == "zmap":
+                # the engine folds mean/stddev from the GLOBAL (rc-filtered)
+                # domain as literals; per-partition verdicts count against
+                # those global moments, so the oracle does too
+                con.execute(
+                    "CREATE OR REPLACE VIEW t AS SELECT * FROM base "
+                    f"WHERE {rc or 'TRUE'}"
+                )
+                gstats = expect.zstats(con)
+                con.execute(
+                    "CREATE OR REPLACE VIEW t AS SELECT * FROM base "
+                    f"WHERE p = '{pv}' AND ({rc or 'TRUE'})"
+                )
+                exp = expect(con, stats=gstats)
+                assert evr is not None, label
+                if exp is None:  # globally degenerate -> every partition fails
+                    assert evr.success is False, label
+                    assert evr.result.get("observed_value") is None, label
+                else:
+                    want_success, want_bad, want_elem = exp
+                    assert evr.result["unexpected_count"] == want_bad, label
+                    assert evr.result["element_count"] == want_elem, label
+                    assert bool(evr.success) == want_success, label
             elif kind == "set":
                 # distinct-set / most-common per-partition verdicts are
                 # partition-local (the groupBy tops are per partition)
