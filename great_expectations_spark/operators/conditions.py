@@ -39,45 +39,75 @@ def lit_value(v: Any) -> Column:
     return F.lit(v)
 
 
+# strftime directives that parse digits; membership drives the
+# adjacency rule in strftime_to_spark_pattern
+_STRFTIME_NUMERIC = {"%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%j", "%f"}
+# flexible (1-2 digit, or 1-3 for %j) single-letter Spark tokens — Python's
+# strptime accepts non-zero-padded numbers ('2021-3-4' matches %Y-%m-%d), and
+# java.time's variable-width fields do the same, but ONLY when the field is
+# bounded by a non-digit (a separator or end of input)
+_STRFTIME_FLEX = {"%m": "M", "%d": "d", "%H": "H", "%I": "h",
+                  "%M": "m", "%S": "s", "%j": "D"}
+_STRFTIME_FIXED = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%j": "DDD",
+    "%p": "a",
+    "%z": "Z",
+}
+
+
 def strftime_to_spark_pattern(fmt: str) -> str:
     """Convert a C strftime format to a Spark datetime pattern.
 
     Replaces the reference's per-row ``F.udf(datetime.strptime)``
     (column_values_match_strftime_format.py:33-60) with a native
-    ``to_timestamp`` pattern.
+    ``to_timestamp`` pattern. Python's strptime matches numeric directives
+    with 1-2 digit regexes, so non-zero-padded values ('2021-3-4' for
+    %Y-%m-%d) parse; a directive here maps to Spark's variable-width
+    single-letter token to match — UNLESS it is immediately adjacent to
+    another numeric directive (%Y%m%d, %H%M%S), where java.time's parser
+    cannot backtrack the way Python's regex does and every field in the run
+    must stay fixed-width. Deliberate divergences from the reference's
+    per-row strptime, both pinned by tests/test_fuzz_oracle.py's strftime
+    grammar: (a) non-padded values inside adjacent-numeric runs ('1776107'
+    for %Y%m%d) parse in Python via regex backtracking but not here;
+    (b) day-of-year 366 in a non-leap year, which Python silently rolls
+    over to Jan 1 of the next year while Spark's strict resolver rejects.
     """
-    mapping = {
-        "%Y": "yyyy",
-        "%y": "yy",
-        "%m": "MM",
-        "%d": "dd",
-        "%H": "HH",
-        "%I": "hh",
-        "%M": "mm",
-        "%S": "ss",
-        "%f": "SSSSSS",
-        "%j": "DDD",
-        "%p": "a",
-        "%z": "Z",
-        "%%": "%",
-    }
-    out = []
+    toks: list[str] = []
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i : i + 2]
-            if tok not in mapping:
+            if tok != "%%" and tok not in _STRFTIME_FIXED:
                 raise ValueError(f"unsupported strftime directive: {tok}")
-            out.append(mapping[tok])
+            toks.append(tok)
             i += 2
         else:
-            # quote literal letters so Spark doesn't treat them as pattern chars
-            c = fmt[i]
-            if c.isalpha():
-                out.append(f"'{c}'")
-            else:
-                out.append(c)
+            toks.append(fmt[i])
             i += 1
+    out = []
+    for idx, t in enumerate(toks):
+        if t == "%%":
+            out.append("%")
+        elif t.startswith("%"):
+            prev_num = idx > 0 and toks[idx - 1] in _STRFTIME_NUMERIC
+            next_num = idx + 1 < len(toks) and toks[idx + 1] in _STRFTIME_NUMERIC
+            if t in _STRFTIME_FLEX and not prev_num and not next_num:
+                out.append(_STRFTIME_FLEX[t])
+            else:
+                out.append(_STRFTIME_FIXED[t])
+        else:
+            # quote literal letters so Spark doesn't treat them as pattern chars
+            out.append(f"'{t}'" if t.isalpha() else t)
     return "".join(out)
 
 

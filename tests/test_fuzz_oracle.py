@@ -7,11 +7,15 @@ case by case. Seeded and deterministic.
 The committed SEED is one point in the case space, not what the layer is
 tuned to: one-off sweeps with five fresh seeds (31415926, 271828,
 16180339, 99991, 777003 — 310 additional parametrized cases across all
-four dataset groups) passed clean on the round-5 final tree. To re-sweep,
-copy this file with a different SEED and run it."""
+four dataset groups) passed clean on the round-5 final tree, and the
+strftime layer swept clean with three more fresh seeds (31415926, 271828,
+99991 — 24 extra datasets) when it landed. To re-sweep, copy this file
+with a different SEED and run it."""
 
+import datetime
 import math
 import random
+import re
 
 import duckdb
 import pytest
@@ -1771,3 +1775,111 @@ def test_fuzz_drift_partition_differential_vs_duckdb(spark, ds):
             checked += 1
     assert checked >= len(specs) * 2
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# strftime differential fuzz — the oracle is Python's datetime.strptime,
+# the reference's EXACT per-row implementation
+# (column_values_match_strftime_format.py:33-60 wraps datetime.strptime in
+# F.udf), reimplemented here the way the drift layer reimplements the
+# driver math. Generation steers around the two documented divergence
+# classes (strftime_to_spark_pattern's docstring): digit-shape corruptions
+# (zero-stripping, digit swaps, truncation) are only drawn for
+# separator-delimited formats — inside adjacent-numeric runs Python's regex
+# backtracking parses shapes java.time cannot — and a dataset mixes an
+# adjacent-run format with separator formats only (never two all-digit
+# formats, whose cross-parses hit the same backtracking class). %j stays in
+# the deterministic divergence pin (test_map_expectations.py), not here.
+# ---------------------------------------------------------------------------
+
+STRF_SEP_FMTS = [
+    "%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%d/%m/%Y", "%m/%d/%Y %H:%M",
+    "%H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%d.%m.%Y", "%y-%m-%d", "%I:%M %p",
+]
+STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S"]
+N_STRF_DATASETS = 8
+EXP_PER_STRF_SUITE = 5
+
+
+def _strf_value(rng, fmt):
+    dt = datetime.datetime(
+        rng.randrange(1200, 2400), rng.randrange(1, 13), rng.randrange(1, 29),
+        rng.randrange(0, 24), rng.randrange(0, 60), rng.randrange(0, 60),
+    )
+    v = dt.strftime(fmt)
+    adjacent = fmt in STRF_ADJ_FMTS
+    r = rng.random()
+    if r < 0.40:
+        return v  # exactly as formatted
+    if not adjacent and r < 0.55:
+        return re.sub(r"\b0(\d)", r"\1", v)  # non-padded: Python accepts
+    if not adjacent and r < 0.68:
+        # swap one digit for 9 — may stay valid (day 14→19) or break a
+        # field's range (month 03→93); the strptime oracle decides
+        idxs = [i for i, c in enumerate(v) if c.isdigit()]
+        i = rng.choice(idxs)
+        return v[:i] + "9" + v[i + 1 :]
+    if not adjacent and r < 0.78:
+        return v[:-1]  # truncate (often leaves a valid 1-digit last field)
+    if r < 0.90:
+        i = rng.randrange(len(v) + 1)
+        return v[:i] + "x" + v[i:]  # non-digit injection: fails everywhere
+    return rng.choice(["", "garbage", v + " ", " " + v, v + "x"])
+
+
+@pytest.mark.parametrize("ds", range(N_STRF_DATASETS))
+def test_fuzz_strftime_differential_vs_strptime(spark, ds):
+    rng = random.Random(SEED * 5200 + ds)
+    pool = rng.sample(STRF_SEP_FMTS, 3)
+    if rng.random() < 0.5:
+        pool[0] = rng.choice(STRF_ADJ_FMTS)
+    n = rng.randrange(60, 220)
+    rows = []
+    for _ in range(n):
+        d = None if rng.random() < 0.08 else _strf_value(rng, rng.choice(pool))
+        i = None if rng.random() < 0.1 else rng.randrange(0, 12)
+        rows.append((d, i))
+    df = spark.createDataFrame(rows, "d string, i bigint")
+
+    rc_pool = [
+        (None, lambda r: True),
+        ("i > 5", lambda r: r[1] is not None and r[1] > 5),
+        ("i IS NOT NULL", lambda r: r[1] is not None),
+    ]
+    suite = ExpectationSuite(f"fuzz-strf-{ds}")
+    cases = []
+    for _ in range(EXP_PER_STRF_SUITE):
+        fmt = rng.choice(pool)
+        kwargs = {"column": "d", "strftime_format": fmt}
+        rc_sql, rc_py = rng.choice(rc_pool)
+        if rc_sql is not None:
+            kwargs["row_condition"] = rc_sql
+            kwargs["condition_parser"] = "spark"
+        mostly = rng.choice([0.5, 0.8, 0.95]) if rng.random() < 0.4 else None
+        if mostly is not None:
+            kwargs["mostly"] = mostly
+
+        dom = [r for r in rows if rc_py(r)]
+        considered = [r[0] for r in dom if r[0] is not None]
+        bad = 0
+        for v in considered:
+            try:
+                datetime.datetime.strptime(v, fmt)
+            except ValueError:
+                bad += 1
+        if not dom or not considered:
+            success = True  # vacuous, same rule as _finish_map_case
+        elif mostly is None:
+            success = bad == 0
+        else:
+            success = (len(considered) - bad) / len(considered) >= mostly
+        suite.add("expect_column_values_to_match_strftime_format", **kwargs)
+        cases.append((kwargs, success, bad, len(dom)))
+
+    res = validate(df, suite, result_format="BASIC")
+    assert len(res.results) == len(cases)
+    for evr, (kwargs, success, bad, elem) in zip(res.results, cases):
+        label = f"ds={ds} {kwargs}"
+        assert evr.result["unexpected_count"] == bad, label
+        assert evr.result["element_count"] == elem, label
+        assert bool(evr.success) == success, label

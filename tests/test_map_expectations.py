@@ -379,6 +379,54 @@ def test_strftime(spark):
     assert evr.result["unexpected_count"] == 2
 
 
+def test_strftime_non_padded_reference_parity(spark):
+    # Python's strptime (the reference's per-row implementation) matches
+    # numeric directives with 1-2 digit regexes, so non-zero-padded values
+    # parse; separator-delimited directives map to Spark's variable-width
+    # tokens to agree
+    df = spark.createDataFrame(
+        [("2021-3-4",), ("2021-03-04",), ("2021-13-4",), ("5:9:26",)], ["d"]
+    )
+    evr = run_one(
+        df,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Y-%m-%d",
+    )
+    assert evr.result["unexpected_count"] == 2  # month 13 + the time string
+
+
+def test_strftime_documented_divergences(spark):
+    # the two pinned divergences from Python strptime (see
+    # strftime_to_spark_pattern's docstring): (a) non-padded values inside
+    # adjacent-numeric runs parse in Python via regex backtracking only;
+    # (b) day-of-year 366 in a non-leap year, which Python rolls over
+    df = spark.createDataFrame(
+        [("17761007",), ("1776107",)], ["d"]
+    )
+    evr = run_one(
+        df,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Y%m%d",
+    )
+    # padded parses, the Python-backtracking-only form does not
+    assert evr.result["unexpected_count"] == 1
+    assert evr.result["partial_unexpected_list"] == ["1776107"]
+
+    df2 = spark.createDataFrame([("2020-366",), ("2021-366",)], ["d"])
+    evr2 = run_one(
+        df2,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Y-%j",
+    )
+    # leap-year day 366 parses; non-leap 366 is rejected (Python would
+    # accept both, rolling the second over to 2022-01-01)
+    assert evr2.result["unexpected_count"] == 1
+    assert evr2.result["partial_unexpected_list"] == ["2021-366"]
+
+
 def test_json_parseable(spark):
     df = spark.createDataFrame(
         [('{"a": 1}',), ("[1,2,3]",), ("{oops",), (None,)], ["j"]
