@@ -14,7 +14,9 @@ Semantics mirror the reference's Spark metric providers
 (great_expectations/expectations/metrics/column_map_metrics/*,
 column_pair_map_metrics/*, multicolumn_map_metrics/* — see SURVEY.md §2.B.3-5)
 but are all expressed as native Catalyst expressions (the reference's per-row
-``F.udf`` cases — strftime/json — are replaced with built-ins).
+``F.udf`` strftime is replaced with a built-in pattern parse; its per-row
+json.loads cases run as Arrow pandas_udf batches — exact stdlib semantics,
+never per-row Python).
 """
 
 from __future__ import annotations
@@ -292,14 +294,50 @@ def _not_in_set(col: Column, kw: dict) -> Column:
     return ~col.isin(list(vs))
 
 
-def _json_parseable(col: Column, kw: dict) -> Column:
-    # native replacement for the reference's per-row F.udf(json.loads)
-    # (column_values_json_parseable.py:28-38); Spark 4 try_parse_json
-    # returns NULL for invalid JSON. Known edge divergence from json.loads:
-    # Python accepts the non-standard literals NaN/Infinity, the variant
-    # parser (correctly, per RFC 8259) does not. Fuzz-guarded against
-    # DuckDB json_valid on the agreed dialect subset.
-    return F.expr(f"try_parse_json(`{kw['column']}`) IS NOT NULL")
+def _json_parseable_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def parseable(series: pd.Series) -> pd.Series:
+        import json as _json
+
+        def ok(v):
+            if v is None:
+                return None
+            try:
+                _json.loads(v)
+                return True
+            except Exception:
+                return False
+
+        return series.map(ok).astype("boolean")
+
+    return parseable
+
+
+def _json_parseable_builder(kwargs: dict) -> MapCondition:
+    """expect_column_values_to_be_json_parseable — Arrow pandas_udf batch
+    parse with stdlib json.loads, the reference's EXACT per-row semantics
+    (column_values_json_parseable.py:28-38) minus the per-row F.udf.
+
+    A native try_parse_json expression diverges from json.loads in BOTH
+    directions (probed empirically on Spark 4.1): the variant parser
+    rejects the non-standard literals NaN/Infinity/-Infinity and
+    duplicate-key objects that json.loads accepts, and — worse — it
+    ACCEPTS trailing garbage ('1 2', '[1]extra') that json.loads rejects,
+    silently passing rows the reference fails. Exact parity needs Python's
+    parser, so this is the documented Arrow-batch escape hatch (same
+    pattern as _match_json_schema). Fuzz-guarded directly against
+    json.loads in tests/test_fuzz_oracle.py's g_json."""
+    name = kwargs["column"]
+    col = F.col(name)
+    expected = _json_parseable_udf()(col)
+    return MapCondition(
+        expected=F.coalesce(expected, F.lit(False)),
+        considered=col.isNotNull(),
+        value_expr=col,
+        columns=[name],
+    )
 
 
 def _no_pii(col: Column, kw: dict) -> Column:
@@ -433,7 +471,7 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     # --- parse-ability (native, no per-row Python) ---
     "expect_column_values_to_match_strftime_format": _col_map(_strftime),
     "expect_column_values_to_be_dateutil_parseable": _col_map(_dateutil_parseable),
-    "expect_column_values_to_be_json_parseable": _col_map(_json_parseable),
+    "expect_column_values_to_be_json_parseable": _json_parseable_builder,
     # --- PII / URL gates (beyond-reference surface; operators/text.py) ---
     "expect_column_values_to_not_contain_pii": _no_pii_builder,
     "expect_column_values_to_be_valid_urls": _col_map(_valid_urls),

@@ -13,6 +13,7 @@ strftime layer swept clean with three more fresh seeds (31415926, 271828,
 with a different SEED and run it."""
 
 import datetime
+import json as _stdlib_json
 import math
 import random
 import re
@@ -26,12 +27,17 @@ SEED = 20260818
 N_DATASETS = 30
 EXP_PER_SUITE = 8  # 30 x 8 = 240 fuzz cases
 WORDS = ["alpha", "beta", "gamma", "delta", "Epsilon", "zeta01", "", "x y"]
-# Spark try_parse_json and DuckDB json_valid agree on every entry here
-# (verified empirically; trailing-comma forms like '{"a": 1,}' are excluded
-# — DuckDB's yyjson accepts them, Spark's variant parser does not)
+# the engine's json_parseable IS stdlib json.loads (Arrow-batched), and
+# g_json's oracle calls json.loads directly — so the pool deliberately
+# includes the dialect edges where other parsers disagree: NaN/Infinity and
+# duplicate keys (json.loads accepts, variant/yyjson reject), trailing
+# garbage ('1 2', '[1]extra' — the variant parser accepts, json.loads
+# rejects), and trailing commas (yyjson accepts, json.loads rejects)
 JSONISH = [
     '{"a": 1}', "[1,2,3]", "{oops", "3", '"x"', "null",
     '{"a": [1, {"b": 2}]}', "not json", "", '  {"b":2} ', "true",
+    "NaN", "Infinity", "-Infinity", '{"a": NaN}', '{"a":1,"a":2}',
+    "1 2", "[1]extra", '{"a": 1,}',
 ]
 
 
@@ -291,15 +297,20 @@ def g_value_length_eq(rng):
 
 
 def g_json(rng):
-    # the one Arrow-free JSON gate: Spark try_parse_json IS NOT NULL vs
-    # DuckDB json_valid — the JSONISH pool is the verified agreement set
+    # the oracle is stdlib json.loads itself — the reference's exact per-row
+    # implementation (column_values_json_parseable.py:28-38) — applied to the
+    # rc-filtered view's values; DuckDB only supplies the domain slice
     def oracle(con):
-        nn = _duck(con, "SELECT count(js) FROM t")
-        bad = _duck(
-            con,
-            "SELECT count(*) FROM t WHERE js IS NOT NULL AND NOT json_valid(js)",
-        )
-        return nn, bad
+        vals = [r[0] for r in con.execute(
+            "SELECT js FROM t WHERE js IS NOT NULL"
+        ).fetchall()]
+        bad = 0
+        for v in vals:
+            try:
+                _stdlib_json.loads(v)
+            except ValueError:
+                bad += 1
+        return len(vals), bad
 
     return "expect_column_values_to_be_json_parseable", {"column": "js"}, oracle
 

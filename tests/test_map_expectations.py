@@ -438,6 +438,22 @@ def test_json_parseable(spark):
     assert evr.result["missing_count"] == 1
 
 
+def test_json_parseable_stdlib_semantics(spark):
+    # the engine's verdict IS stdlib json.loads (the reference's per-row
+    # implementation): the non-standard literals and duplicate keys parse,
+    # trailing garbage does not — a native try_parse_json gets all five of
+    # these wrong (see _json_parseable_builder's docstring)
+    df = spark.createDataFrame(
+        [("NaN",), ('{"a": Infinity}',), ('{"a":1,"a":2}',),
+         ("1 2",), ("[1]extra",)], ["j"]
+    )
+    evr = run_one(
+        df, "expect_column_values_to_be_json_parseable", column="j"
+    )
+    assert evr.result["unexpected_count"] == 2
+    assert sorted(evr.result["partial_unexpected_list"]) == ["1 2", "[1]extra"]
+
+
 def test_row_condition_domain(golden):
     evr = run_one(
         golden,
