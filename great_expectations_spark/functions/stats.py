@@ -385,27 +385,138 @@ def parameterized_cdf(distribution: str, params) -> "Callable[[float], float]":
     raise ValueError(f"unsupported distribution: {distribution}")
 
 
-def cramers_phi(contingency: dict, n_rows: int, n_cols: int) -> tuple[float, float]:
-    """Cramér's V (phi_c) from a contingency table {(a_val, b_val): count}.
+CROSSTAB_MISSING = "(missing)"  # the reference's literal category labels —
+CROSSTAB_OTHER = "(other)"  # raw values equal to them merge, as in pandas
+_CROSSTAB_DEFAULT_BINS = 10
 
-    Returns (phi, chi2). phi = sqrt(chi2 / (N * min(r-1, c-1)))."""
-    total = float(sum(contingency.values()))
-    if total == 0 or n_rows < 2 or n_cols < 2:
-        return 0.0, 0.0
+
+def _is_nanish(v) -> bool:
+    return v is None or (isinstance(v, float) and v != v)
+
+
+def crosstab_bin_edges(mn: float, mx: float, bins=None, n_bins=None):
+    """Numeric crosstab bin edges, replicating the reference's
+    get_binned_values (pandas_dataset.py:584-599): explicit ``bins`` are
+    deduped/sorted and extended with the observed min/max when the data
+    overflows them; otherwise np.histogram_bin_edges equal-width edges over
+    [mn, mx] (the reference passes the full series, but for an integer bin
+    count the edges depend only on its range). The last edge is nudged up by
+    one ulp so the max lands in the rightmost bin. Returns a float ndarray."""
+    import numpy as np
+
+    if n_bins is None:
+        n_bins = _CROSSTAB_DEFAULT_BINS
+    if bins is not None:
+        edges = sorted({float(x) for x in bins})
+        if mn < edges[0]:
+            edges = [mn] + edges
+        if mx > edges[-1]:
+            edges = edges + [mx]
+        edges = np.asarray(edges, dtype=float)
+    else:
+        edges = np.histogram_bin_edges(np.asarray([mn, mx], dtype=float), bins=n_bins)
+    edges[-1] = np.nextafter(edges[-1], edges[-1] + 1)
+    return edges
+
+
+def crosstab_binner(counts: dict, numeric: bool, bins=None, n_bins=None):
+    """Category mapper for one crosstab column, replicating the reference's
+    get_binned_values (pandas_dataset.py:573-634) over a bounded value-count
+    marginal instead of the raw series. Returns f(value) -> category, where
+    None means the row leaves the crosstab (the pandas categorical code -1
+    for values below the first explicit bin edge).
+
+    Numeric columns: equal-width n_bins (default 10) or explicit edges;
+    null/NaN -> "(missing)". Non-numeric: explicit bins are lists of value
+    groups joined into one label; otherwise identity below n_bins+1 distinct
+    values, else the top-n_bins values by count with the rest collapsed to
+    "(other)". Tie-break among equal counts is (count desc, str(value) asc) —
+    deterministic for a distributed engine, where pandas value_counts keeps
+    insertion order; phi is tie-invariant whenever the tied values have
+    isomorphic joint rows (every corpus case)."""
+    import numpy as np
+
+    if n_bins is None:
+        n_bins = _CROSSTAB_DEFAULT_BINS
+    if numeric:
+        nonnull = [float(v) for v in counts if not _is_nanish(v)]
+        if not nonnull:
+            return lambda v: CROSSTAB_MISSING
+        edges = crosstab_bin_edges(min(nonnull), max(nonnull), bins, n_bins)
+
+        def code(v):
+            if _is_nanish(v):
+                return CROSSTAB_MISSING
+            i = int(np.digitize([float(v)], edges)[0])
+            if i == 0:
+                return None  # below the first explicit edge: dropped
+            if i == len(edges):
+                return CROSSTAB_MISSING  # beyond the last explicit edge
+            return i - 1
+
+        return code
+    if bins is not None:
+        repl = {}
+        for group in bins:
+            label = ", ".join(group)
+            for v in group:
+                repl[v] = label
+        return lambda v: CROSSTAB_MISSING if _is_nanish(v) else repl.get(v, v)
+    if len(counts) < n_bins + 1:
+        return lambda v: CROSSTAB_MISSING if _is_nanish(v) else v
+    top = {
+        v
+        for v, _ in sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[
+            :n_bins
+        ]
+    }
+    return lambda v: (
+        CROSSTAB_MISSING
+        if _is_nanish(v)
+        else (v if v in top else CROSSTAB_OTHER)
+    )
+
+
+def crosstab_phi(
+    cells: dict, row_count: int, bin_a, bin_b
+) -> tuple[float, float, int, int]:
+    """Cramér's phi over binned pair cells {(a_val, b_val): count}, matching
+    the reference end to end (dataset.py:4428-4441 + scipy.chi2_contingency):
+    chi-square from the crosstab margins with the Yates continuity
+    correction when dof == 1, then phi = clip(sqrt(chi2 / row_count /
+    (min(r, c) - 1)), 0, 1) where row_count is the FULL domain row count
+    (nulls included — they sit in the "(missing)" category) and r, c count
+    OBSERVED categories only (pd.crosstab keeps no empty bins).
+
+    Returns (phi, chi2, r, c); (0.0, 0.0, r, c) for degenerate shapes where
+    the reference's denominator would be zero."""
+    ct: dict = {}
+    for (va, vb), cnt in cells.items():
+        ca, cb = bin_a(va), bin_b(vb)
+        if ca is None or cb is None:
+            continue
+        ct[(ca, cb)] = ct.get((ca, cb), 0) + cnt
     row_m: dict = {}
     col_m: dict = {}
-    for (a, b), c in contingency.items():
-        row_m[a] = row_m.get(a, 0) + c
-        col_m[b] = col_m.get(b, 0) + c
+    for (ca, cb), cnt in ct.items():
+        row_m[ca] = row_m.get(ca, 0) + cnt
+        col_m[cb] = col_m.get(cb, 0) + cnt
+    r, c = len(row_m), len(col_m)
+    if row_count <= 0 or r < 2 or c < 2:
+        return 0.0, 0.0, r, c
+    total = float(sum(ct.values()))
+    dof = (r - 1) * (c - 1)
     chi2 = 0.0
-    for a, ra in row_m.items():
-        for b, cb in col_m.items():
-            exp = ra * cb / total
-            obs = contingency.get((a, b), 0)
-            if exp > 0:
-                chi2 += (obs - exp) ** 2 / exp
-    denom = total * min(len(row_m) - 1, len(col_m) - 1)
-    return (math.sqrt(chi2 / denom) if denom > 0 else 0.0), chi2
+    for ca, ra in row_m.items():
+        for cb, cm in col_m.items():
+            exp = ra * cm / total
+            obs = ct.get((ca, cb), 0)
+            d = abs(obs - exp)
+            if dof == 1:
+                d = max(d - 0.5, 0.0)  # Yates, scipy's default for 2x2
+            chi2 += d * d / exp
+    phi = max(min(math.sqrt(chi2 / row_count / (min(r, c) - 1)), 1.0), 0.0)
+    return phi, chi2, r, c
 
 
 def gammainc_lower_reg(a: float, x: float) -> float:

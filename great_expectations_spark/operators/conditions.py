@@ -396,11 +396,28 @@ def _maybe_datetime_bound(v: Any, kw: dict) -> Any:
 _DATEUTIL_PATTERNS = ["M/d/yyyy", "M/d/yy", "MMM d yyyy", "MMMM d, yyyy", "yyyyMMdd"]
 
 
-def _dateutil_parseable(col: Column, kw: dict) -> Column:
+def dateutil_parse_expr(col: Column) -> Column:
+    """Best-effort dateutil-style parse as a timestamp Column (NULL when no
+    attempt matches) — the ISO default plus the common non-ISO patterns."""
     attempts = [F.try_to_timestamp(col)] + [
         F.try_to_timestamp(col, F.lit(p)) for p in _DATEUTIL_PATTERNS
     ]
-    return F.coalesce(*attempts).isNotNull()
+    return F.coalesce(*attempts)
+
+
+def _dateutil_parseable(col: Column, kw: dict) -> Column:
+    return dateutil_parse_expr(col).isNotNull()
+
+
+def _psd(kw: dict, c: Column) -> Column:
+    """parse_strings_as_datetimes on a column-pair side. The reference's
+    own Spark path uses bare F.to_date (ISO only,
+    column_pair_values_greater.py:120-121); the canonical pandas path is
+    dateutil.parser.parse per row, so this routes through the same
+    pattern-coalesce the dateutil expectation uses — '5/5/2016' style
+    values compare as dates, matching the reference's pandas corpus case
+    (test_parse_strings_as_datetimes_and_mostly)."""
+    return dateutil_parse_expr(c) if kw.get("parse_strings_as_datetimes") else c
 
 
 def _strftime(col: Column, kw: dict) -> Column:
@@ -478,18 +495,26 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     # --- column pair ---
     "expect_column_pair_values_to_be_equal": lambda kw: _pair_cond(
         kw,
-        lambda a, b: a.eqNullSafe(b),
+        lambda a, b: _psd(kw, a).eqNullSafe(_psd(kw, b)),
         default_ignore="both_values_are_missing",
     ),
     "expect_column_pair_values_a_to_be_greater_than_b": lambda kw: _pair_cond(
         kw,
-        lambda a, b: (a >= b) if kw.get("or_equal") else (a > b),
+        lambda a, b: (
+            (_psd(kw, a) >= _psd(kw, b))
+            if kw.get("or_equal")
+            else (_psd(kw, a) > _psd(kw, b))
+        ),
         default_ignore="both_values_are_missing",
     ),
     # reference class name keeps capital A/B (expect_column_pair_values_a_to_be_greater_than_b.py)
     "expect_column_pair_values_A_to_be_greater_than_B": lambda kw: _pair_cond(
         kw,
-        lambda a, b: (a >= b) if kw.get("or_equal") else (a > b),
+        lambda a, b: (
+            (_psd(kw, a) >= _psd(kw, b))
+            if kw.get("or_equal")
+            else (_psd(kw, a) > _psd(kw, b))
+        ),
         default_ignore="both_values_are_missing",
     ),
     "expect_column_pair_values_to_be_in_set": lambda kw: _pair_cond(

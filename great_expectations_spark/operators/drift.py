@@ -20,13 +20,15 @@ import math
 from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
 
 from great_expectations_spark.core.config import ExpectationConfiguration
 from great_expectations_spark.functions.stats import (
     adjust_expected_weights,
     chi2_sf,
     chi_square_test,
-    cramers_phi,
+    crosstab_binner,
+    crosstab_phi,
     kl_divergence,
     ks_from_histograms,
     ks_pvalue,
@@ -712,61 +714,118 @@ def _compile_psi(planner: Any, cfg: ExpectationConfiguration) -> None:
     planner._items.append(_Item(cfg, decide, partition_capable=True))
 
 
-def _distributed_cramers_phi(df, a: str, b: str) -> tuple[float, float, int, int]:
-    """Exact Cramér's phi with NO driver-side contingency table — the
-    fallback when |A×B| exceeds DISTINCT_CAP. χ² = N·(Σ o²/(r_a·c_b) − 1)
-    via cells ⨝ row-margins ⨝ col-margins (three bounded shuffles on the
-    cell keys); only four scalars reach the driver."""
-    nn = F.col(a).isNotNull() & F.col(b).isNotNull()
-    cells = (
-        df.filter(nn)
-        .groupBy(a, b)
-        .agg(F.count(F.lit(1)).alias("_o"))
-        .persist()
+_CT_DROP = "(dropped)"  # below-first-explicit-edge sentinel, excluded from
+# the crosstab but still counted in the phi denominator (reference code -1)
+
+
+def _crosstab_bin_expr(df, name: str, numeric: bool, bins, n_bins) -> Column:
+    """Catalyst category expression replicating crosstab_binner at scale —
+    the bin spec comes from one bounded driver job (numeric: min/max agg;
+    strings: distinct count + top-n_bins TakeOrdered), then every row maps
+    through a literal CASE chain so the crosstab groupBy sees at most
+    n_bins+2 categories per side. Categories are strings here; phi only
+    needs equivalence classes, not the reference's labels."""
+    from great_expectations_spark.functions.stats import (
+        _CROSSTAB_DEFAULT_BINS,
+        CROSSTAB_MISSING,
+        CROSSTAB_OTHER,
+        crosstab_bin_edges,
     )
-    try:
-        ra = cells.groupBy(a).agg(F.sum("_o").alias("_ra"))
-        cb = cells.groupBy(b).agg(F.sum("_o").alias("_cb"))
-        row = (
-            cells.join(ra, a)
-            .join(cb, b)
-            .agg(
-                F.sum("_o").alias("_n"),
-                F.sum(
-                    F.col("_o").cast("double") * F.col("_o")
-                    / (F.col("_ra").cast("double") * F.col("_cb"))
-                ).alias("_s"),
-                F.count_distinct(F.col(a)).alias("_r"),
-                F.count_distinct(F.col(b)).alias("_c"),
-            )
-            .collect()[0]
+
+    if n_bins is None:
+        n_bins = _CROSSTAB_DEFAULT_BINS
+    col = F.col(name)
+    if numeric:
+        nanish = col.isNull()
+        if isinstance(df.schema[name].dataType, (T.FloatType, T.DoubleType)):
+            nanish = nanish | F.isnan(col)
+        row = df.filter(~nanish).agg(
+            F.min(col).alias("_mn"), F.max(col).alias("_mx")
+        ).collect()[0]
+        if row["_mn"] is None:
+            return F.lit(CROSSTAB_MISSING)
+        edges = crosstab_bin_edges(float(row["_mn"]), float(row["_mx"]), bins, n_bins)
+        expr = F.when(nanish, F.lit(CROSSTAB_MISSING)).when(
+            col < F.lit(float(edges[0])), F.lit(_CT_DROP)
         )
-    finally:
-        cells.unpersist()
-    n = int(row["_n"] or 0)
-    r, c = int(row["_r"] or 0), int(row["_c"] or 0)
-    if n == 0 or min(r, c) < 2:
-        return 0.0, 0.0, r, c
-    chi2 = n * (float(row["_s"]) - 1.0)
-    phi = math.sqrt(max(chi2, 0.0) / (n * min(r - 1, c - 1)))
-    return phi, chi2, r, c
+        for i in range(len(edges) - 1):
+            expr = expr.when(col < F.lit(float(edges[i + 1])), F.lit(f"bin{i}"))
+        return expr.otherwise(F.lit(CROSSTAB_MISSING))
+    as_str = col.cast("string")
+    if bins is not None:
+        expr = F.when(col.isNull(), F.lit(CROSSTAB_MISSING))
+        for group in bins:
+            label = ", ".join(group)
+            expr = expr.when(col.isin(list(group)), F.lit(label))
+        return expr.otherwise(as_str)
+    n_distinct = df.agg(F.count_distinct(col).alias("_d")).collect()[0]["_d"]
+    if n_distinct < n_bins + 1:
+        return F.coalesce(as_str, F.lit(CROSSTAB_MISSING))
+    top = [
+        r[name]
+        for r in df.filter(col.isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc(as_str))
+        .limit(n_bins)
+        .collect()
+    ]
+    return (
+        F.when(col.isNull(), F.lit(CROSSTAB_MISSING))
+        .when(col.isin(top), as_str)
+        .otherwise(F.lit(CROSSTAB_OTHER))
+    )
+
+
+def _distributed_cramers_phi(
+    df, a: str, b: str, numeric_a: bool, numeric_b: bool, kw: dict
+) -> tuple[float, float, int, int]:
+    """Reference-binned Cramér's phi at scale — the fallback when the raw
+    |A×B| pair top exceeds DISTINCT_CAP. The bin specs are derived from one
+    bounded job per side, then a single groupBy over the two CASE-chain
+    category columns yields at most (n_bins+2)² cells; the driver math is
+    the same crosstab_phi the in-bundle path uses."""
+    from great_expectations_spark.functions.stats import crosstab_phi
+
+    ea = _crosstab_bin_expr(df, a, numeric_a, kw.get("bins_A"), kw.get("n_bins_A"))
+    eb = _crosstab_bin_expr(df, b, numeric_b, kw.get("bins_B"), kw.get("n_bins_B"))
+    rows = (
+        df.groupBy(ea.alias("_ca"), eb.alias("_cb"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .collect()
+    )
+    cells = {(r["_ca"], r["_cb"]): int(r["_o"]) for r in rows}
+    row_count = sum(cells.values())
+    passthrough = lambda v: None if v == _CT_DROP else v  # noqa: E731
+    return crosstab_phi(cells, row_count, passthrough, passthrough)
 
 
 def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
     """expect_column_pair_cramers_phi_value_to_be_less_than — categorical
-    association between two columns. Pandas-only in the reference
-    (self_check/util.py:1903-1906); here the contingency table comes from the
-    shared groupBy pass (one shuffle on (A,B)), phi is driver math.
-    Continuous columns should be pre-binned (the reference's bins_A/bins_B
-    path) — pass already-bucketed columns."""
+    association between two columns, with the reference's full crosstab
+    semantics (pandas-only there: dataset.py:4379-4450 + get_binned_values
+    at pandas_dataset.py:559-634): numeric columns are equal-width-binned
+    (n_bins, default 10, or explicit bins_A/bins_B edges), string columns
+    beyond n_bins distinct values collapse to top-n + "(other)", and nulls
+    become a "(missing)" category — so the contingency is bounded by
+    construction. Here the raw (A,B) pair counts come from the shared
+    groupBy pass (one shuffle, nulls kept) and ALL binning + chi-square +
+    phi is bounded driver math; the DISTINCT_CAP fallback rebins in-cluster
+    through literal CASE chains instead (replays the corpus's 8 golden
+    cases exactly, including the three binned/missing ones)."""
     from great_expectations_spark.plans.planner import _Item
+    from pyspark.sql.types import NumericType
 
     kw = cfg.kwargs
     a, b = kw["column_A"], kw["column_B"]
     threshold = float(kw.get("threshold", 0.1))
+    # pandas dtype in ["int","float"] <-> Spark numeric (bools/dates take
+    # the categorical path, as in the reference)
+    numeric_a = isinstance(planner.df.schema[a].dataType, NumericType)
+    numeric_b = isinstance(planner.df.schema[b].dataType, NumericType)
     rc_dom, rc_id = planner._rc_domain(cfg)
     key = planner._need_groupby(
-        (a, b), drop_nulls=True, dom=rc_dom, rc_id=rc_id,
+        (a, b), drop_nulls=False, dom=rc_dom, rc_id=rc_id,
         want_top=True, want_partition_top=True,
     )
 
@@ -785,7 +844,9 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
                 # exact fallback must stay on the row_condition domain the
                 # shared groupBy pass was computed over
                 base = base.filter(rc_dom)
-            phi, chi2, rows, cols = _distributed_cramers_phi(base, a, b)
+            phi, chi2, rows, cols = _distributed_cramers_phi(
+                base, a, b, numeric_a, numeric_b, kw
+            )
             return bool(phi < threshold), {
                 "observed_value": phi,
                 "details": {
@@ -798,10 +859,22 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
             }
         if ctx.is_partition and not top:
             return True, {"observed_value": None}
-        contingency = {values: cnt for values, cnt in top}
-        rows = len({v[0] for v in contingency})
-        cols = len({v[1] for v in contingency})
-        phi, chi2 = cramers_phi(contingency, rows, cols)
+        cells = {values: cnt for values, cnt in top}
+        # marginal value counts (the reference's series.value_counts input)
+        counts_a: dict = {}
+        counts_b: dict = {}
+        for (va, vb), cnt in cells.items():
+            if va is not None:
+                counts_a[va] = counts_a.get(va, 0) + cnt
+            if vb is not None:
+                counts_b[vb] = counts_b.get(vb, 0) + cnt
+        row_count = sum(cells.values())  # full domain rows, nulls included
+        phi, chi2, rows, cols = crosstab_phi(
+            cells,
+            row_count,
+            crosstab_binner(counts_a, numeric_a, kw.get("bins_A"), kw.get("n_bins_A")),
+            crosstab_binner(counts_b, numeric_b, kw.get("bins_B"), kw.get("n_bins_B")),
+        )
         return bool(phi < threshold), {
             "observed_value": phi,
             "details": {"chi_squared": chi2, "n_rows": rows, "n_cols": cols},

@@ -65,6 +65,25 @@ def iter_cases():
                     yield etype, path, i, ds, case
 
 
+def iter_excluded_cases():
+    """The complement of iter_cases: cases the reference runs only on OTHER
+    engines (test_reference_golden_extended.py replays them anyway)."""
+    for d in INCLUDED_DIRS:
+        for path in sorted(glob.glob(os.path.join(JSON_ROOT, d, "*.json"))):
+            doc = json.load(open(path))
+            etype = doc.get("expectation_type") or os.path.splitext(
+                os.path.basename(path)
+            )[0]
+            for i, ds in enumerate(doc.get("datasets", [])):
+                for case in ds.get("tests", []):
+                    only = case.get("only_for") or []
+                    excluded = (only and "spark" not in only) or "spark" in (
+                        case.get("suppress_test_for") or []
+                    )
+                    if excluded:
+                        yield etype, path, i, ds, case
+
+
 def _infer_spark_type(values: list) -> str:
     kinds = set()
     for v in values:

@@ -230,3 +230,38 @@ def test_cramers_phi_distributed_fallback_respects_row_condition(spark, monkeypa
     assert abs(
         d_trunc["observed_value"] - full.results[0].result["observed_value"]
     ) < 1e-9
+
+
+def test_cramers_phi_reference_golden_cases(spark):
+    """Replay the reference's OWN cramers-phi corpus — all 8 cases, every
+    one marked only_for pandas there (the reference never ran this
+    expectation on its Spark engine). The crosstab semantics (numeric
+    equal-width binning, string top-n + '(other)', '(missing)' categories,
+    Yates at dof 1, full-row-count denominator) must reproduce the expected
+    observed values exactly."""
+    import json
+    import os
+
+    from golden_harness import JSON_ROOT, run_case
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    path = os.path.join(
+        JSON_ROOT,
+        "column_aggregate_expectations",
+        "expect_column_pair_cramers_phi_value_to_be_less_than.json",
+    )
+    doc = json.load(open(path))
+    engine = SparkValidationEngine(spark)
+    failures = []
+    n = 0
+    for ds in doc["datasets"]:
+        for case in ds["tests"]:
+            n += 1
+            ok, detail = run_case(
+                spark, engine,
+                "expect_column_pair_cramers_phi_value_to_be_less_than",
+                ds, case,
+            )
+            if not ok:
+                failures.append((case.get("title"), detail[:160]))
+    assert n == 8 and not failures, failures

@@ -1894,3 +1894,153 @@ def test_fuzz_strftime_differential_vs_strptime(spark, ds):
         assert evr.result["unexpected_count"] == bad, label
         assert evr.result["element_count"] == elem, label
         assert bool(evr.success) == success, label
+
+
+# ---------------------------------------------------------------------------
+# Cramér's-phi differential fuzz — the oracle re-implements the reference's
+# pandas path (get_binned_values + pd.crosstab + scipy-equivalent
+# chi2_contingency, pandas_dataset.py:559-634 / dataset.py:4428-4441) in
+# pandas/numpy inside the test, with ONE documented deviation shared with
+# the engine: ties in the string top-n are broken (count desc, str asc)
+# instead of pandas value_counts insertion order. Exercises numeric
+# auto/explicit binning, string identity/top-n/"(other)" collapse,
+# "(missing)" categories, the Yates dof-1 correction, the full-row-count
+# denominator, and row_condition domains.
+# ---------------------------------------------------------------------------
+
+
+def _ref_binned(series, numeric, bins, n_bins):
+    import numpy as np
+    import pandas as pd
+
+    if n_bins is None:
+        n_bins = 10
+    if numeric:
+        nonnull = series[series.notnull()]
+        if len(nonnull) == 0:
+            return pd.Series(["(missing)"] * len(series), index=series.index)
+        if bins is not None:
+            edges = sorted({float(x) for x in bins})
+            if nonnull.min() < edges[0]:
+                edges = [float(nonnull.min())] + edges
+            if nonnull.max() > edges[-1]:
+                edges = edges + [float(nonnull.max())]
+            edges = np.asarray(edges, dtype=float)
+        else:
+            edges = np.histogram_bin_edges(nonnull, bins=n_bins)
+        edges[-1] = np.nextafter(edges[-1], edges[-1] + 1)
+        codes = np.digitize(series.astype(float), bins=edges) - 1
+        out = []
+        for v, c in zip(series, codes):
+            if v is None or (isinstance(v, float) and v != v):
+                out.append("(missing)")
+            elif c < 0:
+                out.append(None)  # dropped from the crosstab
+            elif c >= len(edges) - 1:
+                out.append("(missing)")
+            else:
+                out.append(c)
+        return pd.Series(out, index=series.index, dtype=object)
+    if bins is not None:
+        repl = {}
+        for group in bins:
+            for v in group:
+                repl[v] = ", ".join(group)
+        return series.map(lambda v: repl.get(v, v)).fillna("(missing)")
+    vc = series.value_counts()
+    if len(vc) < n_bins + 1:
+        return series.fillna("(missing)")
+    keep = {
+        v for v, _ in sorted(vc.items(), key=lambda kv: (-kv[1], str(kv[0])))[:n_bins]
+    }
+    return series.map(
+        lambda v: v if v in keep else "(other)", na_action="ignore"
+    ).fillna("(missing)")
+
+
+def _ref_cramers(pdf, a, b, kwargs):
+    import numpy as np
+    import pandas as pd
+
+    sA = _ref_binned(
+        pdf[a], pdf[a].dtype.kind in "if", kwargs.get("bins_A"), kwargs.get("n_bins_A")
+    )
+    sB = _ref_binned(
+        pdf[b], pdf[b].dtype.kind in "if", kwargs.get("bins_B"), kwargs.get("n_bins_B")
+    )
+    ct = pd.crosstab(sA, columns=sB)
+    if min(ct.shape, default=0) < 2:
+        return 0.0, 0.0
+    obs = ct.values.astype(float)
+    rs = obs.sum(1, keepdims=True)
+    cs = obs.sum(0, keepdims=True)
+    exp = rs @ cs / obs.sum()
+    if (ct.shape[0] - 1) * (ct.shape[1] - 1) == 1:
+        d = np.maximum(np.abs(obs - exp) - 0.5, 0.0)  # Yates
+    else:
+        d = np.abs(obs - exp)
+    chi2 = float((d * d / exp).sum())
+    phi = max(min(math.sqrt(chi2 / len(pdf) / (min(ct.shape) - 1)), 1.0), 0.0)
+    return phi, chi2
+
+
+N_CRAMERS_DATASETS = 6
+
+
+@pytest.mark.parametrize("ds", range(N_CRAMERS_DATASETS))
+def test_fuzz_cramers_phi_vs_pandas_replica(spark, ds):
+    import pandas as pd
+
+    rng = random.Random(SEED * 6100 + ds)
+    n = rng.randrange(50, 200)
+    pool_b = [f"v{j}" for j in range(rng.randrange(3, 15))]
+    rows = []
+    for _ in range(n):
+        ia = None if rng.random() < 0.1 else rng.randrange(0, rng.choice([3, 8, 30]))
+        fa = None if rng.random() < 0.1 else round(rng.uniform(-5.0, 15.0), 3)
+        sa = None if rng.random() < 0.12 else rng.choice(["a", "b", "c", "d"])
+        sb = None if rng.random() < 0.12 else rng.choice(pool_b)
+        rows.append((ia, fa, sa, sb))
+    df = spark.createDataFrame(rows, "ia bigint, fa double, sa string, sb string")
+
+    cols = {"ia": True, "fa": True, "sa": False, "sb": False}
+    suite = ExpectationSuite(f"fuzz-cramers-{ds}")
+    expected = []
+    for _ in range(4):
+        a, b = rng.sample(list(cols), 2)
+        kwargs = {"column_A": a, "column_B": b}
+        for side, col in (("A", a), ("B", b)):
+            r = rng.random()
+            if r < 0.35:
+                kwargs[f"n_bins_{side}"] = rng.randrange(2, 6)
+            elif r < 0.55 and cols[col]:
+                lo, hi = sorted(rng.uniform(-5, 15) for _ in range(2))
+                kwargs[f"bins_{side}"] = sorted(
+                    {round(rng.uniform(lo, hi), 2) for _ in range(rng.randrange(2, 5))}
+                )
+        rc = rng.choice([None, "ia IS NOT NULL", "fa > 0"])
+        dom = [
+            r for r in rows
+            if rc is None
+            or (rc == "ia IS NOT NULL" and r[0] is not None)
+            or (rc == "fa > 0" and r[1] is not None and r[1] > 0)
+        ]
+        pdf = pd.DataFrame(dom, columns=["ia", "fa", "sa", "sb"])
+        want_phi, want_chi2 = _ref_cramers(pdf, a, b, kwargs)
+        if rc is not None:
+            kwargs["row_condition"] = rc
+            kwargs["condition_parser"] = "spark"
+        # threshold far from the realized phi so success can't flip on ulps
+        kwargs["threshold"] = max(want_phi + rng.choice([-0.05, 0.05]), 1e-6)
+        suite.add("expect_column_pair_cramers_phi_value_to_be_less_than", **kwargs)
+        expected.append((kwargs, want_phi, want_chi2))
+
+    res = validate(df, suite, result_format="BASIC")
+    for evr, (kwargs, want_phi, want_chi2) in zip(res.results, expected):
+        label = f"ds={ds} {kwargs}"
+        got = evr.result["observed_value"]
+        assert got is not None and abs(got - want_phi) < 1e-9, (
+            f"{label}: {got} vs {want_phi}"
+        )
+        assert abs(evr.result["details"]["chi_squared"] - want_chi2) < 1e-6, label
+        assert bool(evr.success) == (want_phi < kwargs["threshold"]), label

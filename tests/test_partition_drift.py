@@ -119,9 +119,12 @@ def test_cramers_phi_partition_values(drift_res):
     parts = _by_partition(
         drift_res, "expect_column_pair_cramers_phi_value_to_be_less_than"
     )
-    # identical columns -> phi = 1; independent -> phi ~ 0
-    assert parts["bad"].result["observed_value"] == pytest.approx(1.0)
-    assert parts["ok"].result["observed_value"] == pytest.approx(0.0, abs=0.1)
+    # identical columns over a 2x2 table: the Yates continuity correction
+    # (reference semantics — scipy chi2_contingency's default at dof 1)
+    # gives chi2 = 4*(100-0.5)^2/100 = 396.01 over 400 rows -> phi 0.995
+    # exactly, not 1.0; independent -> phi = 0 exactly
+    assert parts["bad"].result["observed_value"] == pytest.approx(0.995)
+    assert parts["ok"].result["observed_value"] == pytest.approx(0.0, abs=1e-12)
 
 
 def test_partition_top_budget_fallback(spark, monkeypatch):

@@ -1,0 +1,202 @@
+"""Replay the reference corpus cases the reference itself EXCLUDES from its
+Spark engine (only_for other engines / suppress_test_for spark) — a
+supplementary sweep on top of test_reference_golden.py's 466 spark-eligible
+cases.
+
+Most exclusions exist because great_expectations' Spark engine (or Spark SQL
+itself) cannot express the case; this engine clears a large share of them
+anyway (71 of 134): the whole LIKE-pattern family (SQL-only in the
+reference) minus mssql's non-standard [bracket] classes, Cramér's phi with
+the reference's
+pandas-only crosstab binning, pair comparisons with
+parse_strings_as_datetimes, and assorted pandas-only kwargs combinations.
+
+Every case must either pass or appear in ENGINE_SPECIFIC below with the
+reason it cannot transfer to a Spark engine. A case passing *while listed*
+is fine (some titles repeat across engine variants where one variant
+passes); a failure OUTSIDE the list is a regression.
+"""
+
+import pytest
+
+from golden_harness import SkipCase, iter_excluded_cases, run_case
+
+# (expectation_type, title) -> why this case is inherently non-Spark.
+_TYPE_VOCAB = (
+    "type-name vocabulary of another engine (INTEGER/TEXT/VARCHAR/"
+    "datetime64/object...); type expectations resolve SPARK type names here, "
+    "exactly as the reference's Spark engine does"
+)
+_MSSQL_LIKE = (
+    "mssql [bracket] character classes — a T-SQL extension; LIKE here is "
+    "standard SQL (the reference never ran LIKE on Spark at all)"
+)
+_PANDAS_QUERY = (
+    "row_condition in pandas.query / python syntax; the Spark "
+    "condition_parser is Spark SQL (reference Spark engine likewise)"
+)
+_CROSS_TYPE = (
+    "cross-type comparisons (int vs str) — pandas-only; Spark raises under "
+    "ANSI casts, and the reference's own Spark engine raises "
+    "NotImplementedError for allow_cross_type_comparisons"
+)
+_BOOL_ARITH = (
+    "pandas coerces booleans to 0/1 inside mean(); Spark's avg(boolean) is "
+    "a type error on both engines"
+)
+_FLOAT_ULP = (
+    "expected value pins another engine's last-ulp stddev double; the "
+    "corpus carries a *_sqlalchemy twin of this case expecting exactly the "
+    "value this engine computes"
+)
+ENGINE_SPECIFIC = {
+    # --- of_type / in_type_list: per-engine type-name vocabulary ---
+    **{
+        ("expect_column_values_to_be_in_type_list", t): _TYPE_VOCAB
+        for t in (
+            "positive_test_sqlalchemy_integer_column",
+            "negative_test_sqlalchemy_float_values_are_not_text",
+            "positive_test_float_values",
+            "positive_test_float_values_bigquery",
+            "positive_test_text_values",
+            "positive_test_text_values_bigquery",
+            "positive_test_boolean_values",
+            "positive_test_text_and_integer_values",
+            "positive_test_text_and_integer_values_bigquery",
+        )
+    },
+    **{
+        ("expect_column_values_to_be_of_type", t): _TYPE_VOCAB
+        for t in (
+            "basic_sqlalchemy_int_positive_test",
+            "negative_test_sql_ints_are_not_text",
+            "negative_sqlite_integer_is_not_varchar",
+            "positive_test_postgres_floats",
+            "positive_test_sql_non_postgres_floats",
+            "positive_test_sql_text",
+            "positive_test_sql_varchar",
+            "negative_test_sqlalchemy_floats_are_not_boolean",
+            "negative_test_mssql_floats_are_not_bit",
+            "dtype_object_and_type_object_still_has_aggregate_semantics",
+            "dtype_object_and_type_object_still_has_aggregate_semantics_object_underscore",
+            "dtype_object_and_type_object_still_has_aggregate_semantics_big_o",
+            "positive_pandas_datetime_no_timezone",
+            "positive_pandas_datetime_with_timezone",
+            "positive_pandas_datetime_with_timezone_pd_022_pd_023",
+            "negative_pandas_datetime_with_timezone",
+        )
+    },
+    # --- LIKE family: mssql [bracket] classes ---
+    **{
+        ("expect_column_values_to_match_like_pattern", t): _MSSQL_LIKE
+        for t in (
+            "negative_test_insufficient_mostly_and_one_non_matching_value",
+            "positive_test_exact_mostly_w_one_non_matching_value",
+            "positive_test_column_name_has_space",
+            "positive_test_sufficient_mostly_w_one_non_matching_value",
+            "negative_test_one_missing_value_and_insufficent_mostly",
+            "positive_test_one_missing_value_and_exact_mostly",
+            "positive_test_one_missing_value_and_sufficent_mostly",
+            "positive_test_match_characters_not_at_the_beginning_of_string",
+        )
+    },
+    **{
+        ("expect_column_values_to_match_like_pattern_list", t): _MSSQL_LIKE
+        for t in (
+            "basic_positive_test",
+            "positive_test_with_multiple_like_patternes",
+            "positive_test_with_match_on__any",
+            "positive_test_column_name_has_space_and_match_on__any",
+        )
+    },
+    **{
+        ("expect_column_values_to_not_match_like_pattern", t): _MSSQL_LIKE
+        for t in (
+            "negative_test_insufficient_mostly_and_one_non_matching_value",
+            "positive_test_exact_mostly_w_one_non_matching_value",
+            "positive_test_sufficient_mostly_w_one_non_matching_value",
+            "negative_test_one_missing_value_and_insufficent_mostly",
+        )
+    },
+    (
+        "expect_column_values_to_not_match_like_pattern_list",
+        "basic_negative_test",
+    ): _MSSQL_LIKE,
+    # --- pandas.query row_condition syntax ---
+    **{
+        ("expect_column_value_lengths_to_equal", t): _PANDAS_QUERY
+        for t in (
+            "test_conditional_expectation_passes",
+            "test_conditional_expectation_fails",
+        )
+    },
+    ("expect_column_values_to_be_between", "test_conditional_expectation_fails"): _PANDAS_QUERY,
+    (
+        "expect_column_values_to_be_in_set",
+        "test_conditional_expectation_parser_errors",
+    ): _PANDAS_QUERY,
+    (
+        "expect_compound_columns_to_be_unique",
+        "row_condition_with_ignore_if_any_are_missing",
+    ): _PANDAS_QUERY,
+    (
+        "expect_multicolumn_sum_to_equal",
+        "row_condition_with_ignore_if_any_are_missing",
+    ): _PANDAS_QUERY,
+    # --- cross-type comparisons ---
+    ("expect_column_values_to_be_between", "test_allow_cross_type_comparisons"): _CROSS_TYPE,
+    ("expect_column_values_to_be_between", "test_allow_cross_type_comparisons_again"): _CROSS_TYPE,
+    ("expect_column_pair_values_to_be_equal", "basic_negative_example_compare_number_to_text"): _CROSS_TYPE,
+    ("expect_column_pair_values_to_be_equal", "positive_example_with_mostly_compare_number_to_text"): _CROSS_TYPE,
+    # --- misc engine-inherent ---
+    ("expect_column_mean_to_be_between", "coerced_types_true_false_values"): _BOOL_ARITH,
+    ("expect_column_mean_to_be_between", "coerced_types_true_false_and_null"): _BOOL_ARITH,
+    ("expect_column_stdev_to_be_between", "positive_test__exact_min_and_max"): _FLOAT_ULP,
+    ("expect_column_stdev_to_be_between", "positive_test__exact_min_and_max_bigquery"): _FLOAT_ULP,
+    ("expect_column_value_lengths_to_equal", "positive_test_integer_length_1_postgres"): (
+        "expects postgres's ERROR on length(integer); Spark length(int) "
+        "casts and succeeds, as the reference's Spark engine would"
+    ),
+    ("expect_column_values_to_be_unique", "negative_case_all_null_values_bigquery_nones"): (
+        "bigquery_cfe treats the all-null column as failing; standard "
+        "semantics (reference Spark/pandas included) are vacuous success"
+    ),
+    ("expect_column_values_to_not_be_in_set", "positive_test_values_set_is_null"): (
+        "None in value_set: this engine raises the same refusal the "
+        "reference's own Spark engine raises (case is for engines whose "
+        "IN handles NULL differently)"
+    ),
+    ("expect_column_to_exist", "this_test_should_never_run"): (
+        "corpus sentinel with a list-shaped dataset, designed to run on no "
+        "engine (only_for a nonexistent one)"
+    ),
+}
+
+
+@pytest.mark.golden
+def test_reference_golden_excluded_cases(spark):
+    from great_expectations_spark.engine import SparkValidationEngine
+
+    engine = SparkValidationEngine(spark)
+    passed = skipped = tolerated = 0
+    regressions = []
+    for etype, path, i, ds, case in iter_excluded_cases():
+        key = (etype, case.get("title"))
+        try:
+            ok, detail = run_case(spark, engine, etype, ds, case)
+        except SkipCase:
+            skipped += 1
+            continue
+        except Exception as e:
+            ok, detail = False, f"harness: {type(e).__name__}: {e}"
+        if ok:
+            passed += 1
+        elif key in ENGINE_SPECIFIC:
+            tolerated += 1
+        else:
+            regressions.append((etype, case.get("title"), str(detail)[:160]))
+    assert not regressions, regressions
+    # 134 excluded cases at the time of writing: 71 transfer to this engine
+    # outright (incl. the non-mssql LIKE corpus, all 8 cramers cases, pair
+    # parse_strings_as_datetimes); the 63 others are documented above
+    assert passed >= 71, f"only {passed} excluded-case passes (tolerated={tolerated}, skipped={skipped})"
