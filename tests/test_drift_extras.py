@@ -232,6 +232,63 @@ def test_cramers_phi_distributed_fallback_respects_row_condition(spark, monkeypa
     ) < 1e-9
 
 
+def test_cramers_phi_distributed_fallback_numeric_and_explicit_bins(
+    spark, monkeypatch
+):
+    """The truncation fallback's in-cluster rebinning (literal CASE chains,
+    drift._crosstab_bin_expr) must agree with the in-bundle crosstab_binner
+    on every spec shape it compiles: numeric auto n_bins, numeric explicit
+    edges (including values BELOW the first edge — the reference's
+    dropped-from-crosstab rows, _CT_DROP), and string explicit value
+    groups. The in-bundle side is itself fuzz-validated against a pandas
+    replica of the reference, so equality here transfers correctness."""
+    import great_expectations_spark.plans.planner as planner_mod
+
+    rows = [
+        (
+            (i % 37) * 0.75 - 3.0,  # 37 distinct floats, some below edge 0.0
+            f"s{i % 19}",  # 19 distinct strings
+        )
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "num double, cat string")
+
+    cases = [
+        {"n_bins_A": 5},  # numeric auto equal-width
+        {"bins_A": [0.0, 5.0, 10.0]},  # explicit edges; i%37 < 4 drops
+        {"n_bins_A": 4, "bins_B": [["s0", "s1", "s2"], ["s3", "s4"]]},
+    ]
+
+    def run():
+        s = ExpectationSuite(name="phi-trunc-bins")
+        for kw in cases:
+            s.add(
+                "expect_column_pair_cramers_phi_value_to_be_less_than",
+                column_A="num", column_B="cat", threshold=0.5, **kw,
+            )
+        return validate(df, s)
+
+    full = run()
+    monkeypatch.setattr(planner_mod, "DISTINCT_CAP", 16)
+    trunc = run()
+    for kw, f, t in zip(cases, full.results, trunc.results):
+        assert t.result["details"].get("method") == "distributed_exact", kw
+        assert f.result["details"].get("method") != "distributed_exact", kw
+        assert abs(t.result["observed_value"] - f.result["observed_value"]) < 1e-9, (
+            kw, t.result["observed_value"], f.result["observed_value"],
+        )
+        assert abs(
+            t.result["details"]["chi_squared"] - f.result["details"]["chi_squared"]
+        ) < 1e-6, kw
+        assert (
+            t.result["details"]["n_rows"],
+            t.result["details"]["n_cols"],
+        ) == (
+            f.result["details"]["n_rows"],
+            f.result["details"]["n_cols"],
+        ), kw
+
+
 def test_cramers_phi_reference_golden_cases(spark):
     """Replay the reference's OWN cramers-phi corpus — all 8 cases, every
     one marked only_for pandas there (the reference never ran this
