@@ -75,12 +75,15 @@ def strftime_to_spark_pattern(fmt: str) -> str:
     with 1-2 digit regexes, so non-zero-padded values ('2021-3-4' for
     %Y-%m-%d) parse; a directive here maps to Spark's variable-width
     single-letter token to match — UNLESS it is immediately adjacent to
-    another numeric directive (%Y%m%d, %H%M%S), where java.time's parser
-    cannot backtrack the way Python's regex does and every field in the run
-    must stay fixed-width. Deliberate divergences from the reference's
+    another numeric directive (%Y%m%d, %H%M%S) or to a literal digit
+    ('%m5'), where java.time's parser cannot backtrack the way Python's
+    regex does and every field in the run must stay fixed-width (probed
+    empirically: flexible 'M5' rejects even the zero-padded '015' that
+    fixed 'MM5' parses). Deliberate divergences from the reference's
     per-row strptime, both pinned by tests/test_fuzz_oracle.py's strftime
     grammar: (a) non-padded values inside adjacent-numeric runs ('1776107'
-    for %Y%m%d) parse in Python via regex backtracking but not here;
+    for %Y%m%d, '15' for %m5) parse in Python via regex backtracking but
+    not here;
     (b) day-of-year 366 in a non-leap year, which Python silently rolls
     over to Jan 1 of the next year while Spark's strict resolver rejects.
     """
@@ -96,13 +99,18 @@ def strftime_to_spark_pattern(fmt: str) -> str:
         else:
             toks.append(fmt[i])
             i += 1
+    def _numeric_neighbor(tk: str) -> bool:
+        # a numeric directive OR a literal digit char — either way
+        # java.time cannot delimit a variable-width field against it
+        return tk in _STRFTIME_NUMERIC or (len(tk) == 1 and tk.isdigit())
+
     out = []
     for idx, t in enumerate(toks):
         if t == "%%":
             out.append("%")
         elif t.startswith("%"):
-            prev_num = idx > 0 and toks[idx - 1] in _STRFTIME_NUMERIC
-            next_num = idx + 1 < len(toks) and toks[idx + 1] in _STRFTIME_NUMERIC
+            prev_num = idx > 0 and _numeric_neighbor(toks[idx - 1])
+            next_num = idx + 1 < len(toks) and _numeric_neighbor(toks[idx + 1])
             if t in _STRFTIME_FLEX and not prev_num and not next_num:
                 out.append(_STRFTIME_FLEX[t])
             else:
@@ -416,7 +424,13 @@ def _psd(kw: dict, c: Column) -> Column:
     dateutil.parser.parse per row, so this routes through the same
     pattern-coalesce the dateutil expectation uses — '5/5/2016' style
     values compare as dates, matching the reference's pandas corpus case
-    (test_parse_strings_as_datetimes_and_mostly)."""
+    (test_parse_strings_as_datetimes_and_mostly). A value NO attempt parses
+    becomes NULL, so its comparison is NULL → the row counts as
+    not-unexpected — the same verdict the reference's Spark engine produces
+    for every non-ISO string (to_date → NULL). Only the greater-than metric
+    consumes this kwarg; the equal metric declares condition_value_keys = ()
+    on every engine (column_pair_values_equal.py:26) and always compares raw
+    values."""
     return dateutil_parse_expr(c) if kw.get("parse_strings_as_datetimes") else c
 
 
@@ -493,9 +507,12 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     "expect_column_values_to_not_contain_pii": _no_pii_builder,
     "expect_column_values_to_be_valid_urls": _col_map(_valid_urls),
     # --- column pair ---
+    # equal NEVER parses datetimes: the reference metric takes no value
+    # keys (column_pair_values_equal.py:26 condition_value_keys = ()), so a
+    # parse_strings_as_datetimes kwarg is inert there and must be here too
     "expect_column_pair_values_to_be_equal": lambda kw: _pair_cond(
         kw,
-        lambda a, b: _psd(kw, a).eqNullSafe(_psd(kw, b)),
+        lambda a, b: a.eqNullSafe(b),
         default_ignore="both_values_are_missing",
     ),
     "expect_column_pair_values_a_to_be_greater_than_b": lambda kw: _pair_cond(

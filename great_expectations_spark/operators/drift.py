@@ -777,27 +777,96 @@ def _crosstab_bin_expr(df, name: str, numeric: bool, bins, n_bins) -> Column:
     )
 
 
+_CT_CELL_CAP = 100_000  # max contingency cells collected to the driver
+
+
+def _ct_passthrough(numeric: bool, bins) -> Callable[[Any], Any]:
+    """Per-side category passthrough for crosstab_phi over pre-binned cells.
+    The "(dropped)" sentinel can ONLY be emitted by the numeric
+    explicit-bins CASE chain (values below the first explicit edge); on a
+    string side the raw data value "(dropped)" is an ordinary category and
+    must NOT be filtered — same collision rule as "(missing)"/"(other)",
+    which merge with equal raw values by design (pandas does the same)."""
+    if numeric and bins is not None:
+        return lambda v: None if v == _CT_DROP else v
+    return lambda v: v
+
+
 def _distributed_cramers_phi(
     df, a: str, b: str, numeric_a: bool, numeric_b: bool, kw: dict
 ) -> tuple[float, float, int, int]:
     """Reference-binned Cramér's phi at scale — the fallback when the raw
     |A×B| pair top exceeds DISTINCT_CAP. The bin specs are derived from one
     bounded job per side, then a single groupBy over the two CASE-chain
-    category columns yields at most (n_bins+2)² cells; the driver math is
-    the same crosstab_phi the in-bundle path uses."""
+    category columns yields at most (n_bins+2)² cells per side that bins —
+    EXCEPT a string side with explicit ``bins`` groups, where the reference
+    keeps every uncovered value as its own identity category
+    (pandas_dataset.py:604-609), so the crosstab is data-bounded only. The
+    binned cells therefore stay a DataFrame: small contingencies (every
+    bounded spec; ≤ _CT_CELL_CAP cells otherwise) collect to the driver for
+    the same crosstab_phi the in-bundle path uses (incl. the 2×2 Yates
+    correction); beyond the cap, χ² = N·(Σ o²/(rₐ·c_b) − 1) via two margin
+    joins — exact over all r×c cells including the unobserved ones, and the
+    cap guarantees dof > 1 there so Yates never applies — and only four
+    scalars reach the driver."""
     from great_expectations_spark.functions.stats import crosstab_phi
 
     ea = _crosstab_bin_expr(df, a, numeric_a, kw.get("bins_A"), kw.get("n_bins_A"))
     eb = _crosstab_bin_expr(df, b, numeric_b, kw.get("bins_B"), kw.get("n_bins_B"))
-    rows = (
+    cells_df = (
         df.groupBy(ea.alias("_ca"), eb.alias("_cb"))
         .agg(F.count(F.lit(1)).alias("_o"))
-        .collect()
     )
-    cells = {(r["_ca"], r["_cb"]): int(r["_o"]) for r in rows}
-    row_count = sum(cells.values())
-    passthrough = lambda v: None if v == _CT_DROP else v  # noqa: E731
-    return crosstab_phi(cells, row_count, passthrough, passthrough)
+    pa = _ct_passthrough(numeric_a, kw.get("bins_A"))
+    pb = _ct_passthrough(numeric_b, kw.get("bins_B"))
+    unbounded = (kw.get("bins_A") is not None and not numeric_a) or (
+        kw.get("bins_B") is not None and not numeric_b
+    )
+    if not unbounded:
+        rows = cells_df.collect()
+        cells = {(r["_ca"], r["_cb"]): int(r["_o"]) for r in rows}
+        return crosstab_phi(cells, sum(cells.values()), pa, pb)
+    cells_df = cells_df.persist()
+    try:
+        if cells_df.count() <= _CT_CELL_CAP:
+            rows = cells_df.collect()
+            cells = {(r["_ca"], r["_cb"]): int(r["_o"]) for r in rows}
+            return crosstab_phi(cells, sum(cells.values()), pa, pb)
+        # full-domain rows (dropped sentinel included) — the reference's
+        # phi denominator is get_row_count(), not the crosstab total
+        row_count = int(
+            cells_df.agg(F.sum("_o").alias("_n")).collect()[0]["_n"] or 0
+        )
+        ct = cells_df
+        if numeric_a and kw.get("bins_A") is not None:
+            ct = ct.filter(F.col("_ca") != _CT_DROP)
+        if numeric_b and kw.get("bins_B") is not None:
+            ct = ct.filter(F.col("_cb") != _CT_DROP)
+        ra = ct.groupBy("_ca").agg(F.sum("_o").alias("_ra"))
+        cb = ct.groupBy("_cb").agg(F.sum("_o").alias("_cm"))
+        row = (
+            ct.join(ra, "_ca")
+            .join(cb, "_cb")
+            .agg(
+                F.sum("_o").alias("_n"),
+                F.sum(
+                    F.col("_o").cast("double") * F.col("_o")
+                    / (F.col("_ra").cast("double") * F.col("_cm"))
+                ).alias("_s"),
+                F.count_distinct("_ca").alias("_r"),
+                F.count_distinct("_cb").alias("_c"),
+            )
+            .collect()[0]
+        )
+    finally:
+        cells_df.unpersist()
+    n_ct = int(row["_n"] or 0)
+    r, c = int(row["_r"] or 0), int(row["_c"] or 0)
+    if row_count <= 0 or min(r, c) < 2:
+        return 0.0, 0.0, r, c
+    chi2 = max(n_ct * (float(row["_s"]) - 1.0), 0.0)
+    phi = max(min(math.sqrt(chi2 / row_count / (min(r, c) - 1)), 1.0), 0.0)
+    return phi, chi2, r, c
 
 
 def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
@@ -847,7 +916,7 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
             phi, chi2, rows, cols = _distributed_cramers_phi(
                 base, a, b, numeric_a, numeric_b, kw
             )
-            return bool(phi < threshold), {
+            return bool(phi <= threshold), {
                 "observed_value": phi,
                 "details": {
                     "chi_squared": chi2,
@@ -875,7 +944,7 @@ def _compile_cramers_phi(planner: Any, cfg: ExpectationConfiguration) -> None:
             crosstab_binner(counts_a, numeric_a, kw.get("bins_A"), kw.get("n_bins_A")),
             crosstab_binner(counts_b, numeric_b, kw.get("bins_B"), kw.get("n_bins_B")),
         )
-        return bool(phi < threshold), {
+        return bool(phi <= threshold), {
             "observed_value": phi,
             "details": {"chi_squared": chi2, "n_rows": rows, "n_cols": cols},
         }

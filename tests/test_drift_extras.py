@@ -289,6 +289,97 @@ def test_cramers_phi_distributed_fallback_numeric_and_explicit_bins(
         ), kw
 
 
+def test_cramers_phi_threshold_is_inclusive(spark):
+    # the reference computes success = cramers_V <= threshold
+    # (dataset.py:4443) despite the expectation's "less_than" name; a phi
+    # landing exactly on the threshold must pass. Independent identical
+    # columns of a 2x2 design give phi exactly 0.0 after the Yates
+    # correction floors |o-e|-0.5 at 0 for every cell.
+    rows = [("a", "p")] * 25 + [("a", "q")] * 25 + [("b", "p")] * 25 + [
+        ("b", "q")
+    ] * 25
+    df = spark.createDataFrame(rows, "x string, y string")
+    s = ExpectationSuite(name="phi-boundary")
+    s.add(
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+        column_A="x", column_B="y", threshold=0.0,
+    )
+    res = validate(df, s)
+    assert res.results[0].result["observed_value"] == 0.0
+    assert res.results[0].success is True
+
+
+def test_cramers_phi_fallback_keeps_dropped_literal_category(spark, monkeypatch):
+    """A STRING column whose raw data contains the exact sentinel string
+    "(dropped)" must keep it as an ordinary category in the DISTINCT_CAP
+    fallback — the sentinel is only ever emitted by the numeric
+    explicit-bins CASE chain, so only that side filters it."""
+    import great_expectations_spark.plans.planner as planner_mod
+
+    rows = [(f"a{i % 13}", "(dropped)" if i % 3 == 0 else f"b{i % 7}") for i in range(1800)]
+    df = spark.createDataFrame(rows, "x string, y string")
+
+    def run():
+        s = ExpectationSuite(name="phi-dropped-literal")
+        s.add(
+            "expect_column_pair_cramers_phi_value_to_be_less_than",
+            column_A="x", column_B="y", threshold=0.5,
+        )
+        return validate(df, s)
+
+    full = run()
+    monkeypatch.setattr(planner_mod, "DISTINCT_CAP", 16)
+    trunc = run()
+    d_full, d_trunc = full.results[0].result, trunc.results[0].result
+    assert d_trunc["details"].get("method") == "distributed_exact"
+    # "(dropped)" is one of y's 8 observed categories on BOTH paths
+    assert d_full["details"]["n_cols"] == 8
+    assert d_trunc["details"]["n_cols"] == 8
+    assert abs(d_trunc["observed_value"] - d_full["observed_value"]) < 1e-9
+
+
+def test_cramers_phi_fallback_margin_formula_beyond_cell_cap(
+    spark, monkeypatch
+):
+    """Explicit STRING bins keep uncovered values as identity categories
+    (reference pandas_dataset.py:604-609), so the fallback's contingency is
+    data-bounded only; past _CT_CELL_CAP it must switch to the distributed
+    margin formula χ² = N·(Σ o²/(rₐ·c_b) − 1) — exact for dof > 1 — instead
+    of collecting an unbounded cell table. Forcing the cap to 1 must
+    reproduce the in-bundle crosstab_phi result to 1e-9."""
+    import great_expectations_spark.operators.drift as drift_mod
+    import great_expectations_spark.plans.planner as planner_mod
+
+    rows = [
+        (f"a{i % 5}", ["s0", "s1"][i % 2] if i % 4 else f"tail{i % 9}")
+        for i in range(2400)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    kw = dict(
+        column_A="x", column_B="y", threshold=0.9,
+        bins_B=[["s0", "s1"]],
+    )
+
+    def run():
+        s = ExpectationSuite(name="phi-margin")
+        s.add("expect_column_pair_cramers_phi_value_to_be_less_than", **kw)
+        return validate(df, s)
+
+    full = run()
+    monkeypatch.setattr(planner_mod, "DISTINCT_CAP", 16)
+    monkeypatch.setattr(drift_mod, "_CT_CELL_CAP", 1)
+    trunc = run()
+    d_full, d_trunc = full.results[0].result, trunc.results[0].result
+    assert d_trunc["details"].get("method") == "distributed_exact"
+    assert (
+        d_trunc["details"]["n_rows"], d_trunc["details"]["n_cols"]
+    ) == (d_full["details"]["n_rows"], d_full["details"]["n_cols"])
+    assert abs(d_trunc["observed_value"] - d_full["observed_value"]) < 1e-9
+    assert abs(
+        d_trunc["details"]["chi_squared"] - d_full["details"]["chi_squared"]
+    ) < 1e-6
+
+
 def test_cramers_phi_reference_golden_cases(spark):
     """Replay the reference's OWN cramers-phi corpus — all 8 cases, every
     one marked only_for pandas there (the reference never ran this

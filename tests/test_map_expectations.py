@@ -207,6 +207,50 @@ def test_pair_equal_ignore_both_missing(golden):
     assert evr.success is False
 
 
+def test_pair_equal_ignores_parse_strings_as_datetimes(spark):
+    # the reference's equal metric consumes NO value keys
+    # (column_pair_values_equal.py:26 condition_value_keys = ()), so
+    # parse_strings_as_datetimes is inert and raw strings compare: the same
+    # date spelled two ways is UNEQUAL (only greater-than parses datetimes)
+    df = spark.createDataFrame(
+        [("5/5/2016", "2016-05-05"), ("x", "x")], ["a", "b"]
+    )
+    evr = run_one(
+        df,
+        "expect_column_pair_values_to_be_equal",
+        column_A="a",
+        column_B="b",
+        parse_strings_as_datetimes=True,
+    )
+    assert evr.result["unexpected_count"] == 1
+    assert evr.result["partial_unexpected_list"] == [
+        '{"a":"5/5/2016","b":"2016-05-05"}'
+    ]
+
+
+def test_strftime_literal_digit_adjacency(spark):
+    # a literal digit next to a numeric directive forces the whole run
+    # fixed-width ('%m5' → MM5), since java.time cannot delimit a
+    # variable-width field against a digit (flexible 'M5' rejects even the
+    # zero-padded '015'); the non-padded '15' remains divergence (a) in
+    # strftime_to_spark_pattern's docstring (Python backtracks, Spark can't)
+    from great_expectations_spark.operators.conditions import (
+        strftime_to_spark_pattern,
+    )
+
+    assert strftime_to_spark_pattern("%m5") == "MM5"
+    assert strftime_to_spark_pattern("%Y-%m-%d") == "yyyy-M-d"
+    df = spark.createDataFrame([("015",), ("125",), ("15",)], ["d"])
+    evr = run_one(
+        df,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%m5",
+    )
+    assert evr.result["unexpected_count"] == 1
+    assert evr.result["partial_unexpected_list"] == ["15"]
+
+
 def test_pair_greater(golden):
     evr = run_one(
         golden,
