@@ -1807,7 +1807,11 @@ STRF_SEP_FMTS = [
     "%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%d/%m/%Y", "%m/%d/%Y %H:%M",
     "%H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%d.%m.%Y", "%y-%m-%d", "%I:%M %p",
 ]
-STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S"]
+# literal digits adjacent to numeric directives force the same fixed-width
+# rule as directive runs (strftime_to_spark_pattern divergence (a)), so
+# they live in the adjacent pool: values stay zero-padded, verdicts must
+# still agree with strptime on every mutation that applies
+STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S", "%d5%m5%Y", "%H%M5"]
 N_STRF_DATASETS = 8
 EXP_PER_STRF_SUITE = 5
 
@@ -2018,6 +2022,15 @@ def test_fuzz_cramers_phi_vs_pandas_replica(spark, ds):
                 kwargs[f"bins_{side}"] = sorted(
                     {round(rng.uniform(lo, hi), 2) for _ in range(rng.randrange(2, 5))}
                 )
+            elif r < 0.7 and not cols[col]:
+                # explicit STRING value groups (reference
+                # pandas_dataset.py:604-609): listed values merge into the
+                # joined group label, uncovered values keep identity
+                pool = ["a", "b", "c", "d"] if col == "sa" else pool_b
+                picked = rng.sample(pool, min(len(pool), rng.randrange(2, 5)))
+                cut = rng.randrange(1, len(picked))
+                groups = [picked[:cut], picked[cut:]]
+                kwargs[f"bins_{side}"] = [g for g in groups if g]
         rc = rng.choice([None, "ia IS NOT NULL", "fa > 0"])
         dom = [
             r for r in rows
