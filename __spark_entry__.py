@@ -1016,7 +1016,7 @@ chi AS (SELECT sum(pow(o - ra*cb/n, 2) / (ra*cb/n)) AS chi2, max(n) AS n,
         FROM margins)
 SELECT 'cramers_phi' AS expectation,
        round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS observed,
-       CAST(CASE WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.1 THEN 1 ELSE 0 END AS BIGINT) AS success
+       CAST(CASE WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS success
 FROM chi
 """
 

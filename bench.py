@@ -677,7 +677,7 @@ def main() -> None:
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
                 "external_cpu_cores_avg": external_cores,
-                "idle_reference_sec": 13.397,
+                "idle_reference_sec": 13.069,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "n_images": N_IMAGES,
