@@ -14,9 +14,9 @@ Semantics mirror the reference's Spark metric providers
 (great_expectations/expectations/metrics/column_map_metrics/*,
 column_pair_map_metrics/*, multicolumn_map_metrics/* — see SURVEY.md §2.B.3-5)
 but are all expressed as native Catalyst expressions (the reference's per-row
-``F.udf`` strftime is replaced with a built-in pattern parse; its per-row
-json.loads cases run as Arrow pandas_udf batches — exact stdlib semantics,
-never per-row Python).
+``F.udf`` strftime compiles to CPython's own TimeRE regexes for rlike — exact
+strptime semantics, JVM-side; its per-row json.loads cases run as Arrow
+pandas_udf batches — exact stdlib semantics, never per-row Python).
 """
 
 from __future__ import annotations
@@ -41,84 +41,202 @@ def lit_value(v: Any) -> Column:
     return F.lit(v)
 
 
-# strftime directives that parse digits; membership drives the
-# adjacency rule in strftime_to_spark_pattern
-_STRFTIME_NUMERIC = {"%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%j", "%f"}
-# flexible (1-2 digit, or 1-3 for %j) single-letter Spark tokens — Python's
-# strptime accepts non-zero-padded numbers ('2021-3-4' matches %Y-%m-%d), and
-# java.time's variable-width fields do the same, but ONLY when the field is
-# bounded by a non-digit (a separator or end of input)
-_STRFTIME_FLEX = {"%m": "M", "%d": "d", "%H": "H", "%I": "h",
-                  "%M": "m", "%S": "s", "%j": "D"}
-_STRFTIME_FIXED = {
-    "%Y": "yyyy",
-    "%y": "yy",
-    "%m": "MM",
-    "%d": "dd",
-    "%H": "HH",
-    "%I": "hh",
-    "%M": "mm",
-    "%S": "ss",
-    "%f": "SSSSSS",
-    "%j": "DDD",
-    "%p": "a",
-    "%z": "Z",
+# --- strftime: exact CPython strptime semantics, pure Catalyst -------------
+#
+# CPython parses strftime formats by compiling them to regexes
+# (_strptime.TimeRE) and post-validating the calendar date. Java's regex
+# engine shares the leftmost-match / greedy-ordered-alternation /
+# backtracking semantics those patterns rely on, so compiling the SAME
+# patterns for rlike + regexp_extract + try_to_date reproduces the
+# reference's per-row ``F.udf(datetime.strptime)``
+# (column_values_match_strftime_format.py:33-60) exactly: digit-shape rules
+# (%m takes '3' and '03' but rejects '003' and '13'), backtracking through
+# adjacent runs ('1776107' for %Y%m%d), the %j=366 silent year rollover,
+# case-insensitive literals and month/day names, format-whitespace runs
+# matching any value whitespace run, and calendar validation (Feb 30 fails,
+# Feb 29 needs a leap year — against strptime's default year 1900 when the
+# format carries no year). All verdict differences surface only as
+# EXCEPTIONS, same as strptime: unsupported/ISO directives (%G %u %V),
+# stray trailing '%', and repeated directives raise ValueError, mirroring
+# strptime's ValueError / re.error on the same formats.
+
+# CPython _strptime.TimeRE numeric patterns (named groups dropped, inner
+# groups non-capturing; alternation ORDER preserved — it drives
+# backtracking preference identically in Java and Python)
+_TIMERE_NUMERIC = {
+    "d": r"3[0-1]|[1-2]\d|0[1-9]|[1-9]| [1-9]",
+    "f": r"[0-9]{1,6}",
+    "H": r"2[0-3]|[0-1]\d|\d",
+    "I": r"1[0-2]|0[1-9]|[1-9]",
+    "j": r"36[0-6]|3[0-5]\d|[1-2]\d\d|0[1-9]\d|00[1-9]|[1-9]\d|0[1-9]|[1-9]",
+    "m": r"1[0-2]|0[1-9]|[1-9]",
+    "M": r"[0-5]\d|\d",
+    "S": r"6[0-1]|[0-5]\d|\d",
+    "w": r"[0-6]",
+    "u": None,  # ISO directives need fromisocalendar validation — unsupported
+    "U": r"5[0-3]|[0-4]\d|\d",
+    "W": r"5[0-3]|[0-4]\d|\d",
+    "y": r"\d\d",
+    "Y": r"\d\d\d\d",
+    "z": r"[+-]\d\d:?[0-5]\d(?::?[0-5]\d(?:\.\d{1,6})?)?|(?-i:Z)",
 }
+_REGEX_SPECIALS = set("\\.^$*+?(){}[]|")
 
 
-def strftime_to_spark_pattern(fmt: str) -> str:
-    """Convert a C strftime format to a Spark datetime pattern.
+def _re_lit(text: str) -> str:
+    return "".join("\\" + c if c in _REGEX_SPECIALS else c for c in text)
 
-    Replaces the reference's per-row ``F.udf(datetime.strptime)``
-    (column_values_match_strftime_format.py:33-60) with a native
-    ``to_timestamp`` pattern. Python's strptime matches numeric directives
-    with 1-2 digit regexes, so non-zero-padded values ('2021-3-4' for
-    %Y-%m-%d) parse; a directive here maps to Spark's variable-width
-    single-letter token to match — UNLESS it is immediately adjacent to
-    another numeric directive (%Y%m%d, %H%M%S) or to a literal digit
-    ('%m5'), where java.time's parser cannot backtrack the way Python's
-    regex does and every field in the run must stay fixed-width (probed
-    empirically: flexible 'M5' rejects even the zero-padded '015' that
-    fixed 'MM5' parses). Deliberate divergences from the reference's
-    per-row strptime, both pinned by tests/test_fuzz_oracle.py's strftime
-    grammar: (a) non-padded values inside adjacent-numeric runs ('1776107'
-    for %Y%m%d, '15' for %m5) parse in Python via regex backtracking but
-    not here;
-    (b) day-of-year 366 in a non-leap year, which Python silently rolls
-    over to Jan 1 of the next year while Spark's strict resolver rejects.
-    """
-    toks: list[str] = []
+
+def _seq_re(seq) -> str:
+    # CPython TimeRE.__seqToRE: longest-first so e.g. 'july' wins over 'jul'
+    return "|".join(_re_lit(s) for s in sorted(seq, key=len, reverse=True) if s)
+
+
+def _locale_strings() -> dict:
+    """Name lists + locale composite formats, from the runtime locale the
+    way strptime itself resolves them (the reference's per-row strptime is
+    locale-dependent too); C-locale constants as the fallback."""
+    try:
+        import _strptime
+
+        lt = _strptime.LocaleTime()
+        return {
+            "a_month": lt.a_month[1:], "f_month": lt.f_month[1:],
+            "a_weekday": lt.a_weekday, "f_weekday": lt.f_weekday,
+            "am_pm": lt.am_pm, "c": lt.LC_date_time, "x": lt.LC_date,
+            "X": lt.LC_time,
+        }
+    except Exception:
+        return {
+            "a_month": ["jan", "feb", "mar", "apr", "may", "jun", "jul",
+                        "aug", "sep", "oct", "nov", "dec"],
+            "f_month": ["january", "february", "march", "april", "may",
+                        "june", "july", "august", "september", "october",
+                        "november", "december"],
+            "a_weekday": ["mon", "tue", "wed", "thu", "fri", "sat", "sun"],
+            "f_weekday": ["monday", "tuesday", "wednesday", "thursday",
+                          "friday", "saturday", "sunday"],
+            "am_pm": ["am", "pm"],
+            "c": "%a %b %d %H:%M:%S %Y", "x": "%m/%d/%y", "X": "%H:%M:%S",
+        }
+
+
+_LOCALE_CACHE: dict = {}
+
+
+def _directive_patterns() -> dict:
+    if not _LOCALE_CACHE:
+        ls = _locale_strings()
+        pats = {k: v for k, v in _TIMERE_NUMERIC.items() if v}
+        pats.update({
+            "a": _seq_re(ls["a_weekday"]), "A": _seq_re(ls["f_weekday"]),
+            "b": _seq_re(ls["a_month"]), "B": _seq_re(ls["f_month"]),
+            "p": _seq_re(ls["am_pm"]),
+        })
+        _LOCALE_CACHE["patterns"] = pats
+        _LOCALE_CACHE["composites"] = {
+            "c": ls["c"], "x": ls["x"], "X": ls["X"]
+        }
+        _LOCALE_CACHE["a_month"] = [s.lower() for s in ls["a_month"]]
+        _LOCALE_CACHE["f_month"] = [s.lower() for s in ls["f_month"]]
+    return _LOCALE_CACHE["patterns"]
+
+
+def strftime_to_regex(fmt: str) -> tuple:
+    """Compile a strftime format to (anchored Java/Python regex, directive ->
+    capture-group index), mirroring CPython TimeRE.pattern: locale
+    composites (%c %x %X) expand first, regex specials in literals are
+    escaped, whitespace runs in the FORMAT become \\s+, then each directive
+    substitutes its TimeRE alternation as one capturing group. ``(?i)``
+    reproduces strptime's IGNORECASE compile; \\A...\\z reproduces its
+    full-match check (Java $ would tolerate a trailing newline)."""
+    pats = _directive_patterns()
+    comps = _LOCALE_CACHE["composites"]
+    for k, sub in comps.items():
+        fmt = fmt.replace("%" + k, sub)
+    out, groups, gi = ["(?i)\\A"], {}, 0
     i = 0
     while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
-            tok = fmt[i : i + 2]
-            if tok != "%%" and tok not in _STRFTIME_FIXED:
-                raise ValueError(f"unsupported strftime directive: {tok}")
-            toks.append(tok)
-            i += 2
-        else:
-            toks.append(fmt[i])
-            i += 1
-    def _numeric_neighbor(tk: str) -> bool:
-        # a numeric directive OR a literal digit char — either way
-        # java.time cannot delimit a variable-width field against it
-        return tk in _STRFTIME_NUMERIC or (len(tk) == 1 and tk.isdigit())
-
-    out = []
-    for idx, t in enumerate(toks):
-        if t == "%%":
-            out.append("%")
-        elif t.startswith("%"):
-            prev_num = idx > 0 and _numeric_neighbor(toks[idx - 1])
-            next_num = idx + 1 < len(toks) and _numeric_neighbor(toks[idx + 1])
-            if t in _STRFTIME_FLEX and not prev_num and not next_num:
-                out.append(_STRFTIME_FLEX[t])
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"stray % in format {fmt!r}")
+            d = fmt[i + 1]
+            if d == "%":
+                out.append("%")
+            elif d in pats:
+                if d in groups:
+                    # CPython raises re.error (named-group redefinition)
+                    raise ValueError(f"redefinition of directive %{d}")
+                gi += 1
+                groups[d] = gi
+                out.append("(" + pats[d] + ")")
             else:
-                out.append(_STRFTIME_FIXED[t])
+                raise ValueError(f"unsupported strftime directive: %{d}")
+            i += 2
+        elif c.isspace():
+            j = i
+            while j < len(fmt) and fmt[j].isspace():
+                j += 1
+            out.append("\\s+")
+            i = j
         else:
-            # quote literal letters so Spark doesn't treat them as pattern chars
-            out.append(f"'{t}'" if t.isalpha() else t)
-    return "".join(out)
+            out.append(_re_lit(c))
+            i += 1
+    out.append("\\z")
+    return "".join(out), groups
+
+
+def strftime_match_expr(col: Column, fmt: str) -> Column:
+    """Boolean Column: does the value parse under ``fmt`` with CPython
+    strptime semantics? rlike carries every digit-shape/range/backtracking
+    rule; the calendar check (month/day consistency against the effective
+    year) runs only on regex-matching rows via a lazily-evaluated CASE.
+    %j needs no calendar check: strptime computes the date as Jan 1 +
+    (j-1) days, silently rolling day 366 of a non-leap year into the next
+    year. Year 0 (regex-reachable via %Y=0000) is out of datetime's range
+    and fails, with or without %j."""
+    pattern, groups = strftime_to_regex(fmt)
+    s = col.cast("string")
+    matched = s.rlike(pattern)
+
+    def grp(d: str) -> Column:
+        return F.regexp_extract(s, pattern, groups[d])
+
+    checks = []
+    year = F.lit(1900)
+    if "Y" in groups:
+        year = grp("Y").cast("int")
+        checks.append(year >= 1)
+    elif "y" in groups:
+        y2 = grp("y").cast("int")
+        year = F.when(y2 <= 68, y2 + 2000).otherwise(y2 + 1900)
+    month = None
+    if "m" in groups:
+        month = grp("m").cast("int")
+    for d, names in (("b", "a_month"), ("B", "f_month")):
+        if d in groups:
+            # later directives overwrite earlier ones, as in strptime's
+            # found_dict iteration (group order)
+            month = F.array_position(
+                F.array(*[F.lit(n) for n in _LOCALE_CACHE[names]]),
+                F.lower(grp(d)),
+            ).cast("int")
+    if "j" not in groups and (month is not None or "d" in groups):
+        day = grp("d").cast("int") if "d" in groups else F.lit(1)
+        iso = F.concat_ws(
+            "-",
+            F.lpad(year.cast("string"), 4, "0"),
+            F.lpad((month if month is not None else F.lit(1)).cast("string"), 2, "0"),
+            F.lpad(day.cast("string"), 2, "0"),
+        )
+        checks.append(F.try_to_date(iso, "yyyy-MM-dd").isNotNull())
+    if not checks:
+        return matched
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return F.when(matched, cond).otherwise(F.lit(False))
 
 
 def translate_row_condition(row_condition: str, condition_parser: str = "spark") -> Column:
@@ -435,8 +553,7 @@ def _psd(kw: dict, c: Column) -> Column:
 
 
 def _strftime(col: Column, kw: dict) -> Column:
-    pattern = strftime_to_spark_pattern(kw["strftime_format"])
-    return F.try_to_timestamp(col, F.lit(pattern)).isNotNull()
+    return strftime_match_expr(col, kw["strftime_format"])
 
 
 _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {

@@ -882,8 +882,8 @@ class RegexPatternStringParameterBuilder(_BestCandidateBuilder):
 class SimpleDateFormatStringParameterBuilder(_BestCandidateBuilder):
     """Best-matching strftime format above threshold (reference
     parameter_builder/simple_date_format_string_parameter_builder.py
-    DEFAULT_CANDIDATE_STRINGS, trimmed to formats whose Spark pattern
-    round-trips via conditions.strftime_to_spark_pattern)."""
+    DEFAULT_CANDIDATE_STRINGS, trimmed to formats this engine's exact
+    strptime compiler supports — conditions.strftime_match_expr)."""
 
     DEFAULT_CANDIDATES = [
         "%Y-%m-%d",
@@ -911,11 +911,13 @@ class SimpleDateFormatStringParameterBuilder(_BestCandidateBuilder):
 
     def _match_expr(self, col, cand: str):
         from great_expectations_spark.operators.conditions import (
-            strftime_to_spark_pattern,
+            strftime_match_expr,
         )
 
-        pat = strftime_to_spark_pattern(cand)
-        return F.try_to_timestamp(col.cast("string"), F.lit(pat)).isNotNull()
+        # same exact-strptime matcher the strftime expectation compiles to,
+        # so the profiler's detected format and the emitted expectation
+        # agree row-for-row
+        return strftime_match_expr(col.cast("string"), cand)
 
 
 class PartitionParameterBuilder(ParameterBuilder):

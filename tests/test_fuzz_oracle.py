@@ -1793,24 +1793,20 @@ def test_fuzz_drift_partition_differential_vs_duckdb(spark, ds):
 # the reference's EXACT per-row implementation
 # (column_values_match_strftime_format.py:33-60 wraps datetime.strptime in
 # F.udf), reimplemented here the way the drift layer reimplements the
-# driver math. Generation steers around the two documented divergence
-# classes (strftime_to_spark_pattern's docstring): digit-shape corruptions
-# (zero-stripping, digit swaps, truncation) are only drawn for
-# separator-delimited formats — inside adjacent-numeric runs Python's regex
-# backtracking parses shapes java.time cannot — and a dataset mixes an
-# adjacent-run format with separator formats only (never two all-digit
-# formats, whose cross-parses hit the same backtracking class). %j stays in
-# the deterministic divergence pin (test_map_expectations.py), not here.
+# driver math. The engine compiles formats to CPython's own TimeRE regexes
+# (conditions.py strftime section), so NOTHING is steered around: every
+# mutation class — zero-stripping, over-padding, digit swaps, truncation,
+# case flips, whitespace-run doubling, non-digit injection — applies to
+# every format, including all-digit adjacent runs (regex backtracking),
+# literal-digit neighbors, month names, %j, and the %c/%x locale
+# composites.
 # ---------------------------------------------------------------------------
 
 STRF_SEP_FMTS = [
     "%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%d/%m/%Y", "%m/%d/%Y %H:%M",
     "%H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%d.%m.%Y", "%y-%m-%d", "%I:%M %p",
+    "%d %b %Y", "%B %d, %Y", "%Y-%j", "%m-%d", "%c", "%x",
 ]
-# literal digits adjacent to numeric directives force the same fixed-width
-# rule as directive runs (strftime_to_spark_pattern divergence (a)), so
-# they live in the adjacent pool: values stay zero-padded, verdicts must
-# still agree with strptime on every mutation that applies
 STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S", "%d5%m5%Y", "%H%M5"]
 N_STRF_DATASETS = 8
 EXP_PER_STRF_SUITE = 5
@@ -1822,21 +1818,27 @@ def _strf_value(rng, fmt):
         rng.randrange(0, 24), rng.randrange(0, 60), rng.randrange(0, 60),
     )
     v = dt.strftime(fmt)
-    adjacent = fmt in STRF_ADJ_FMTS
     r = rng.random()
-    if r < 0.40:
+    if r < 0.30:
         return v  # exactly as formatted
-    if not adjacent and r < 0.55:
+    if r < 0.42:
         return re.sub(r"\b0(\d)", r"\1", v)  # non-padded: Python accepts
-    if not adjacent and r < 0.68:
+    if r < 0.50:
+        i = rng.randrange(len(v) + 1)
+        return v[:i] + "0" + v[i:]  # over-pad: usually breaks a digit shape
+    if r < 0.60:
         # swap one digit for 9 — may stay valid (day 14→19) or break a
         # field's range (month 03→93); the strptime oracle decides
         idxs = [i for i, c in enumerate(v) if c.isdigit()]
         i = rng.choice(idxs)
         return v[:i] + "9" + v[i + 1 :]
-    if not adjacent and r < 0.78:
+    if r < 0.68:
         return v[:-1]  # truncate (often leaves a valid 1-digit last field)
-    if r < 0.90:
+    if r < 0.76:
+        return v.swapcase()  # strptime is case-insensitive end to end
+    if r < 0.82 and " " in v:
+        return v.replace(" ", "  ", 1)  # format whitespace matches \s+ runs
+    if r < 0.92:
         i = rng.randrange(len(v) + 1)
         return v[:i] + "x" + v[i:]  # non-digit injection: fails everywhere
     return rng.choice(["", "garbage", v + " ", " " + v, v + "x"])

@@ -229,26 +229,26 @@ def test_pair_equal_ignores_parse_strings_as_datetimes(spark):
 
 
 def test_strftime_literal_digit_adjacency(spark):
-    # a literal digit next to a numeric directive forces the whole run
-    # fixed-width ('%m5' → MM5), since java.time cannot delimit a
-    # variable-width field against a digit (flexible 'M5' rejects even the
-    # zero-padded '015'); the non-padded '15' remains divergence (a) in
-    # strftime_to_spark_pattern's docstring (Python backtracks, Spark can't)
+    # a literal digit next to a numeric directive needs regex backtracking
+    # ('15' under '%m5' parses as month 1 + literal 5) — the TimeRE-compiled
+    # rlike reproduces strptime exactly where a java.time pattern cannot
+    # (fixed-width 'MM5' rejects '15', flexible 'M5' rejects even '015')
     from great_expectations_spark.operators.conditions import (
-        strftime_to_spark_pattern,
+        strftime_to_regex,
     )
 
-    assert strftime_to_spark_pattern("%m5") == "MM5"
-    assert strftime_to_spark_pattern("%Y-%m-%d") == "yyyy-M-d"
-    df = spark.createDataFrame([("015",), ("125",), ("15",)], ["d"])
+    pat, groups = strftime_to_regex("%m5")
+    assert pat == r"(?i)\A(1[0-2]|0[1-9]|[1-9])5\z" and groups == {"m": 1}
+    df = spark.createDataFrame([("015",), ("125",), ("15",), ("135",)], ["d"])
     evr = run_one(
         df,
         "expect_column_values_to_match_strftime_format",
         column="d",
         strftime_format="%m5",
     )
+    # strptime parses all but '135' (no month matches before the literal 5)
     assert evr.result["unexpected_count"] == 1
-    assert evr.result["partial_unexpected_list"] == ["15"]
+    assert evr.result["partial_unexpected_list"] == ["135"]
 
 
 def test_pair_greater(golden):
@@ -440,13 +440,14 @@ def test_strftime_non_padded_reference_parity(spark):
     assert evr.result["unexpected_count"] == 2  # month 13 + the time string
 
 
-def test_strftime_documented_divergences(spark):
-    # the two pinned divergences from Python strptime (see
-    # strftime_to_spark_pattern's docstring): (a) non-padded values inside
-    # adjacent-numeric runs parse in Python via regex backtracking only;
-    # (b) day-of-year 366 in a non-leap year, which Python rolls over
+def test_strftime_exact_strptime_hard_cases(spark):
+    # the cases the old java.time-pattern compiler DIVERGED on, now exact
+    # (conditions.py strftime section): backtracking through adjacent
+    # numeric runs, the %j=366 silent rollover into the next year, calendar
+    # validity against strptime's default year 1900, year 0, and
+    # case-insensitive month names
     df = spark.createDataFrame(
-        [("17761007",), ("1776107",)], ["d"]
+        [("17761007",), ("1776107",), ("1776137",)], ["d"]
     )
     evr = run_one(
         df,
@@ -454,21 +455,49 @@ def test_strftime_documented_divergences(spark):
         column="d",
         strftime_format="%Y%m%d",
     )
-    # padded parses, the Python-backtracking-only form does not
+    # both padded and backtracking-only forms parse, like strptime;
+    # '1776137' has no valid month/day split (month 13 impossible, month 1
+    # leaves day 37)
     assert evr.result["unexpected_count"] == 1
-    assert evr.result["partial_unexpected_list"] == ["1776107"]
+    assert evr.result["partial_unexpected_list"] == ["1776137"]
 
-    df2 = spark.createDataFrame([("2020-366",), ("2021-366",)], ["d"])
+    df2 = spark.createDataFrame(
+        [("2020-366",), ("2021-366",), ("0000-100",)], ["d"]
+    )
     evr2 = run_one(
         df2,
         "expect_column_values_to_match_strftime_format",
         column="d",
         strftime_format="%Y-%j",
     )
-    # leap-year day 366 parses; non-leap 366 is rejected (Python would
-    # accept both, rolling the second over to 2022-01-01)
+    # strptime accepts BOTH 366s (non-leap rolls to 2022-01-01); year 0 is
+    # out of datetime's range even though the regex shape matches
     assert evr2.result["unexpected_count"] == 1
-    assert evr2.result["partial_unexpected_list"] == ["2021-366"]
+    assert evr2.result["partial_unexpected_list"] == ["0000-100"]
+
+    df3 = spark.createDataFrame(
+        [("29 FEB 2020",), ("29 feb 1900",), ("29 Feb 2000",)], ["d"]
+    )
+    evr3 = run_one(
+        df3,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%d %b %Y",
+    )
+    # month names any-case; Feb 29 only in leap years (1900 is not one)
+    assert evr3.result["unexpected_count"] == 1
+    assert evr3.result["partial_unexpected_list"] == ["29 feb 1900"]
+
+    df4 = spark.createDataFrame([("02-29",), ("02-28",)], ["d"])
+    evr4 = run_one(
+        df4,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%m-%d",
+    )
+    # no year directive -> strptime validates against its default 1900
+    assert evr4.result["unexpected_count"] == 1
+    assert evr4.result["partial_unexpected_list"] == ["02-29"]
 
 
 def test_json_parseable(spark):
