@@ -488,8 +488,17 @@ def crosstab_phi(
     (nulls included — they sit in the "(missing)" category) and r, c count
     OBSERVED categories only (pd.crosstab keeps no empty bins).
 
-    Returns (phi, chi2, r, c); (0.0, 0.0, r, c) for degenerate shapes where
-    the reference's denominator would be zero."""
+    Returns (phi, chi2, r, c). Degenerate shapes (min(r, c) < 2, i.e.
+    dof 0) return (nan, 0.0, r, c): scipy's dof-0 special case yields
+    chi2 = 0, the reference's sqrt(0 / N / 0) is then nan, and
+    ``nan <= threshold`` makes the expectation FAIL — same verdict here,
+    with the nan surfaced as the observed value.
+
+    Yates note: ``max(|o-e| - 0.5, 0)`` equals scipy >= 1.7's correction
+    (gh-13875 capped the adjustment at |o-e|, so cells closer than 0.5 to
+    expected contribute exactly 0); the pre-1.7 uncapped form could
+    overshoot and differs. The reference's corpus values replay exactly
+    under the capped form (tests/test_drift_extras.py golden cases)."""
     ct: dict = {}
     for (va, vb), cnt in cells.items():
         ca, cb = bin_a(va), bin_b(vb)
@@ -503,7 +512,7 @@ def crosstab_phi(
         col_m[cb] = col_m.get(cb, 0) + cnt
     r, c = len(row_m), len(col_m)
     if row_count <= 0 or r < 2 or c < 2:
-        return 0.0, 0.0, r, c
+        return float("nan"), 0.0, r, c
     total = float(sum(ct.values()))
     dof = (r - 1) * (c - 1)
     chi2 = 0.0

@@ -753,10 +753,18 @@ def _crosstab_bin_expr(df, name: str, numeric: bool, bins, n_bins) -> Column:
         return expr.otherwise(F.lit(CROSSTAB_MISSING))
     as_str = col.cast("string")
     if bins is not None:
-        expr = F.when(col.isNull(), F.lit(CROSSTAB_MISSING))
+        # per-VALUE mapping, not per-group: a value listed in two groups
+        # takes the LAST group's label, exactly like the in-bundle
+        # crosstab_binner's repl-dict overwrite (and the reference's
+        # series.replace with a dict built the same way)
+        repl: dict = {}
         for group in bins:
             label = ", ".join(group)
-            expr = expr.when(col.isin(list(group)), F.lit(label))
+            for v in group:
+                repl[v] = label
+        expr = F.when(col.isNull(), F.lit(CROSSTAB_MISSING))
+        for v, label in repl.items():
+            expr = expr.when(col == F.lit(v), F.lit(label))
         return expr.otherwise(as_str)
     n_distinct = df.agg(F.count_distinct(col).alias("_d")).collect()[0]["_d"]
     if n_distinct < n_bins + 1:
@@ -863,7 +871,9 @@ def _distributed_cramers_phi(
     n_ct = int(row["_n"] or 0)
     r, c = int(row["_r"] or 0), int(row["_c"] or 0)
     if row_count <= 0 or min(r, c) < 2:
-        return 0.0, 0.0, r, c
+        # degenerate: nan observed + failure, matching crosstab_phi (and
+        # the reference's sqrt(0/N/0) propagation)
+        return float("nan"), 0.0, r, c
     chi2 = max(n_ct * (float(row["_s"]) - 1.0), 0.0)
     phi = max(min(math.sqrt(chi2 / row_count / (min(r, c) - 1)), 1.0), 0.0)
     return phi, chi2, r, c

@@ -380,6 +380,68 @@ def test_cramers_phi_fallback_margin_formula_beyond_cell_cap(
     ) < 1e-6
 
 
+def test_cramers_phi_degenerate_shape_fails_with_nan(spark, monkeypatch):
+    """A constant column gives a 1×c crosstab: scipy's dof-0 branch returns
+    chi2=0, the reference's sqrt(0/N/0) is nan, and nan <= threshold FAILS.
+    Both the in-bundle and the distributed-fallback paths must reproduce
+    that verdict with the nan surfaced as the observed value."""
+    import great_expectations_spark.plans.planner as planner_mod
+
+    rows = [("k", f"v{i % 23}") for i in range(500)]
+    df = spark.createDataFrame(rows, "x string, y string")
+
+    def run():
+        s = ExpectationSuite(name="phi-degenerate")
+        s.add(
+            "expect_column_pair_cramers_phi_value_to_be_less_than",
+            column_A="x", column_B="y", threshold=0.9,
+        )
+        return validate(df, s)
+
+    for cap in (None, 8):
+        if cap is not None:
+            monkeypatch.setattr(planner_mod, "DISTINCT_CAP", cap)
+        res = run()
+        evr = res.results[0]
+        assert evr.success is False, cap
+        assert math.isnan(evr.result["observed_value"]), cap
+
+
+def test_cramers_phi_fallback_overlapping_groups_last_wins(spark, monkeypatch):
+    """A value listed in two explicit string groups takes the LAST group's
+    label (the in-bundle repl-dict overwrite / the reference's
+    series.replace); the fallback's CASE chain must agree, not first-match."""
+    import great_expectations_spark.plans.planner as planner_mod
+
+    rows = [
+        (f"a{i % 7}", ["s0", "s1", "s2", f"t{i % 5}"][i % 4])
+        for i in range(2100)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    kw = dict(
+        column_A="x", column_B="y", threshold=0.9,
+        bins_B=[["s0", "s1"], ["s1", "s2"]],  # 's1' overlaps → 's1, s2'
+    )
+
+    def run():
+        s = ExpectationSuite(name="phi-overlap")
+        s.add("expect_column_pair_cramers_phi_value_to_be_less_than", **kw)
+        return validate(df, s)
+
+    full = run()
+    monkeypatch.setattr(planner_mod, "DISTINCT_CAP", 16)
+    trunc = run()
+    d_full, d_trunc = full.results[0].result, trunc.results[0].result
+    assert d_trunc["details"].get("method") == "distributed_exact"
+    assert (
+        d_trunc["details"]["n_rows"], d_trunc["details"]["n_cols"]
+    ) == (d_full["details"]["n_rows"], d_full["details"]["n_cols"])
+    assert abs(d_trunc["observed_value"] - d_full["observed_value"]) < 1e-9
+    assert abs(
+        d_trunc["details"]["chi_squared"] - d_full["details"]["chi_squared"]
+    ) < 1e-6
+
+
 def test_cramers_phi_reference_golden_cases(spark):
     """Replay the reference's OWN cramers-phi corpus — all 8 cases, every
     one marked only_for pandas there (the reference never ran this

@@ -1976,7 +1976,8 @@ def _ref_cramers(pdf, a, b, kwargs):
     )
     ct = pd.crosstab(sA, columns=sB)
     if min(ct.shape, default=0) < 2:
-        return 0.0, 0.0
+        # scipy dof-0 -> chi2 0; reference sqrt(0/N/0) -> nan -> FAIL
+        return float("nan"), 0.0
     obs = ct.values.astype(float)
     rs = obs.sum(1, keepdims=True)
     cs = obs.sum(0, keepdims=True)
@@ -2046,7 +2047,11 @@ def test_fuzz_cramers_phi_vs_pandas_replica(spark, ds):
             kwargs["row_condition"] = rc
             kwargs["condition_parser"] = "spark"
         # threshold far from the realized phi so success can't flip on ulps
-        kwargs["threshold"] = max(want_phi + rng.choice([-0.05, 0.05]), 1e-6)
+        # (degenerate nan fails at ANY threshold, like the reference)
+        kwargs["threshold"] = (
+            0.5 if math.isnan(want_phi)
+            else max(want_phi + rng.choice([-0.05, 0.05]), 1e-6)
+        )
         suite.add("expect_column_pair_cramers_phi_value_to_be_less_than", **kwargs)
         expected.append((kwargs, want_phi, want_chi2))
 
@@ -2054,6 +2059,10 @@ def test_fuzz_cramers_phi_vs_pandas_replica(spark, ds):
     for evr, (kwargs, want_phi, want_chi2) in zip(res.results, expected):
         label = f"ds={ds} {kwargs}"
         got = evr.result["observed_value"]
+        if math.isnan(want_phi):  # degenerate crosstab: nan + failure
+            assert got is not None and math.isnan(got), label
+            assert evr.success is False, label
+            continue
         assert got is not None and abs(got - want_phi) < 1e-9, (
             f"{label}: {got} vs {want_phi}"
         )
