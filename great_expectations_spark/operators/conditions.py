@@ -58,7 +58,10 @@ def lit_value(v: Any) -> Column:
 # format carries no year). All verdict differences surface only as
 # EXCEPTIONS, same as strptime: unsupported/ISO directives (%G %u %V),
 # stray trailing '%', and repeated directives raise ValueError, mirroring
-# strptime's ValueError / re.error on the same formats.
+# strptime's ValueError / re.error on the same formats. One known residual
+# divergence: Python's \d matches Unicode decimal digits (strptime parses
+# '٢٠٢١' as a year), Java's is ASCII-only — non-ASCII digit strings are
+# rejected here.
 
 # CPython _strptime.TimeRE numeric patterns (named groups dropped, inner
 # groups non-capturing; alternation ORDER preserved — it drives
@@ -152,8 +155,6 @@ def strftime_to_regex(fmt: str) -> tuple:
     full-match check (Java $ would tolerate a trailing newline)."""
     pats = _directive_patterns()
     comps = _LOCALE_CACHE["composites"]
-    for k, sub in comps.items():
-        fmt = fmt.replace("%" + k, sub)
     out, groups, gi = ["(?i)\\A"], {}, 0
     i = 0
     while i < len(fmt):
@@ -162,6 +163,11 @@ def strftime_to_regex(fmt: str) -> tuple:
             if i + 1 >= len(fmt):
                 raise ValueError(f"stray % in format {fmt!r}")
             d = fmt[i + 1]
+            if d in comps:
+                # splice the locale composite in place and reprocess — a
+                # textual pre-replace would corrupt '%%c' (literal % + c)
+                fmt = fmt[:i] + comps[d] + fmt[i + 2:]
+                continue
             if d == "%":
                 out.append("%")
             elif d in pats:
@@ -211,15 +217,19 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
     elif "y" in groups:
         y2 = grp("y").cast("int")
         year = F.when(y2 <= 68, y2 + 2000).otherwise(y2 + 1900)
+    # when several directives set the month, the LAST one in the format
+    # wins — strptime iterates found_dict in group order, assigning month
+    # each time — so order the setters by their capture-group index
     month = None
-    if "m" in groups:
-        month = grp("m").cast("int")
-    for d, names in (("b", "a_month"), ("B", "f_month")):
-        if d in groups:
-            # later directives overwrite earlier ones, as in strptime's
-            # found_dict iteration (group order)
+    month_names = {"b": "a_month", "B": "f_month"}
+    for d in sorted(
+        (d for d in ("m", "b", "B") if d in groups), key=lambda d: groups[d]
+    ):
+        if d == "m":
+            month = grp("m").cast("int")
+        else:
             month = F.array_position(
-                F.array(*[F.lit(n) for n in _LOCALE_CACHE[names]]),
+                F.array(*[F.lit(n) for n in _LOCALE_CACHE[month_names[d]]]),
                 F.lower(grp(d)),
             ).cast("int")
     if "j" not in groups and (month is not None or "d" in groups):

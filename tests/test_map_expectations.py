@@ -500,6 +500,51 @@ def test_strftime_exact_strptime_hard_cases(spark):
     assert evr4.result["partial_unexpected_list"] == ["02-29"]
 
 
+def test_strftime_composites_and_month_precedence(spark):
+    # %x expands to the locale composite (%m/%d/%y in C locale) while '%%x'
+    # stays a literal '%x' (the splice reprocesses in place, never a
+    # textual pre-replace); when %m and %B both set the month, the LAST
+    # directive in the format wins, exactly as strptime's found_dict
+    # iteration does
+    evr = run_one(
+        spark.createDataFrame(
+            [("08/16/88",), ("8/6/88",), ("02/29/01",), ("%x",)], ["d"]
+        ),
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%x",
+    )
+    assert evr.result["unexpected_count"] == 2
+    assert sorted(evr.result["partial_unexpected_list"]) == ["%x", "02/29/01"]
+
+    evr2 = run_one(
+        spark.createDataFrame([("%x",), ("08/16/88",)], ["d"]),
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%%x",
+    )
+    assert evr2.result["partial_unexpected_list"] == ["08/16/88"]
+
+    # B after m: February overrides month 4, then day 30 invalidates
+    evr3 = run_one(
+        spark.createDataFrame(
+            [("4|February|30",), ("February|4|30",)], ["a"]
+        ),
+        "expect_column_values_to_match_strftime_format",
+        column="a",
+        strftime_format="%m|%B|%d",
+    )
+    assert evr3.result["partial_unexpected_list"] == ["4|February|30", "February|4|30"]
+    evr4 = run_one(
+        spark.createDataFrame([("February|4|30",)], ["a"]),
+        "expect_column_values_to_match_strftime_format",
+        column="a",
+        strftime_format="%B|%m|%d",
+    )
+    # m wins here: April 30 is valid
+    assert evr4.result["unexpected_count"] == 0
+
+
 def test_json_parseable(spark):
     df = spark.createDataFrame(
         [('{"a": 1}',), ("[1,2,3]",), ("{oops",), (None,)], ["j"]
