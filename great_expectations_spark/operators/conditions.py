@@ -58,10 +58,20 @@ def lit_value(v: Any) -> Column:
 # format carries no year). All verdict differences surface only as
 # EXCEPTIONS, same as strptime: unsupported/ISO directives (%G %u %V),
 # stray trailing '%', and repeated directives raise ValueError, mirroring
-# strptime's ValueError / re.error on the same formats. One known residual
-# divergence: Python's \d matches Unicode decimal digits (strptime parses
-# '٢٠٢١' as a year), Java's is ASCII-only — non-ASCII digit strings are
-# rejected here.
+# strptime's ValueError / re.error on the same formats. datetime.strptime
+# additionally rejects some regex-reachable matches at construction time
+# (TimeRE is more permissive than datetime): %S=60/61 (leap seconds),
+# %z offsets outside (-24h, 24h) or with inconsistent ':' use, and
+# %Y=9999 %j=366 (fromordinal rollover past year 9999) — reproduced here
+# as post-match checks on the EXTRACTED groups, because strptime parses
+# the regex's first-found division and never retries another (e.g.
+# '601' under '%S%f' fails with S=60 even though S=6,f='01' would parse).
+# Two known residual divergences: Python's \d matches Unicode decimal
+# digits (strptime parses '٢٠٢١' as a year), Java's is ASCII-only — non-
+# ASCII digit strings are rejected here; and %U/%W-with-weekday formats
+# skip the julian-from-week computation, so their date-range failures at
+# the year-1/year-9999 boundaries (only reachable with %Y literally 0001
+# or 9999) are not reproduced.
 
 # CPython _strptime.TimeRE numeric patterns (named groups dropped, inner
 # groups non-capturing; alternation ORDER preserved — it drives
@@ -232,6 +242,30 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
                 F.array(*[F.lit(n) for n in _LOCALE_CACHE[month_names[d]]]),
                 F.lower(grp(d)),
             ).cast("int")
+    # datetime-construction range checks TimeRE's regex cannot express:
+    # strptime parses the first-found regex division, so validate the
+    # EXTRACTED tokens (never an alternative division that would parse).
+    if "S" in groups:
+        # TimeRE admits leap seconds 60/61; datetime.second caps at 59
+        checks.append(grp("S").cast("int") <= 59)
+    if "z" in groups:
+        # timezone() requires |offset| strictly < 24h, and the parse code
+        # rejects inconsistent ':' use ('+12:3045', '+1200:30') that the
+        # regex admits: the token must be ±HHMM[SS[.f]] or ±HH:MM[:SS[.f]]
+        # with HH<=23, or the literal 'Z'
+        zv = grp("z")
+        checks.append(
+            (zv == "Z")
+            | zv.rlike(
+                r"\A[+-](?:2[0-3]|[01]\d)"
+                r"(?::[0-5]\d(?::[0-5]\d(?:\.\d{1,6})?)?"
+                r"|[0-5]\d(?:[0-5]\d(?:\.\d{1,6})?)?)\z"
+            )
+        )
+    if "j" in groups and "Y" in groups:
+        # Jan 1 + 365 days of non-leap 9999 is year 10000: fromordinal
+        # raises; every other year rolls over silently
+        checks.append(~((year == 9999) & (grp("j").cast("int") == 366)))
     if "j" not in groups and (month is not None or "d" in groups):
         day = grp("d").cast("int") if "d" in groups else F.lit(1)
         iso = F.concat_ws(

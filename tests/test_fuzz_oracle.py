@@ -15,6 +15,7 @@ with a different SEED and run it."""
 import datetime
 import json as _stdlib_json
 import math
+import os
 import random
 import re
 
@@ -23,7 +24,7 @@ import pytest
 
 from great_expectations_spark import ExpectationSuite, validate
 
-SEED = 20260818
+SEED = int(os.environ.get("GX_FUZZ_SEED", "20260818"))
 N_DATASETS = 30
 EXP_PER_SUITE = 8  # 30 x 8 = 240 fuzz cases
 WORDS = ["alpha", "beta", "gamma", "delta", "Epsilon", "zeta01", "", "x y"]
@@ -1806,6 +1807,7 @@ STRF_SEP_FMTS = [
     "%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%d/%m/%Y", "%m/%d/%Y %H:%M",
     "%H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%d.%m.%Y", "%y-%m-%d", "%I:%M %p",
     "%d %b %Y", "%B %d, %Y", "%Y-%j", "%m-%d", "%c", "%x",
+    "%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S%z",
 ]
 STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S", "%d5%m5%Y", "%H%M5"]
 N_STRF_DATASETS = 8
@@ -1817,30 +1819,54 @@ def _strf_value(rng, fmt):
         rng.randrange(1200, 2400), rng.randrange(1, 13), rng.randrange(1, 29),
         rng.randrange(0, 24), rng.randrange(0, 60), rng.randrange(0, 60),
     )
+    if "%z" in fmt:
+        # aware datetimes so %z formats a real offset (naive gives '');
+        # boundary ±23:59 sometimes, so mutations straddle the ±24h limit
+        mins = 1439 if rng.random() < 0.15 else rng.randrange(0, 1440)
+        sign = rng.choice((1, -1))
+        dt = dt.replace(
+            tzinfo=datetime.timezone(datetime.timedelta(minutes=sign * mins))
+        )
     v = dt.strftime(fmt)
     r = rng.random()
-    if r < 0.30:
+    if r < 0.28:
         return v  # exactly as formatted
-    if r < 0.42:
+    if r < 0.38:
         return re.sub(r"\b0(\d)", r"\1", v)  # non-padded: Python accepts
-    if r < 0.50:
+    if r < 0.46:
         i = rng.randrange(len(v) + 1)
         return v[:i] + "0" + v[i:]  # over-pad: usually breaks a digit shape
-    if r < 0.60:
+    if r < 0.56:
         # swap one digit for 9 — may stay valid (day 14→19) or break a
         # field's range (month 03→93); the strptime oracle decides
         idxs = [i for i, c in enumerate(v) if c.isdigit()]
         i = rng.choice(idxs)
         return v[:i] + "9" + v[i + 1 :]
-    if r < 0.68:
+    if r < 0.63:
         return v[:-1]  # truncate (often leaves a valid 1-digit last field)
-    if r < 0.76:
+    if r < 0.70:
         return v.swapcase()  # strptime is case-insensitive end to end
-    if r < 0.82 and " " in v:
+    if r < 0.76 and " " in v:
         return v.replace(" ", "  ", 1)  # format whitespace matches \s+ runs
-    if r < 0.92:
+    if r < 0.84:
         i = rng.randrange(len(v) + 1)
         return v[:i] + "x" + v[i:]  # non-digit injection: fails everywhere
+    if r < 0.94:
+        # datetime-construction boundary splice: overwrite a digit run with
+        # a value TimeRE's regex may accept but datetime construction
+        # rejects (leap seconds 60/61, %z hour 24, year 9999/0000) or a
+        # field-range breaker (13, 99); inserting ':' builds the
+        # colon-inconsistent %z forms strptime's parse code refuses
+        runs = [m for m in re.finditer(r"\d\d(\d\d)?", v)]
+        if runs and rng.random() < 0.75:
+            m = rng.choice(runs)
+            if len(m.group()) == 4:
+                sub = rng.choice(("9999", "0000"))
+            else:
+                sub = rng.choice(("60", "61", "24", "13", "00", "99"))
+            return v[: m.start()] + sub + v[m.end() :]
+        i = rng.randrange(len(v) + 1)
+        return v[:i] + ":" + v[i:]
     return rng.choice(["", "garbage", v + " ", " " + v, v + "x"])
 
 

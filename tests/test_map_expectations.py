@@ -500,6 +500,76 @@ def test_strftime_exact_strptime_hard_cases(spark):
     assert evr4.result["partial_unexpected_list"] == ["02-29"]
 
 
+def test_strftime_datetime_construction_limits(spark):
+    # TimeRE's regex admits these, but datetime.strptime (the reference's
+    # per-row kernel) raises at datetime construction — each must FAIL the
+    # row, not pass on regex shape alone (conditions.py post-match checks)
+    df = spark.createDataFrame([("59",), ("60",), ("61",)], ["d"])
+    evr = run_one(
+        df,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%S",
+    )
+    # leap seconds: regex 6[0-1] matches, datetime.second caps at 59
+    assert sorted(evr.result["partial_unexpected_list"]) == ["60", "61"]
+
+    zdf = spark.createDataFrame(
+        [
+            ("+2359",), ("Z",), ("+12:30:45.123",), ("+123045",),
+            ("-2400",), ("+2500",), ("+1200:30",), ("+12:3045",), ("z",),
+        ],
+        ["d"],
+    )
+    zevr = run_one(
+        zdf,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%z",
+    )
+    # offsets must be strictly inside ±24h and colon-consistent; 'Z' is
+    # case-sensitive in TimeRE
+    assert sorted(zevr.result["partial_unexpected_list"]) == [
+        "+1200:30", "+12:3045", "+2500", "-2400", "z",
+    ]
+
+    jdf = spark.createDataFrame(
+        [("9999-365",), ("9999-366",), ("2021-366",)], ["d"]
+    )
+    jevr = run_one(
+        jdf,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Y-%j",
+    )
+    # day 366 of non-leap 9999 rolls past year 9999: fromordinal raises
+    assert jevr.result["partial_unexpected_list"] == ["9999-366"]
+
+    # strptime parses the regex's FIRST division and never retries another:
+    # '601' under %S%f fails with S=60 even though S=6,f='01' would parse,
+    # and '+12:30451' under %z%f fails with z='+12:3045' (inconsistent ':')
+    # even though z='+12:30',f='451' would parse — the checks must run on
+    # the extracted groups, not on any-division-that-would-pass
+    ddf = spark.createDataFrame([("601",), ("591",)], ["d"])
+    devr = run_one(
+        ddf,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%S%f",
+    )
+    assert devr.result["partial_unexpected_list"] == ["601"]
+
+    zddf = spark.createDataFrame([("+12:30451",), ("+12:30:451",)], ["d"])
+    zdevr = run_one(
+        zddf,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%z%f",
+    )
+    # '+12:30:451' takes z='+12:30:45', f='1' — consistent colons, parses
+    assert zdevr.result["partial_unexpected_list"] == ["+12:30451"]
+
+
 def test_strftime_composites_and_month_precedence(spark):
     # %x expands to the locale composite (%m/%d/%y in C locale) while '%%x'
     # stays a literal '%x' (the splice reprocesses in place, never a
