@@ -66,12 +66,11 @@ def lit_value(v: Any) -> Column:
 # as post-match checks on the EXTRACTED groups, because strptime parses
 # the regex's first-found division and never retries another (e.g.
 # '601' under '%S%f' fails with S=60 even though S=6,f='01' would parse).
-# Two known residual divergences: Python's \d matches Unicode decimal
-# digits (strptime parses '٢٠٢١' as a year), Java's is ASCII-only — non-
-# ASCII digit strings are rejected here; and %U/%W-with-weekday formats
-# skip the julian-from-week computation, so their date-range failures at
-# the year-1/year-9999 boundaries (only reachable with %Y literally 0001
-# or 9999) are not reproduced.
+# %U/%W-with-weekday formats reproduce the julian-from-week computation
+# (date derived from year+week+weekday, found month/day overwritten, week-0
+# rollback, year-boundary failures). One known residual divergence:
+# Python's \d matches Unicode decimal digits (strptime parses '٢٠٢١' as a
+# year), Java's is ASCII-only — non-ASCII digit strings are rejected here.
 
 # CPython _strptime.TimeRE numeric patterns (named groups dropped, inner
 # groups non-capturing; alternation ORDER preserved — it drives
@@ -152,6 +151,8 @@ def _directive_patterns() -> dict:
         }
         _LOCALE_CACHE["a_month"] = [s.lower() for s in ls["a_month"]]
         _LOCALE_CACHE["f_month"] = [s.lower() for s in ls["f_month"]]
+        _LOCALE_CACHE["a_weekday"] = [s.lower() for s in ls["a_weekday"]]
+        _LOCALE_CACHE["f_weekday"] = [s.lower() for s in ls["f_weekday"]]
     return _LOCALE_CACHE["patterns"]
 
 
@@ -266,7 +267,61 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
         # Jan 1 + 365 days of non-leap 9999 is year 10000: fromordinal
         # raises; every other year rolls over silently
         checks.append(~((year == 9999) & (grp("j").cast("int") == 366)))
-    if "j" not in groups and (month is not None or "d" in groups):
+    # week-of-year + weekday (and no %j): strptime derives the date from
+    # (year, week, weekday) via _calc_julian_from_U_or_W and OVERWRITES any
+    # found month/day — '02-30 10 3' under '%m-%d %U %w' parses fine — so
+    # the month/day calendar check must not run; instead reproduce the two
+    # date-range failures: week-0 rollback into year-1 fails only at year 1
+    # (date(0,..) raises), and a late week of year 9999 overflows
+    # fromordinal. Both week and weekday take the LAST directive by group
+    # order, like month above.
+    week_dirs = [d for d in ("U", "W") if d in groups]
+    wd_dirs = [d for d in ("w", "a", "A") if d in groups]
+    week_derived = "j" not in groups and week_dirs and wd_dirs
+    if week_derived:
+        wk_d = max(week_dirs, key=lambda d: groups[d])
+        week = grp(wk_d).cast("int")
+        wd_d = max(wd_dirs, key=lambda d: groups[d])
+        if wd_d == "w":
+            w_raw = grp("w").cast("int")  # 0=Sunday in the directive
+            dow = F.when(w_raw == 0, F.lit(6)).otherwise(w_raw - 1)  # Mon=0
+        else:
+            names = _LOCALE_CACHE["a_weekday" if wd_d == "a" else "f_weekday"]
+            dow = (
+                F.array_position(
+                    F.array(*[F.lit(n) for n in names]), F.lower(grp(wd_d))
+                )
+                - 1
+            ).cast("int")
+        # proleptic-Gregorian ordinal of Jan 1 (pure arithmetic — safe for
+        # any regex-reachable year, unlike make_date under ANSI mode)
+        yprev = year - 1
+        ord_jan1 = (
+            yprev * 365
+            + F.floor(yprev / 4)
+            - F.floor(yprev / 100)
+            + F.floor(yprev / 400)
+            + 1
+        ).cast("long")
+        fw = (ord_jan1 - 1) % 7  # weekday of Jan 1, Mon=0
+        if wk_d == "U":  # week starts Sunday: shift the view
+            fw = (fw + 1) % 7
+            dow = (dow + 1) % 7
+        week0len = (7 - fw) % 7
+        julian = F.when(week == 0, F.lit(1) + dow - fw).otherwise(
+            F.lit(1) + week0len + (week - 1) * 7 + dow
+        )
+        # julian <= 0 only via week 0: rolls back into year-1 (valid unless
+        # that is year 0); otherwise the final ordinal must stay within
+        # date.max = 9999-12-31 (ordinal 3652059)
+        checks.append(
+            F.when(julian <= 0, year > 1).otherwise(
+                julian - 1 + ord_jan1 <= F.lit(3652059)
+            )
+        )
+    if not week_derived and "j" not in groups and (
+        month is not None or "d" in groups
+    ):
         day = grp("d").cast("int") if "d" in groups else F.lit(1)
         iso = F.concat_ws(
             "-",

@@ -1808,6 +1808,7 @@ STRF_SEP_FMTS = [
     "%H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%d.%m.%Y", "%y-%m-%d", "%I:%M %p",
     "%d %b %Y", "%B %d, %Y", "%Y-%j", "%m-%d", "%c", "%x",
     "%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S%z",
+    "%Y %U %w", "%Y %W %a", "%m-%d %U %w",
 ]
 STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S", "%d5%m5%Y", "%H%M5"]
 N_STRF_DATASETS = 8

@@ -570,6 +570,54 @@ def test_strftime_datetime_construction_limits(spark):
     assert zdevr.result["partial_unexpected_list"] == ["+12:30451"]
 
 
+def test_strftime_week_derived_dates(spark):
+    # week-of-year + weekday formats: strptime computes the date from
+    # (year, week, weekday) and OVERWRITES found month/day — Feb 30 parses
+    # when %U+%w are present — with week-0 rollback into the prior year and
+    # date-range failures only at the year-1 / year-9999 boundaries
+    df = spark.createDataFrame([("02-30 10 3",), ("02-30 10 9",)], ["d"])
+    evr = run_one(
+        df,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%m-%d %U %w",
+    )
+    # calendar check must NOT fire (date comes from the week); %w=9 is a
+    # regex-shape failure
+    assert evr.result["partial_unexpected_list"] == ["02-30 10 9"]
+
+    bdf = spark.createDataFrame(
+        [
+            ("1900 53 6",),  # week 53 rolls into 1901 — fine
+            ("1900 00 0",),  # week 0 rollback into 1899 — fine
+            ("0001 00 0",),  # rollback into year 0 — date() raises
+            ("0001 00 6",),  # week 0 but lands Jan 6 — fine
+            ("9999 52 5",),  # 9999-12-31 exactly — fine
+            ("9999 52 6",),  # one past date.max — fromordinal raises
+        ],
+        ["d"],
+    )
+    bevr = run_one(
+        bdf,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Y %U %w",
+    )
+    assert sorted(bevr.result["partial_unexpected_list"]) == [
+        "0001 00 0", "9999 52 6",
+    ]
+
+    # %W (Monday-start) with a named weekday, any case
+    ndf = spark.createDataFrame([("2024 10 Sun",), ("2024 10 sun",)], ["d"])
+    nevr = run_one(
+        ndf,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Y %W %a",
+    )
+    assert nevr.result["unexpected_count"] == 0
+
+
 def test_strftime_composites_and_month_precedence(spark):
     # %x expands to the locale composite (%m/%d/%y in C locale) while '%%x'
     # stays a literal '%x' (the splice reprocesses in place, never a
