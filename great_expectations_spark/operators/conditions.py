@@ -630,8 +630,52 @@ def dateutil_parse_expr(col: Column) -> Column:
     return F.coalesce(*attempts)
 
 
-def _dateutil_parseable(col: Column, kw: dict) -> Column:
-    return dateutil_parse_expr(col).isNotNull()
+def _dateutil_parseable_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def parseable(series: pd.Series) -> pd.Series:
+        from dateutil.parser import parse
+
+        def ok(v):
+            if v is None:
+                return None
+            try:
+                parse(v)
+                return True
+            except (ValueError, OverflowError):
+                # the reference catches exactly these two
+                # (column_values_dateutil_parseable.py:25-26)
+                return False
+
+        return series.map(ok).astype("boolean")
+
+    return parseable
+
+
+def _dateutil_parseable_builder(kwargs: dict) -> MapCondition:
+    """expect_column_values_to_be_dateutil_parseable — Arrow pandas_udf
+    batch parse with dateutil.parser.parse, the reference's EXACT kernel
+    (column_values_dateutil_parseable.py:14-28, pandas-only there; the
+    reference has no Spark path for this expectation at all). dateutil's
+    accepted language ('Sat Oct 11 17:13:46 2003', '5th of March 2001',
+    lone years, month-swap on day>12) is far wider than any fixed
+    try_to_timestamp pattern list, and diverges in both directions, so this
+    is the documented Arrow-batch escape hatch — same pattern and rationale
+    as _json_parseable_builder. The planner's _STRING_INPUT_TYPES guard
+    raises the reference's TypeError for non-string columns before the
+    kernel runs. dateutil_parse_expr (the native pattern-coalesce) remains
+    the documented approximation for the pair/bounds
+    parse_strings_as_datetimes paths."""
+    name = kwargs["column"]
+    col = F.col(name)
+    expected = _dateutil_parseable_udf()(col)
+    return MapCondition(
+        expected=F.coalesce(expected, F.lit(False)),
+        considered=col.isNotNull(),
+        value_expr=col,
+        columns=[name],
+    )
 
 
 def _psd(kw: dict, c: Column) -> Column:
@@ -717,7 +761,7 @@ _MAP_BUILDERS: dict[str, Callable[[dict], MapCondition]] = {
     ),
     # --- parse-ability (native, no per-row Python) ---
     "expect_column_values_to_match_strftime_format": _col_map(_strftime),
-    "expect_column_values_to_be_dateutil_parseable": _col_map(_dateutil_parseable),
+    "expect_column_values_to_be_dateutil_parseable": _dateutil_parseable_builder,
     "expect_column_values_to_be_json_parseable": _json_parseable_builder,
     # --- PII / URL gates (beyond-reference surface; operators/text.py) ---
     "expect_column_values_to_not_contain_pii": _no_pii_builder,

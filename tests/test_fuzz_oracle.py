@@ -2095,3 +2095,75 @@ def test_fuzz_cramers_phi_vs_pandas_replica(spark, ds):
         )
         assert abs(evr.result["details"]["chi_squared"] - want_chi2) < 1e-6, label
         assert bool(evr.success) == (want_phi < kwargs["threshold"]), label
+
+
+# ---------------------------------------------------------------------------
+# dateutil-parseable differential fuzz — the oracle is dateutil.parser.parse
+# itself (the reference's pandas kernel,
+# column_values_dateutil_parseable.py:14-28; it has no Spark path), which is
+# exactly what the engine's Arrow kernel calls — this guards the
+# None-handling, the caught-exception set (ValueError/OverflowError only),
+# and the mostly/row_condition plumbing around it. Values reuse the strftime
+# mutation families plus free-form prose dateutil uniquely accepts.
+# ---------------------------------------------------------------------------
+
+DATEUTIL_EXTRA = [
+    "Sat Oct 11 17:13:46 2003", "5th of March 2001", "2021", "13/5/2016",
+    "March", "12:60", "today", " ", "2020.02.29", "20-II-1980",
+]
+
+
+@pytest.mark.parametrize("ds", range(3))
+def test_fuzz_dateutil_parseable_vs_dateutil(spark, ds):
+    from dateutil.parser import parse as _du_parse
+
+    rng = random.Random(SEED * 6100 + ds)
+    fmts = rng.sample(STRF_SEP_FMTS, 4)
+    rows = []
+    for _ in range(rng.randrange(80, 200)):
+        r = rng.random()
+        if r < 0.1:
+            d = None
+        elif r < 0.25:
+            d = rng.choice(DATEUTIL_EXTRA)
+        else:
+            d = _strf_value(rng, rng.choice(fmts))
+        rows.append((d, rng.randrange(0, 10)))
+    df = spark.createDataFrame(rows, "d string, i bigint")
+
+    def oracle_ok(v):
+        try:
+            _du_parse(v)
+            return True
+        except (ValueError, OverflowError):
+            return False
+
+    suite = ExpectationSuite(f"fuzz-dateutil-{ds}")
+    cases = []
+    for _ in range(4):
+        kwargs = {"column": "d"}
+        rc = rng.choice([None, "i > 4"])
+        if rc is not None:
+            kwargs["row_condition"] = rc
+            kwargs["condition_parser"] = "spark"
+        mostly = rng.choice([0.5, 0.9]) if rng.random() < 0.5 else None
+        if mostly is not None:
+            kwargs["mostly"] = mostly
+        dom = [r for r in rows if rc is None or r[1] > 4]
+        considered = [r[0] for r in dom if r[0] is not None]
+        bad = sum(0 if oracle_ok(v) else 1 for v in considered)
+        if not considered:
+            success = True
+        elif mostly is None:
+            success = bad == 0
+        else:
+            success = (len(considered) - bad) / len(considered) >= mostly
+        suite.add("expect_column_values_to_be_dateutil_parseable", **kwargs)
+        cases.append((kwargs, success, bad, len(dom)))
+
+    res = validate(df, suite, result_format="BASIC")
+    for evr, (kwargs, success, bad, elem) in zip(res.results, cases):
+        label = f"ds={ds} {kwargs}"
+        assert evr.result["unexpected_count"] == bad, label
+        assert evr.result["element_count"] == elem, label
+        assert bool(evr.success) == success, label

@@ -618,6 +618,46 @@ def test_strftime_week_derived_dates(spark):
     assert nevr.result["unexpected_count"] == 0
 
 
+def test_dateutil_parseable_exact_kernel(spark):
+    # the Arrow kernel IS dateutil.parser.parse (the reference's pandas
+    # kernel, column_values_dateutil_parseable.py:14-28) — these values
+    # split differently under any fixed to_timestamp pattern list:
+    # free-form ctime strings, ordinal days, lone years, and day>12
+    # month-swap all parse; calendar/range violations and junk fail
+    df = spark.createDataFrame(
+        [
+            ("Sat Oct 11 17:13:46 2003",),  # ctime-ish: parses
+            ("5th of March 2001",),         # ordinal prose: parses
+            ("13/5/2016",),                 # day>12 swaps to May 13: parses
+            ("2016-01-01",),
+            ("garbage",),
+            ("Feb 30 2020",),               # real calendar check: fails
+            ("12:60",),                     # minute range: fails
+            (None,),
+        ],
+        ["d"],
+    )
+    evr = run_one(
+        df,
+        "expect_column_values_to_be_dateutil_parseable",
+        column="d",
+    )
+    assert evr.result["element_count"] == 8
+    assert sorted(evr.result["partial_unexpected_list"]) == [
+        "12:60", "Feb 30 2020", "garbage",
+    ]
+
+    # non-string columns raise the reference's TypeError (exception EVR)
+    ints = spark.createDataFrame([(1,), (2,)], ["d"])
+    bad = run_one(
+        ints, "expect_column_values_to_be_dateutil_parseable", column="d"
+    )
+    assert bad.success is False
+    assert "must be of type string" in (bad.exception_info or {}).get(
+        "exception_message", ""
+    )
+
+
 def test_strftime_composites_and_month_precedence(spark):
     # %x expands to the locale composite (%m/%d/%y in C locale) while '%%x'
     # stays a literal '%x' (the splice reprocesses in place, never a
