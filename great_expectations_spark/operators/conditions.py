@@ -338,23 +338,79 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
     return F.when(matched, cond).otherwise(F.lit(False))
 
 
+# the reference's experimental mini-DSL grammar (row_conditions.py:35-57),
+# regex-transliterated from its pyparsing elements: col("<name>") where the
+# name starts with a letter (Word(alphas, alphanums_.)), then either a
+# caseless .notnull() or one of > < >= <= == followed by a number
+# (fnumber Regex) or a quoted word of [alphanums._]. pyparsing skips
+# whitespace between tokens but Combine() forbids it inside col("...").
+_DSL_RE = re.compile(
+    r'\s*col\("(?P<column>[A-Za-z][A-Za-z0-9_.]*)"\)\s*'
+    r"(?:(?P<notnull>\.notnull\(\))"
+    r"|(?P<op>>=|<=|==|>|<)\s*"
+    r"(?:(?P<fnumber>[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)"
+    # pyparsing skips its whitespace set (space/newline/tab) around the
+    # quoted Word too: '== \" x \"' parses as value 'x'
+    r"|\"[ \n\t]*(?P<dq>[A-Za-z0-9._]+)[ \n\t]*\""
+    r"|'[ \n\t]*(?P<sq>[A-Za-z0-9._]+)[ \n\t]*'))",
+    re.IGNORECASE,
+)
+
+
 def translate_row_condition(row_condition: str, condition_parser: str = "spark") -> Column:
     """Pre-filter (domain) condition.
 
     - ``spark`` parser: raw Spark SQL (reference passes it verbatim to
-      df.filter — sparkdf_execution_engine.py:458-478).
-    - ``great_expectations__experimental__`` mini-DSL: ``col("x") > 3``,
-      ``col("x").notNull()`` (reference grammar at
-      expectations/row_conditions.py:35-146) — translated to SQL here.
+      df.filter — sparkdf_execution_engine.py:458-478). ``spark_sql`` and a
+      missing parser are accepted as aliases — a deliberate, documented
+      divergence (the reference raises for them); strictly more permissive,
+      configs valid on the reference behave identically.
+    - ``great_expectations__experimental__`` mini-DSL: the reference's
+      pyparsing grammar (row_conditions.py:35-146) reproduced exactly,
+      including its quirks: parseString() PREFIX-parses, so trailing text
+      ('col("a") > 3 AND ...') is silently IGNORED; only > < >= <= == are
+      ops and string literals allow only ==; dotted names navigate structs
+      (F.col semantics, not a backticked flat name); anything else raises
+      the parser error that the reference turns into an exception EVR.
     """
     if condition_parser in ("spark", "spark_sql", None):
         return F.expr(row_condition)
-    # mini-DSL translation
-    s = row_condition
-    s = re.sub(r'col\("([^"]+)"\)\.notNull\(\)', r"(`\1` IS NOT NULL)", s, flags=re.I)
-    s = re.sub(r'col\("([^"]+)"\)\.isNull\(\)', r"(`\1` IS NULL)", s, flags=re.I)
-    s = re.sub(r'col\("([^"]+)"\)', r"`\1`", s)
-    return F.expr(s)
+    if condition_parser != "great_expectations__experimental__":
+        # sparkdf_execution_engine.py:466-470
+        raise ValueError(
+            f"unrecognized condition_parser {str(condition_parser)} "
+            "for Spark execution engine"
+        )
+    m = _DSL_RE.match(row_condition)
+    # case-sensitivity: only .notnull() is caseless in the grammar
+    # (CaselessLiteral); col(...) and the quotes are exact literals
+    if m is None or not row_condition.lstrip().startswith('col("'):
+        raise ValueError(f"unable to parse condition: {row_condition}")
+    col = F.col(m.group("column"))
+    if m.group("notnull"):
+        return col.isNotNull()
+    op = m.group("op")
+    sval = m.group("dq") or m.group("sq")
+    if sval is not None:
+        if op != "==":
+            raise ValueError(
+                f"Invalid operator: {op} for string literal spark condition."
+            )
+        return col == sval
+    raw = m.group("fnumber")
+    try:
+        num: Any = int(raw)
+    except ValueError:
+        num = float(raw)
+    if op == ">":
+        return col > num
+    if op == "<":
+        return col < num
+    if op == ">=":
+        return col >= num
+    if op == "<=":
+        return col <= num
+    return col == num
 
 
 def between_condition(

@@ -618,6 +618,180 @@ def test_strftime_week_derived_dates(spark):
     assert nevr.result["unexpected_count"] == 0
 
 
+def test_experimental_row_condition_grammar(spark):
+    # the reference's mini-DSL (row_conditions.py:35-146) PREFIX-parses:
+    # 'col("i") > 5 AND ...' silently drops everything after the first
+    # condition; != is not in the grammar (exception EVR); string literals
+    # allow only ==; .notnull() is caseless; unrecognized parsers raise
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else None) for i in range(10)], ["i", "s"]
+    )
+    evr = run_one(
+        df,
+        "expect_column_values_to_not_be_null",
+        column="s",
+        row_condition='col("i") > 5 AND col("i") < 2',
+        condition_parser="great_expectations__experimental__",
+    )
+    # domain is i>5 (4 rows; the AND clause is ignored), nulls at 6 and 8
+    assert evr.result["element_count"] == 4
+    assert evr.result["unexpected_count"] == 2
+
+    bang = run_one(
+        df,
+        "expect_column_values_to_not_be_null",
+        column="s",
+        row_condition='col("i") != 5',
+        condition_parser="great_expectations__experimental__",
+    )
+    assert "unable to parse condition" in (bang.exception_info or {}).get(
+        "exception_message", ""
+    )
+
+    strop = run_one(
+        df,
+        "expect_column_values_to_not_be_null",
+        column="s",
+        row_condition='col("s") > "a"',
+        condition_parser="great_expectations__experimental__",
+    )
+    assert "Invalid operator" in (strop.exception_info or {}).get(
+        "exception_message", ""
+    )
+
+    unrec = run_one(
+        df,
+        "expect_column_values_to_not_be_null",
+        column="s",
+        row_condition="i > 5",
+        condition_parser="pandas",
+    )
+    assert "unrecognized condition_parser" in (unrec.exception_info or {}).get(
+        "exception_message", ""
+    )
+
+    caseless = run_one(
+        df,
+        "expect_column_values_to_be_between",
+        column="i",
+        min_value=0,
+        max_value=100,
+        row_condition='col("s").NotNull()',
+        condition_parser="great_expectations__experimental__",
+    )
+    assert caseless.success is True
+    assert caseless.result["element_count"] == 5
+
+
+def test_experimental_grammar_differential_vs_pyparsing(spark):
+    # transliteration guard: the engine's _DSL_RE against the reference's
+    # ACTUAL pyparsing grammar, rebuilt verbatim from row_conditions.py —
+    # parse outcomes (kind, column, op, coerced value / error class) must
+    # agree on thousands of randomized inputs including the quirky ones
+    pytest.importorskip("pyparsing")
+    import warnings
+
+    warnings.filterwarnings("ignore")  # pyparsing camelCase deprecations
+    from pyparsing import (
+        CaselessLiteral, Combine, Literal, ParseException, Regex, Suppress,
+        Word, alphanums, alphas,
+    )
+    from great_expectations_spark.operators.conditions import _DSL_RE
+
+    def _set_notnull(s, l, t):
+        t["notnull"] = True
+
+    column_name = Combine(
+        Suppress(Literal('col("'))
+        + Word(alphas, f"{alphanums}_.").setResultsName("column")
+        + Suppress(Literal('")'))
+    )
+    ops = (
+        Literal(">") ^ Literal("<") ^ Literal(">=") ^ Literal("<=")
+        ^ Literal("==")
+    ).setResultsName("op")
+    fnumber = Regex(r"[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?").setResultsName(
+        "fnumber"
+    )
+    condition_value = Suppress('"') + Word(
+        f"{alphanums}._"
+    ).setResultsName("condition_value") + Suppress('"') ^ Suppress(
+        "'"
+    ) + Word(f"{alphanums}._").setResultsName("condition_value") + Suppress("'")
+    not_null = CaselessLiteral(".notnull()").setResultsName("notnull")
+    condition = (column_name + not_null).setParseAction(_set_notnull) ^ (
+        column_name + ops + (fnumber ^ condition_value)
+    )
+
+    def ref_parse(s):
+        try:
+            p = condition.parseString(s)
+        except ParseException:
+            return ("ERR", "unable to parse")
+        if "condition_value" in p:
+            if p["op"] == "==":
+                return ("STR", p["column"], p["condition_value"])
+            return ("ERR", "invalid op for string")
+        if "fnumber" in p:
+            try:
+                num = int(p["fnumber"])
+            except ValueError:
+                num = float(p["fnumber"])
+            return ("NUM", p["column"], p["op"], num)
+        if "notnull" in p and p["notnull"] is True:
+            return ("NOTNULL", p["column"])
+        return ("ERR", "unrecognized")
+
+    def mine_parse(s):
+        m = _DSL_RE.match(s)
+        if m is None or not s.lstrip().startswith('col("'):
+            return ("ERR", "unable to parse")
+        if m.group("notnull"):
+            return ("NOTNULL", m.group("column"))
+        op = m.group("op")
+        sval = m.group("dq") or m.group("sq")
+        if sval is not None:
+            if op != "==":
+                return ("ERR", "invalid op for string")
+            return ("STR", m.group("column"), sval)
+        raw = m.group("fnumber")
+        try:
+            num = int(raw)
+        except ValueError:
+            num = float(raw)
+        return ("NUM", m.group("column"), op, num)
+
+    import random as _random
+
+    rng = _random.Random(99)
+    cases = ['col("a") == " x "', 'col("a") == "x \n\t"']
+    for _ in range(4000):
+        pre = rng.choice(
+            ['col("', 'col("', 'col("', 'COL("', 'col( "', ' col("']
+        )
+        name = rng.choice(["a", "a.b", "_x", "9y", "ab_c", "A", "x2.y_3"])
+        tail = rng.choice(['") ', '")', '" )', '")  '])
+        op = rng.choice(
+            [">", "<", ">=", "<=", "==", "!=", "=", "===", ".notnull()",
+             ".NOTNULL()", " .notnull()", ".isNull()"]
+        )
+        val = rng.choice(
+            ["3", "3.5", "-2e3", "+7.", '"x"', "'y'", '"x y"', '""', "3abc",
+             '"x"extra', " 3", "", '" z "', "' q.r '", '"3.5"']
+        )
+        s = (
+            pre + name + tail
+            + (op if ".n" in op.lower() or ".is" in op.lower()
+               else op + rng.choice([" ", ""]) + val)
+            + rng.choice(["", " trailing", ' AND col("b")>1'])
+        )
+        cases.append(s)
+    diverged = [
+        s for s in cases if ref_parse(s) != mine_parse(s)
+    ]
+    assert diverged == []
+
+
 def test_dateutil_parseable_exact_kernel(spark):
     # the Arrow kernel IS dateutil.parser.parse (the reference's pandas
     # kernel, column_values_dateutil_parseable.py:14-28) — these values
