@@ -36,6 +36,7 @@ class SparkValidationEngine:
         urn_resolver: Any = None,
         metrics_store: Any = None,
         history_suite_name: Optional[str] = None,
+        catch_exceptions: bool = True,
     ) -> SuiteValidationResult:
         """``urn_resolver``: callable (urn string → value) used by
         ``{"$PARAMETER": "urn:great_expectations:validations:..."}`` kwargs —
@@ -49,7 +50,13 @@ class SparkValidationEngine:
         holds every suite's metrics under the same keys, and unscoped
         lookups would bootstrap bounds from other tables' volumes; pass
         ``history_suite_name`` to bootstrap a new suite from another
-        suite's run history instead."""
+        suite's run history instead.
+
+        ``catch_exceptions``: True (default, the reference's graph_validate
+        default — validator.py:956) captures per-expectation failures as
+        exception EVRs; False re-raises the first failure out of this call,
+        aborting the run, exactly like the reference's runtime_configuration
+        {"catch_exceptions": False}."""
         planner = SuitePlanner(
             df,
             suite,
@@ -61,6 +68,7 @@ class SparkValidationEngine:
             urn_resolver=urn_resolver,
             metrics_store=metrics_store,
             history_suite_name=history_suite_name,
+            catch_exceptions=catch_exceptions,
         )
         return planner.run(meta=meta)
 

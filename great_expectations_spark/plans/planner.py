@@ -163,10 +163,16 @@ class SuitePlanner:
         urn_resolver: Optional[Callable[[str], Any]] = None,
         metrics_store: Any = None,
         history_suite_name: Optional[str] = None,
+        catch_exceptions: bool = True,
     ) -> None:
         self.df = df
         self.suite = suite
         self.metrics_store = metrics_store
+        # reference validator.py:956-1004: catch_exceptions=True (the
+        # graph_validate default) turns per-expectation failures into
+        # exception EVRs; False lets the original exception raise out of
+        # validate() and abort the run
+        self.catch_exceptions = catch_exceptions
         # auto=True history scope: this suite's own runs unless the caller
         # explicitly borrows another suite's history (new-suite onboarding)
         self.history_suite_name = history_suite_name or suite.name
@@ -368,6 +374,8 @@ class SuitePlanner:
                 else:
                     raise KeyError(f"unknown expectation_type: {t}")
             except Exception as e:  # compile-time failure → failed EVR
+                if not self.catch_exceptions:
+                    raise
                 self._errors.append((cfg, e))
         return self
 
@@ -484,6 +492,8 @@ class SuitePlanner:
         except Exception as e:
             if self.persist:
                 df.unpersist()
+            if not self.catch_exceptions:
+                raise
             return self._run_isolated(meta, e)
 
         # phase 1: the bundled main pass (+ isolated distinct bundle).
@@ -497,6 +507,8 @@ class SuitePlanner:
         except Exception as e:
             if self.persist:
                 df.unpersist()
+            if not self.catch_exceptions:
+                raise
             return self._run_isolated(meta, e)
 
         if self.partition_by and not partition_rows and any(
@@ -679,6 +691,8 @@ class SuitePlanner:
                 result=result,
             )
         except Exception as e:
+            if not self.catch_exceptions:
+                raise
             return ExpectationValidationResult(
                 success=False,
                 expectation_config=item.cfg.to_dict(),

@@ -618,6 +618,33 @@ def test_strftime_week_derived_dates(spark):
     assert nevr.result["unexpected_count"] == 0
 
 
+def test_catch_exceptions_false_raises(spark):
+    # reference validator.py:956-1004: catch_exceptions=True (default)
+    # captures failures as exception EVRs; False re-raises and aborts —
+    # both a compile-time failure (unknown type) and a decide-time one
+    # (query expectation over a missing column) must propagate
+    from great_expectations_spark import SparkValidationEngine
+
+    df = spark.createDataFrame([(1,), (2,)], ["i"])
+    eng = SparkValidationEngine(spark)
+
+    suite = ExpectationSuite("bad-type")
+    suite.add("expect_totally_unknown_thing", column="i")
+    res = eng.validate(df, suite)  # default True: exception EVR, no raise
+    assert res.results[0].exception_info["raised_exception"]
+    with pytest.raises(KeyError):
+        eng.validate(df, suite, catch_exceptions=False)
+
+    mixed = ExpectationSuite("mixed")
+    mixed.add("expect_column_values_to_not_be_null", column="i")
+    mixed.add("expect_column_values_to_be_between", column="missing_col",
+              min_value=0, max_value=1)
+    ok = eng.validate(df, mixed)  # default: good EVR + exception EVR
+    assert len(ok.results) == 2
+    with pytest.raises(Exception):
+        eng.validate(df, mixed, catch_exceptions=False)
+
+
 def test_experimental_row_condition_grammar(spark):
     # the reference's mini-DSL (row_conditions.py:35-146) PREFIX-parses:
     # 'col("i") > 5 AND ...' silently drops everything after the first
