@@ -117,6 +117,11 @@ def _locale_strings() -> dict:
             "a_weekday": lt.a_weekday, "f_weekday": lt.f_weekday,
             "am_pm": lt.am_pm, "c": lt.LC_date_time, "x": lt.LC_date,
             "X": lt.LC_time,
+            # LocaleTime.__calc_timezone: {"utc","gmt",tzname[0]} plus
+            # tzname[1] when daylight — %Z matches any of them, and the
+            # parse attaches no tzinfo (gmtoff stays None), so matching
+            # is the whole semantic
+            "tz": sorted(tz for tz_set in lt.timezone for tz in tz_set),
         }
     except Exception:
         return {
@@ -130,6 +135,7 @@ def _locale_strings() -> dict:
                           "friday", "saturday", "sunday"],
             "am_pm": ["am", "pm"],
             "c": "%a %b %d %H:%M:%S %Y", "x": "%m/%d/%y", "X": "%H:%M:%S",
+            "tz": ["gmt", "utc"],
         }
 
 
@@ -143,7 +149,7 @@ def _directive_patterns() -> dict:
         pats.update({
             "a": _seq_re(ls["a_weekday"]), "A": _seq_re(ls["f_weekday"]),
             "b": _seq_re(ls["a_month"]), "B": _seq_re(ls["f_month"]),
-            "p": _seq_re(ls["am_pm"]),
+            "p": _seq_re(ls["am_pm"]), "Z": _seq_re(ls["tz"]),
         })
         _LOCALE_CACHE["patterns"] = pats
         _LOCALE_CACHE["composites"] = {

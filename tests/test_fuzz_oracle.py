@@ -1808,7 +1808,7 @@ STRF_SEP_FMTS = [
     "%H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%d.%m.%Y", "%y-%m-%d", "%I:%M %p",
     "%d %b %Y", "%B %d, %Y", "%Y-%j", "%m-%d", "%c", "%x",
     "%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S%z",
-    "%Y %U %w", "%Y %W %a", "%m-%d %U %w",
+    "%Y %U %w", "%Y %W %a", "%m-%d %U %w", "%Y-%m-%d %Z",
 ]
 STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S", "%d5%m5%Y", "%H%M5"]
 N_STRF_DATASETS = 8
@@ -1820,6 +1820,10 @@ def _strf_value(rng, fmt):
         rng.randrange(1200, 2400), rng.randrange(1, 13), rng.randrange(1, 29),
         rng.randrange(0, 24), rng.randrange(0, 60), rng.randrange(0, 60),
     )
+    if "%Z" in fmt:
+        # aware so %Z formats the tz name ('UTC'); strptime matches the
+        # locale name set {utc, gmt, tzname} case-insensitively
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
     if "%z" in fmt:
         # aware datetimes so %z formats a real offset (naive gives '');
         # boundary ±23:59 sometimes, so mutations straddle the ±24h limit

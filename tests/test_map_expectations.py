@@ -617,6 +617,28 @@ def test_strftime_week_derived_dates(spark):
     )
     assert nevr.result["unexpected_count"] == 0
 
+    # %Z matches the locale timezone-name set ({utc, gmt, tzname}) case-
+    # insensitively and attaches nothing — names outside the set fail,
+    # exactly like strptime under this host's TZ
+    import datetime as _dt
+
+    accepted = {"UTC", "utc", "GMT"}
+    rejected = {"EST", "PST"}
+    for v in accepted | rejected:
+        try:
+            _dt.datetime.strptime(v, "%Z")
+            assert v in accepted, v
+        except ValueError:
+            assert v in rejected, v
+    zdf = spark.createDataFrame([(v,) for v in sorted(accepted | rejected)], ["d"])
+    zevr = run_one(
+        zdf,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%Z",
+    )
+    assert sorted(zevr.result["partial_unexpected_list"]) == sorted(rejected)
+
 
 def test_catch_exceptions_false_raises(spark):
     # reference validator.py:956-1004: catch_exceptions=True (default)
