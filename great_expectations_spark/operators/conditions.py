@@ -56,9 +56,10 @@ def lit_value(v: Any) -> Column:
 # matching any value whitespace run, and calendar validation (Feb 30 fails,
 # Feb 29 needs a leap year — against strptime's default year 1900 when the
 # format carries no year). All verdict differences surface only as
-# EXCEPTIONS, same as strptime: unsupported/ISO directives (%G %u %V),
-# stray trailing '%', and repeated directives raise ValueError, mirroring
-# strptime's ValueError / re.error on the same formats. datetime.strptime
+# EXCEPTIONS, same as strptime: invalid ISO-directive combinations (%G
+# without %V+weekday, %V without %G/%U/%W, %G with %j — strptime's own
+# messages), stray trailing '%', and repeated directives raise ValueError,
+# mirroring strptime's ValueError / re.error on the same formats. datetime.strptime
 # additionally rejects some regex-reachable matches at construction time
 # (TimeRE is more permissive than datetime): %S=60/61 (leap seconds),
 # %z offsets outside (-24h, 24h) or with inconsistent ':' use, and
@@ -68,7 +69,8 @@ def lit_value(v: Any) -> Column:
 # '601' under '%S%f' fails with S=60 even though S=6,f='01' would parse).
 # %U/%W-with-weekday formats reproduce the julian-from-week computation
 # (date derived from year+week+weekday, found month/day overwritten, week-0
-# rollback, year-boundary failures). One known residual divergence:
+# rollback, year-boundary failures); %G+%V+weekday formats reproduce
+# _calc_julian_from_V the same way. One known residual divergence:
 # Python's \d matches Unicode decimal digits (strptime parses '٢٠٢١' as a
 # year), Java's is ASCII-only — non-ASCII digit strings are rejected here.
 
@@ -85,11 +87,13 @@ _TIMERE_NUMERIC = {
     "M": r"[0-5]\d|\d",
     "S": r"6[0-1]|[0-5]\d|\d",
     "w": r"[0-6]",
-    "u": None,  # ISO directives need fromisocalendar validation — unsupported
+    "u": r"[1-7]",  # ISO weekday, Mon=1
     "U": r"5[0-3]|[0-4]\d|\d",
     "W": r"5[0-3]|[0-4]\d|\d",
+    "V": r"5[0-3]|0[1-9]|[1-4]\d|\d",  # ISO week
     "y": r"\d\d",
     "Y": r"\d\d\d\d",
+    "G": r"\d\d\d\d",  # ISO year
     "z": r"[+-]\d\d:?[0-5]\d(?::?[0-5]\d(?:\.\d{1,6})?)?|(?-i:Z)",
 }
 _REGEX_SPECIALS = set("\\.^$*+?(){}[]|")
@@ -220,11 +224,52 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
     year. Year 0 (regex-reachable via %Y=0000) is out of datetime's range
     and fails, with or without %j."""
     pattern, groups = strftime_to_regex(fmt)
+    # ISO-directive combination rules — purely format-level, so they raise
+    # at compile time with strptime's own messages (_strptime.py "Deal with
+    # the cases where ambiguities arize" block): %G needs %V + a weekday
+    # and no %j; %V without %G (or %U/%W) is always an error
+    year_dirs = ("Y" in groups) or ("y" in groups)
+    wd_present = any(d in groups for d in ("w", "a", "A", "u"))
+    if not year_dirs and "G" in groups:
+        if "V" not in groups or not wd_present:
+            raise ValueError(
+                "ISO year directive '%G' must be used with the ISO week "
+                "directive '%V' and a weekday directive "
+                "('%A', '%a', '%w', or '%u')."
+            )
+        if "j" in groups:
+            raise ValueError(
+                "Day of the year directive '%j' is not compatible with "
+                "ISO year directive '%G'. Use '%Y' instead."
+            )
+    elif "V" in groups and "U" not in groups and "W" not in groups:
+        if not wd_present:
+            raise ValueError(
+                "ISO week directive '%V' must be used with the ISO year "
+                "directive '%G' and a weekday directive "
+                "('%A', '%a', '%w', or '%u')."
+            )
+        raise ValueError(
+            "ISO week directive '%V' is incompatible with the year "
+            "directive '%Y'. Use the ISO year '%G' instead."
+        )
     s = col.cast("string")
     matched = s.rlike(pattern)
 
     def grp(d: str) -> Column:
         return F.regexp_extract(s, pattern, groups[d])
+
+    def ord_jan1_of(y: Column) -> Column:
+        # proleptic-Gregorian ordinal of Jan 1 (pure arithmetic — safe for
+        # any regex-reachable year, unlike make_date under ANSI mode)
+        yp = y - 1
+        return (
+            yp * 365
+            + F.floor(yp / 4)
+            - F.floor(yp / 100)
+            + F.floor(yp / 400)
+            + 1
+        ).cast("long")
 
     checks = []
     year = F.lit(1900)
@@ -282,15 +327,27 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
     # fromordinal. Both week and weekday take the LAST directive by group
     # order, like month above.
     week_dirs = [d for d in ("U", "W") if d in groups]
-    wd_dirs = [d for d in ("w", "a", "A") if d in groups]
+    wd_dirs = [d for d in ("w", "a", "A", "u") if d in groups]
     week_derived = "j" not in groups and week_dirs and wd_dirs
-    if week_derived:
-        wk_d = max(week_dirs, key=lambda d: groups[d])
-        week = grp(wk_d).cast("int")
+    # ISO path (%G+%V+weekday): only when no %U/%W (week_of_year takes
+    # precedence in strptime's julian computation) and no %j (format error
+    # above); the validation already guaranteed %Y/%y are absent
+    iso_derived = (
+        "j" not in groups
+        and not week_dirs
+        and "G" in groups
+        and "V" in groups
+        and wd_dirs
+    )
+    dow = None
+    if week_derived or iso_derived:
+        # weekday, Mon=0 — last directive by group order wins, like month
         wd_d = max(wd_dirs, key=lambda d: groups[d])
         if wd_d == "w":
             w_raw = grp("w").cast("int")  # 0=Sunday in the directive
             dow = F.when(w_raw == 0, F.lit(6)).otherwise(w_raw - 1)  # Mon=0
+        elif wd_d == "u":
+            dow = grp("u").cast("int") - 1  # ISO 1=Monday
         else:
             names = _LOCALE_CACHE["a_weekday" if wd_d == "a" else "f_weekday"]
             dow = (
@@ -299,16 +356,10 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
                 )
                 - 1
             ).cast("int")
-        # proleptic-Gregorian ordinal of Jan 1 (pure arithmetic — safe for
-        # any regex-reachable year, unlike make_date under ANSI mode)
-        yprev = year - 1
-        ord_jan1 = (
-            yprev * 365
-            + F.floor(yprev / 4)
-            - F.floor(yprev / 100)
-            + F.floor(yprev / 400)
-            + 1
-        ).cast("long")
+    if week_derived:
+        wk_d = max(week_dirs, key=lambda d: groups[d])
+        week = grp(wk_d).cast("int")
+        ord_jan1 = ord_jan1_of(year)
         fw = (ord_jan1 - 1) % 7  # weekday of Jan 1, Mon=0
         if wk_d == "U":  # week starts Sunday: shift the view
             fw = (fw + 1) % 7
@@ -325,7 +376,23 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
                 julian - 1 + ord_jan1 <= F.lit(3652059)
             )
         )
-    if not week_derived and "j" not in groups and (
+    elif iso_derived:
+        # _calc_julian_from_V: correction = isoweekday(Jan 4 of G) + 3;
+        # its internal previous-year rollback is a calendar relabeling, so
+        # the absolute ordinal is always ord_jan1(G) - 1 + V*7 + iso_dow
+        # - correction. Failures: %G=0000 (date(0,1,4) raises inside the
+        # correction), the rollback at G=1 (date(0,1,1) raises), and
+        # overflow past date.max
+        g = grp("G").cast("int")
+        ord_jan1_g = ord_jan1_of(g)
+        corr = ((ord_jan1_g + 2) % 7) + 4
+        ord0 = grp("V").cast("int") * 7 + (dow + 1) - corr
+        checks.append(
+            (g >= 1)
+            & F.when(ord0 < 1, g >= 2).otherwise(F.lit(True))
+            & (ord_jan1_g - 1 + ord0 <= F.lit(3652059))
+        )
+    if not week_derived and not iso_derived and "j" not in groups and (
         month is not None or "d" in groups
     ):
         day = grp("d").cast("int") if "d" in groups else F.lit(1)

@@ -1809,6 +1809,7 @@ STRF_SEP_FMTS = [
     "%d %b %Y", "%B %d, %Y", "%Y-%j", "%m-%d", "%c", "%x",
     "%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S%z",
     "%Y %U %w", "%Y %W %a", "%m-%d %U %w", "%Y-%m-%d %Z",
+    "%G %V %u", "%G %V %a",
 ]
 STRF_ADJ_FMTS = ["%Y%m%d", "%H%M%S", "%Y%m%d%H%M%S", "%d5%m5%Y", "%H%M5"]
 N_STRF_DATASETS = 8

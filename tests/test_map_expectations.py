@@ -841,6 +841,63 @@ def test_experimental_grammar_differential_vs_pyparsing(spark):
     assert diverged == []
 
 
+def test_strftime_iso_directives(spark):
+    # %G+%V+weekday: strptime derives the date via _calc_julian_from_V —
+    # verdicts must match strptime exactly, including the year-boundary
+    # failures and the week-53 silent rollover
+    import datetime as _dt
+
+    vals = [
+        "2024 01 1",   # 2024-01-01 (ISO week 1 Monday)
+        "2024 53 1",   # 52-week ISO year: rolls into 2025 silently
+        "0001 01 1",   # valid start-of-calendar
+        "0001 00 1",   # rollback needs year 0: fails
+        "0000 01 1",   # date(0,1,4) inside the correction: fails
+        "9999 52 5",   # ok
+        "9999 52 7",   # past 9999-12-31: fails
+    ]
+    expected_bad = []
+    for v in vals:
+        try:
+            _dt.datetime.strptime(v, "%G %V %u")
+        except ValueError:
+            expected_bad.append(v)
+    df = spark.createDataFrame([(v,) for v in vals], ["d"])
+    evr = run_one(
+        df,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%G %V %u",
+    )
+    assert sorted(evr.result["partial_unexpected_list"]) == sorted(expected_bad)
+    assert "0001 00 1" in expected_bad and "9999 52 7" in expected_bad
+
+    # invalid ISO combinations raise (the reference's _spark setup
+    # round-trip turns them into exception EVRs): %G without %V+weekday,
+    # %V without %G/%U/%W, %G with %j
+    for bad_fmt in ("%G", "%G %V", "%G %u", "%V %u", "%Y %V %u",
+                    "%G %V %u %j"):
+        bevr = run_one(
+            df,
+            "expect_column_values_to_match_strftime_format",
+            column="d",
+            strftime_format=bad_fmt,
+        )
+        assert (bevr.exception_info or {}).get("raised_exception"), bad_fmt
+
+    # %U/%W takes precedence over ISO in the julian computation when both
+    # appear (strptime checks week_of_year first) — '%G %V %U %u' parses
+    # with the U-week path and strptime's default year 1900
+    combo = spark.createDataFrame([("2024 10 05 3",)], ["d"])
+    cevr = run_one(
+        combo,
+        "expect_column_values_to_match_strftime_format",
+        column="d",
+        strftime_format="%G %V %U %u",
+    )
+    assert cevr.result["unexpected_count"] == 0
+
+
 def test_dateutil_parseable_exact_kernel(spark):
     # the Arrow kernel IS dateutil.parser.parse (the reference's pandas
     # kernel, column_values_dateutil_parseable.py:14-28) — these values
