@@ -70,9 +70,18 @@ def lit_value(v: Any) -> Column:
 # %U/%W-with-weekday formats reproduce the julian-from-week computation
 # (date derived from year+week+weekday, found month/day overwritten, week-0
 # rollback, year-boundary failures); %G+%V+weekday formats reproduce
-# _calc_julian_from_V the same way. One known residual divergence:
-# Python's \d matches Unicode decimal digits (strptime parses '٢٠٢١' as a
-# year), Java's is ASCII-only — non-ASCII digit strings are rejected here.
+# _calc_julian_from_V the same way. Two known residual divergences:
+# (1) Python's \d matches Unicode decimal digits (strptime parses '٢٠٢١'
+# as a year), Java's is ASCII-only — non-ASCII digit strings are rejected
+# here; (2) the reference's SPARK metric additionally pre-validates every
+# format by round-tripping a NAIVE datetime.now()
+# (column_values_match_strftime_format.py:35-42), whose strftime renders
+# %z/%Z as empty — so reference-on-Spark raises "Unable to use provided
+# strftime_format" for ANY format containing %z or %Z and can never
+# row-validate them. This engine keeps the per-row strptime semantics
+# (the canonical pandas kernel, which has no such check) and validates
+# those formats — deliberately more capable, like the extended-golden
+# cases the reference's Spark engine cannot run.
 
 # CPython _strptime.TimeRE numeric patterns (named groups dropped, inner
 # groups non-capturing; alternation ORDER preserved — it drives
@@ -417,15 +426,18 @@ def strftime_match_expr(col: Column, fmt: str) -> Column:
 # caseless .notnull() or one of > < >= <= == followed by a number
 # (fnumber Regex) or a quoted word of [alphanums._]. pyparsing skips
 # whitespace between tokens but Combine() forbids it inside col("...").
+# pyparsing's token-separator skip set is EXACTLY " \n\t\r"
+# (ParserElement.DEFAULT_WHITE_CHARS) — not regex \s, which would also
+# accept \x0b/\x0c/Unicode spaces the reference grammar rejects — and it
+# applies around the quoted Word too: '== " x\r "' parses as value 'x'
+_DSL_WS = r"[ \n\t\r]*"
 _DSL_RE = re.compile(
-    r'\s*col\("(?P<column>[A-Za-z][A-Za-z0-9_.]*)"\)\s*'
-    r"(?:(?P<notnull>\.notnull\(\))"
-    r"|(?P<op>>=|<=|==|>|<)\s*"
-    r"(?:(?P<fnumber>[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)"
-    # pyparsing skips its whitespace set (space/newline/tab) around the
-    # quoted Word too: '== \" x \"' parses as value 'x'
-    r"|\"[ \n\t]*(?P<dq>[A-Za-z0-9._]+)[ \n\t]*\""
-    r"|'[ \n\t]*(?P<sq>[A-Za-z0-9._]+)[ \n\t]*'))",
+    _DSL_WS + r'col\("(?P<column>[A-Za-z][A-Za-z0-9_.]*)"\)' + _DSL_WS
+    + r"(?:(?P<notnull>\.notnull\(\))"
+    + r"|(?P<op>>=|<=|==|>|<)" + _DSL_WS
+    + r"(?:(?P<fnumber>[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)"
+    + r"|\"" + _DSL_WS + r"(?P<dq>[A-Za-z0-9._]+)" + _DSL_WS + r"\""
+    + r"|'" + _DSL_WS + r"(?P<sq>[A-Za-z0-9._]+)" + _DSL_WS + r"'))",
     re.IGNORECASE,
 )
 
@@ -648,25 +660,50 @@ def _not_in_set(col: Column, kw: dict) -> Column:
     return ~col.isin(list(vs))
 
 
-def _json_parseable_udf():
+def _json_parse():
+    import json
+
+    return json.loads
+
+
+def _dateutil_parse():
+    from dateutil.parser import parse
+
+    return parse
+
+
+def _python_parseable_builder(
+    kwargs: dict, get_parse: Callable, catch: tuple
+) -> MapCondition:
+    """Shared 'Python parser as an Arrow kernel' escape hatch: batch-apply
+    the parser ``get_parse()`` returns (imported executor-side), a value is
+    expected iff it parses, catching exactly ``catch`` — the two concrete
+    expectations document why native expressions can't substitute."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def parseable(series: pd.Series) -> pd.Series:
-        import json as _json
+        parse = get_parse()
 
         def ok(v):
             if v is None:
                 return None
             try:
-                _json.loads(v)
+                parse(v)
                 return True
-            except Exception:
+            except catch:
                 return False
 
         return series.map(ok).astype("boolean")
 
-    return parseable
+    name = kwargs["column"]
+    col = F.col(name)
+    return MapCondition(
+        expected=F.coalesce(parseable(col), F.lit(False)),
+        considered=col.isNotNull(),
+        value_expr=col,
+        columns=[name],
+    )
 
 
 def _json_parseable_builder(kwargs: dict) -> MapCondition:
@@ -682,16 +719,10 @@ def _json_parseable_builder(kwargs: dict) -> MapCondition:
     silently passing rows the reference fails. Exact parity needs Python's
     parser, so this is the documented Arrow-batch escape hatch (same
     pattern as _match_json_schema). Fuzz-guarded directly against
-    json.loads in tests/test_fuzz_oracle.py's g_json."""
-    name = kwargs["column"]
-    col = F.col(name)
-    expected = _json_parseable_udf()(col)
-    return MapCondition(
-        expected=F.coalesce(expected, F.lit(False)),
-        considered=col.isNotNull(),
-        value_expr=col,
-        columns=[name],
-    )
+    json.loads in tests/test_fuzz_oracle.py's g_json. Catches Exception:
+    json.loads raises TypeError on non-str, which the reference's kernel
+    maps to row-False too."""
+    return _python_parseable_builder(kwargs, _json_parse, (Exception,))
 
 
 def _no_pii(col: Column, kw: dict) -> Column:
@@ -759,29 +790,6 @@ def dateutil_parse_expr(col: Column) -> Column:
     return F.coalesce(*attempts)
 
 
-def _dateutil_parseable_udf():
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def parseable(series: pd.Series) -> pd.Series:
-        from dateutil.parser import parse
-
-        def ok(v):
-            if v is None:
-                return None
-            try:
-                parse(v)
-                return True
-            except (ValueError, OverflowError):
-                # the reference catches exactly these two
-                # (column_values_dateutil_parseable.py:25-26)
-                return False
-
-        return series.map(ok).astype("boolean")
-
-    return parseable
-
-
 def _dateutil_parseable_builder(kwargs: dict) -> MapCondition:
     """expect_column_values_to_be_dateutil_parseable — Arrow pandas_udf
     batch parse with dateutil.parser.parse, the reference's EXACT kernel
@@ -795,15 +803,11 @@ def _dateutil_parseable_builder(kwargs: dict) -> MapCondition:
     raises the reference's TypeError for non-string columns before the
     kernel runs. dateutil_parse_expr (the native pattern-coalesce) remains
     the documented approximation for the pair/bounds
-    parse_strings_as_datetimes paths."""
-    name = kwargs["column"]
-    col = F.col(name)
-    expected = _dateutil_parseable_udf()(col)
-    return MapCondition(
-        expected=F.coalesce(expected, F.lit(False)),
-        considered=col.isNotNull(),
-        value_expr=col,
-        columns=[name],
+    parse_strings_as_datetimes paths. Catches exactly
+    (ValueError, OverflowError), like the reference
+    (column_values_dateutil_parseable.py:25-26)."""
+    return _python_parseable_builder(
+        kwargs, _dateutil_parse, (ValueError, OverflowError)
     )
 
 

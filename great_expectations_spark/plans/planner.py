@@ -528,34 +528,50 @@ class SuitePlanner:
                 ({c: r[c] for c in self.partition_by}, {}) for r in pkeys
             ]
 
-        # phase 2: groupBy passes (value-counts family)
-        self._n_partitions = max(1, len(partition_rows))
-        ctx = _Ctx()
-        ctx.metrics = global_metrics
-        for key, need in self._groupby_needs.items():
-            ctx.groupby[key] = self._run_groupby(df, need)
+        # phase 2: groupBy passes (value-counts family); phase 3:
+        # unexpected-value samples — both share the bundled passes'
+        # fallback contract: an execution failure here must become a
+        # per-expectation exception EVR (catch_exceptions=True) or re-raise
+        # (False), never escape validate() unhandled
+        try:
+            self._n_partitions = max(1, len(partition_rows))
+            ctx = _Ctx()
+            ctx.metrics = global_metrics
+            for key, need in self._groupby_needs.items():
+                ctx.groupby[key] = self._run_groupby(df, need)
 
-        # phase 3: unexpected-value samples — ONE unioned job
-        if self._sample_specs:
-            self._run_samples(df, ctx)
-            if self.rf.get("include_unexpected_rows"):
-                self._run_unexpected_rows(df, ctx)
+            if self._sample_specs:
+                self._run_samples(df, ctx)
+                if self.rf.get("include_unexpected_rows"):
+                    self._run_unexpected_rows(df, ctx)
+        except Exception as e:
+            if self.persist:
+                df.unpersist()
+            if not self.catch_exceptions:
+                raise
+            return self._run_isolated(meta, e)
 
-        # decisions
+        # decisions (_decide re-raises only under catch_exceptions=False —
+        # release the persist on that path too)
         results: list[ExpectationValidationResult] = []
         partition_results: list[ExpectationValidationResult] = []
-        for item in self._items:
-            results.append(self._decide(item, ctx))
-            if item.partition_capable and partition_rows:
-                for pkey, pmetrics in partition_rows:
-                    pctx = _Ctx()
-                    pctx.metrics = pmetrics
-                    pctx.groupby = ctx.groupby
-                    pctx.is_partition = True
-                    pctx.partition_key = pkey
-                    evr = self._decide(item, pctx)
-                    evr.partition = pkey
-                    partition_results.append(evr)
+        try:
+            for item in self._items:
+                results.append(self._decide(item, ctx))
+                if item.partition_capable and partition_rows:
+                    for pkey, pmetrics in partition_rows:
+                        pctx = _Ctx()
+                        pctx.metrics = pmetrics
+                        pctx.groupby = ctx.groupby
+                        pctx.is_partition = True
+                        pctx.partition_key = pkey
+                        evr = self._decide(item, pctx)
+                        evr.partition = pkey
+                        partition_results.append(evr)
+        except Exception:
+            if self.persist:
+                df.unpersist()
+            raise
         for cfg, err in self._errors:
             results.append(
                 ExpectationValidationResult(

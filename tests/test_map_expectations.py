@@ -618,19 +618,21 @@ def test_strftime_week_derived_dates(spark):
     assert nevr.result["unexpected_count"] == 0
 
     # %Z matches the locale timezone-name set ({utc, gmt, tzname}) case-
-    # insensitively and attaches nothing — names outside the set fail,
-    # exactly like strptime under this host's TZ
+    # insensitively and attaches nothing — names outside the set fail.
+    # The accepted/rejected split is TZ-dependent (a host with TZ=EST5EDT
+    # admits 'EST'), so derive it from strptime itself, the oracle
     import datetime as _dt
 
-    accepted = {"UTC", "utc", "GMT"}
-    rejected = {"EST", "PST"}
-    for v in accepted | rejected:
+    probes = {"UTC", "utc", "GMT", "EST", "PST"}
+    accepted, rejected = set(), set()
+    for v in probes:
         try:
             _dt.datetime.strptime(v, "%Z")
-            assert v in accepted, v
+            accepted.add(v)
         except ValueError:
-            assert v in rejected, v
-    zdf = spark.createDataFrame([(v,) for v in sorted(accepted | rejected)], ["d"])
+            rejected.add(v)
+    assert "UTC" in accepted and rejected  # sanity: split is non-trivial
+    zdf = spark.createDataFrame([(v,) for v in sorted(probes)], ["d"])
     zevr = run_one(
         zdf,
         "expect_column_values_to_match_strftime_format",
@@ -665,6 +667,45 @@ def test_catch_exceptions_false_raises(spark):
     assert len(ok.results) == 2
     with pytest.raises(Exception):
         eng.validate(df, mixed, catch_exceptions=False)
+
+
+def test_phase23_failure_contract(spark, monkeypatch):
+    # a groupBy/samples-phase failure must honor the same contract as the
+    # bundled passes: exception EVR on the offender with the rest still
+    # validated (catch_exceptions=True), re-raise with the persist released
+    # (False) — never an unhandled escape from validate()
+    from great_expectations_spark import SparkValidationEngine
+    from great_expectations_spark.plans import planner as planner_mod
+
+    df = spark.createDataFrame([(1,), (2,), (2,)], ["i"])
+    suite = ExpectationSuite("p2")
+    suite.add("expect_column_values_to_not_be_null", column="i")
+    suite.add(
+        "expect_column_most_common_value_to_be_in_set", column="i",
+        value_set=[2],
+    )
+
+    def boom(self, df, need):
+        raise RuntimeError("groupBy pass exploded")
+
+    monkeypatch.setattr(planner_mod.SuitePlanner, "_run_groupby", boom)
+    eng = SparkValidationEngine(spark)
+
+    res = eng.validate(df, suite, persist=True)
+    by_type = {
+        r.expectation_config["expectation_type"]: r for r in res.results
+    }
+    assert by_type["expect_column_values_to_not_be_null"].success is True
+    mc = by_type["expect_column_most_common_value_to_be_in_set"]
+    assert "groupBy pass exploded" in (mc.exception_info or {}).get(
+        "exception_message", ""
+    )
+
+    with pytest.raises(RuntimeError):
+        eng.validate(df, suite, persist=True, catch_exceptions=False)
+    # the persist must have been released on every exit path
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
 
 
 def test_experimental_row_condition_grammar(spark):
@@ -813,7 +854,15 @@ def test_experimental_grammar_differential_vs_pyparsing(spark):
     import random as _random
 
     rng = _random.Random(99)
-    cases = ['col("a") == " x "', 'col("a") == "x \n\t"']
+    # pyparsing's skip set is exactly " \n\t\r": \r is accepted between and
+    # inside-quotes; \x0b/\x0c/NBSP/thin-space are rejected even though
+    # regex \s (or str.strip) would take them
+    cases = [
+        'col("a") == " x "', 'col("a") == "x \n\t"', 'col("a") == " x\r "',
+        'col("a") >\r3', 'col("a") >\x0c3', 'col("a") >\x0b3',
+        'col("a") >\xa03', 'col("a") > 3', '\x0ccol("a") > 3',
+        '\rcol("a") > 3', 'col("a") == "\x0cx"',
+    ]
     for _ in range(4000):
         pre = rng.choice(
             ['col("', 'col("', 'col("', 'COL("', 'col( "', ' col("']
@@ -831,7 +880,7 @@ def test_experimental_grammar_differential_vs_pyparsing(spark):
         s = (
             pre + name + tail
             + (op if ".n" in op.lower() or ".is" in op.lower()
-               else op + rng.choice([" ", ""]) + val)
+               else op + rng.choice([" ", "", "\r", "\x0c", "\xa0"]) + val)
             + rng.choice(["", " trailing", ' AND col("b")>1'])
         )
         cases.append(s)

@@ -214,7 +214,9 @@ def test_reference_golden_excluded_cases(spark):
         else:
             regressions.append((etype, case.get("title"), str(detail)[:160]))
     assert not regressions, regressions
-    # 134 excluded cases at the time of writing: 71 transfer to this engine
+    # 134 excluded cases at the time of writing: 67 transfer to this engine
     # outright (incl. the non-mssql LIKE corpus, all 8 cramers cases, pair
-    # parse_strings_as_datetimes); the 63 others are documented above
+    # parse_strings_as_datetimes; four conditional-parser cases moved to
+    # tolerated when unrecognized parsers started raising like the
+    # reference's Spark engine); the 67 others are documented above
     assert passed >= 67, f"only {passed} excluded-case passes (tolerated={tolerated}, skipped={skipped})"
