@@ -701,11 +701,14 @@ def test_phase23_failure_contract(spark, monkeypatch):
         "exception_message", ""
     )
 
+    # the persist must be released on the re-raise path too — compare
+    # against the session's pre-existing persist count (other tests in a
+    # shared session legitimately hold caches)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     with pytest.raises(RuntimeError):
         eng.validate(df, suite, persist=True, catch_exceptions=False)
-    # the persist must have been released on every exit path
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_experimental_row_condition_grammar(spark):
